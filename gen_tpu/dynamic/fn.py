@@ -1,0 +1,224 @@
+"""GenFn: the ``@gen`` traced-interpreter generative function.
+
+Analogue of Gen.jl's ``DynamicDSLFunction`` (/root/reference/src/dynamic/
+dynamic.jl:11-45) — but where the reference has *two* modeling languages (a
+slow dynamic interpreter and a compiled static IR), here there is one: the
+interpreter stages into XLA under ``jax.jit``, which plays the role of the
+reference's generated straight-line code (src/static_ir/simulate.jl:53-89).
+
+Gradient methods (``choice_gradients`` / ``param_gradients``) are
+implemented as ``jax.grad`` of the key-free ``assess`` re-execution — the
+functional analogue of the reference's ReverseDiff tape replay
+(src/dynamic/backprop.jl:372-394). Analytic per-distribution logpdf
+derivatives fall out of XLA autodiff of each ``logpdf``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..choice_map import ChoiceMap
+from ..diff import UnknownChange
+from ..gfi import GenerativeFunction, Trace
+from ..selection import NONE, Selection
+from ..utils import combine, partition_inexact, tree_vdot
+from .handlers import (AssessHandler, GenerateHandler, RegenerateHandler,
+                       SimulateHandler, UpdateHandler, active_handler)
+from .trace import ChoiceRecord, DynamicTrace
+
+
+class GenFn(GenerativeFunction):
+    """A generative function defined by a traced Python body."""
+
+    def __init__(self, fn, name: Optional[str] = None):
+        self.fn = fn
+        self.name = name or getattr(fn, "__name__", "gen_fn")
+        self.params: Dict[str, Any] = {}
+        self.params_grad: Dict[str, Any] = {}
+
+    def run_body(self, args):
+        return self.fn(*args)
+
+    def get_params(self):
+        return tuple(self.params.keys())
+
+    def accepts_output_grad(self) -> bool:
+        return True
+
+    def has_argument_grads(self):
+        # Args with inexact dtype are differentiable; the reference instead
+        # uses explicit (grad) annotations (src/dsl/dsl.jl:5-9).
+        return None
+
+    def __repr__(self):
+        return f"@gen {self.name}"
+
+    # -- GFI --------------------------------------------------------------
+
+    def simulate(self, key, args: Tuple) -> DynamicTrace:
+        with SimulateHandler(key, self.params) as h:
+            retval = self.run_body(args)
+        return DynamicTrace(self, args, retval, h.score, h.noise, h.records)
+
+    def generate(self, key, args: Tuple,
+                 constraints: Optional[ChoiceMap] = None):
+        constraints = constraints if constraints is not None else ChoiceMap()
+        with GenerateHandler(key, constraints, self.params) as h:
+            retval = self.run_body(args)
+        trace = DynamicTrace(self, args, retval, h.score, h.noise, h.records)
+        return trace, h.weight
+
+    def assess(self, args: Tuple, choices: ChoiceMap, params=None):
+        with AssessHandler(choices, self.params if params is None else params) as h:
+            retval = self.run_body(args)
+            unconsumed = [a for a in choices.addresses()
+                          if not h.visitor.covers(a)]
+        if unconsumed:
+            raise ValueError(
+                f"assess: choices at {unconsumed!r} were not visited "
+                f"(reference: src/dynamic/assess.jl:58-62)")
+        return h.weight, retval
+
+    def project(self, trace: DynamicTrace, selection: Selection):
+        return trace.project(selection)
+
+    def update(self, key, trace: DynamicTrace, args: Tuple, argdiffs: Tuple,
+               constraints: ChoiceMap):
+        with UpdateHandler(key, trace, constraints, self.params) as h:
+            retval = self.run_body(args)
+        weight = h.weight
+        discard = h.discard
+        # deletion pass: subtract scores of prev records not re-visited and
+        # add their choices to the discard (reference update.jl:122-180)
+        visited = h.visitor
+        for path, rec in trace.records.items():
+            if path not in visited.paths:
+                weight = weight - rec.score
+                if isinstance(rec, ChoiceRecord):
+                    discard.set_value(path, rec.value)
+                else:
+                    sub_choices = rec.subtrace.get_choices()
+                    if not sub_choices.is_empty():
+                        discard.set_submap(path, sub_choices)
+        unconsumed = [a for a in constraints.addresses()
+                      if not visited.covers(a)]
+        if unconsumed:
+            raise ValueError(
+                f"update: did not visit constraints at {unconsumed!r} "
+                f"(reference: src/dynamic/update.jl:191-193)")
+        new_trace = DynamicTrace(self, args, retval, h.score, h.noise,
+                                 h.records)
+        return new_trace, weight, UnknownChange, discard
+
+    def regenerate(self, key, trace: DynamicTrace, args: Tuple,
+                   argdiffs: Tuple, selection: Selection):
+        with RegenerateHandler(key, trace, selection, self.params) as h:
+            retval = self.run_body(args)
+        weight = h.weight
+        # deleted calls: subtract their noise (reference regenerate.jl:104-131)
+        for path, rec in trace.records.items():
+            if path not in h.visitor.paths and not isinstance(rec, ChoiceRecord):
+                weight = weight - rec.noise
+        new_trace = DynamicTrace(self, args, retval, h.score, h.noise,
+                                 h.records)
+        return new_trace, weight, UnknownChange
+
+    # -- gradients --------------------------------------------------------
+
+    def _objective(self, retgrad):
+        def f(sel_or_params_kind, payload, args_dyn, args_static, rest,
+              params):
+            args = combine(args_dyn, args_static)
+            if sel_or_params_kind == "choices":
+                full = rest.merge(payload)
+                w, retval = self.assess(args, full, params=params)
+            else:
+                w, retval = self.assess(args, rest, params=payload)
+            return w + tree_vdot(retgrad, retval)
+        return f
+
+    def choice_gradients(self, trace: Trace, selection: Selection = NONE,
+                         retgrad=None):
+        """(arg_grads, choice_values, choice_grads).
+        Reference: src/gen_fn_interface.jl:373-410 / dynamic/backprop.jl."""
+        choices = trace.get_choices()
+        sel_values = choices.filter(selection)
+        rest = choices.filter(selection.complement())
+        args = trace.get_args()
+        args_dyn, args_static = partition_inexact(args)
+        f = self._objective(retgrad)
+
+        grad_fn = jax.grad(
+            lambda payload, adyn: f("choices", payload, adyn, args_static,
+                                    rest, self.params),
+            argnums=(0, 1))
+        choice_grads, arg_grads = grad_fn(sel_values, args_dyn)
+        return arg_grads, sel_values, choice_grads
+
+    def param_gradients(self, trace: Trace, retgrad=None, scale_factor=1.0):
+        """(arg_grads, param_grads). Reference:
+        src/gen_fn_interface.jl:336-371 / dynamic/backprop.jl:185-211."""
+        choices = trace.get_choices()
+        args = trace.get_args()
+        args_dyn, args_static = partition_inexact(args)
+        params_dyn, params_static = partition_inexact(self.params)
+        f = self._objective(retgrad)
+
+        grad_fn = jax.grad(
+            lambda pdyn, adyn: f("params", combine(pdyn, params_static),
+                                 adyn, args_static, choices, None),
+            argnums=(0, 1))
+        param_grads, arg_grads = grad_fn(params_dyn, args_dyn)
+        if scale_factor != 1.0:
+            param_grads = jax.tree_util.tree_map(
+                lambda g: g * scale_factor, param_grads)
+        return arg_grads, param_grads
+
+
+def gen(fn=None, **kwargs):
+    """Decorator: ``@gen`` turns a Python function into a
+    :class:`GenFn`. The body may trace calls with ``dist(args) @ "addr"``,
+    ``other_gen_fn(args) @ "addr"``, or ``trace_at(addr, fn, *args)``."""
+    if fn is None:
+        return lambda f: GenFn(f, **kwargs)
+    return GenFn(fn, **kwargs)
+
+
+def param(name: str):
+    """Read a trainable parameter inside a model body (the reference's
+    ``@param``, src/dsl/dsl.jl:139-152)."""
+    return active_handler().get_param(name)
+
+
+# -- parameter store API (reference: src/builtin_optimization.jl:1-67) ----
+
+def init_param(fn: GenFn, name: str, value):
+    fn.params[name] = jnp.asarray(value, dtype=jnp.result_type(float)) \
+        if not hasattr(value, "dtype") else value
+    fn.params_grad[name] = None
+
+
+def get_param(fn: GenFn, name: str):
+    return fn.params[name]
+
+
+def set_param(fn: GenFn, name: str, value):
+    fn.params[name] = value
+
+
+def get_param_grad(fn: GenFn, name: str):
+    g = fn.params_grad.get(name)
+    if g is None:
+        return jax.tree_util.tree_map(jnp.zeros_like, fn.params[name])
+    return g
+
+
+def zero_param_grad(fn: GenFn, name: str):
+    fn.params_grad[name] = None
+
+
+def set_param_grad(fn: GenFn, name: str, grad):
+    fn.params_grad[name] = grad

@@ -1,0 +1,51 @@
+"""Small pytree utilities shared across the framework."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def is_inexact(x) -> bool:
+    try:
+        return jnp.issubdtype(jnp.asarray(x).dtype, jnp.inexact)
+    except (TypeError, ValueError):
+        return False
+
+
+def partition_inexact(tree):
+    """Split a pytree into (differentiable, static) halves.
+
+    Differentiable = leaves with inexact (float/complex) dtype; everything
+    else (ints, bools, non-arrays) goes to the static half. ``None`` fills
+    the holes (None is an empty pytree node, so ``jax.grad`` w.r.t. the
+    differentiable half just works)."""
+    dyn = jax.tree_util.tree_map(lambda x: x if is_inexact(x) else None, tree)
+    static = jax.tree_util.tree_map(lambda x: None if is_inexact(x) else x, tree)
+    return dyn, static
+
+
+def combine(dyn, static):
+    """Inverse of :func:`partition_inexact`."""
+    return jax.tree_util.tree_map(
+        lambda a, b: b if a is None else a, dyn, static,
+        is_leaf=lambda x: x is None)
+
+
+def tree_vdot(a, b):
+    """Sum of elementwise products over matching leaves; ``a`` may be None
+    (→ 0). Used for the <retgrad, retval> term of gradient methods."""
+    if a is None:
+        return jnp.asarray(0.0)
+    leaves_a = jax.tree_util.tree_leaves(a)
+    leaves_b = jax.tree_util.tree_leaves(b)
+    total = jnp.asarray(0.0)
+    for x, y in zip(leaves_a, leaves_b):
+        total = total + jnp.sum(jnp.asarray(x) * jnp.asarray(y))
+    return total
+
+
+def logsumexp(x, axis=None):
+    """Numerically stable logsumexp (reference:
+    /root/reference/src/inference/inference.jl:3-7)."""
+    return jax.scipy.special.logsumexp(jnp.asarray(x), axis=axis)

@@ -1,0 +1,220 @@
+"""Distribution tests: logpdf vs scipy and finite-difference checking of
+logpdf_grad (reference: test/modeling_library/distributions.jl, 389 LoC,
+with the finite_diff harness from test/runtests.jl:17-77)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy import stats
+
+import gen_tpu as gt
+
+KEY = jax.random.PRNGKey(0)
+DX = 1e-6
+
+
+def finite_diff(f, args, i, dx=DX):
+    args_pos = list(args)
+    args_neg = list(args)
+    args_pos[i] = args[i] + dx
+    args_neg[i] = args[i] - dx
+    return (f(*args_pos) - f(*args_neg)) / (2 * dx)
+
+
+def check_grads(dist, v, *args, skip=()):
+    """Finite-diff every differentiable slot of logpdf_grad."""
+    grads = dist.logpdf_grad(v, *args)
+    f = lambda v_, *a: float(dist.logpdf(v_, *a))
+    all_args = (v,) + args
+    if dist.has_output_grad and 0 not in skip:
+        fd = finite_diff(f, all_args, 0)
+        np.testing.assert_allclose(grads[0], fd, rtol=1e-4, atol=1e-5)
+    for j, has in enumerate(dist.arg_grads):
+        if has and (j + 1) not in skip:
+            fd = finite_diff(f, all_args, j + 1)
+            np.testing.assert_allclose(grads[j + 1], fd, rtol=1e-4, atol=1e-5,
+                                       err_msg=f"arg {j}")
+
+
+# -- continuous -----------------------------------------------------------
+
+def test_normal():
+    lp = gt.normal.logpdf(1.2, 0.5, 2.0)
+    np.testing.assert_allclose(lp, stats.norm.logpdf(1.2, 0.5, 2.0), rtol=1e-12)
+    check_grads(gt.normal, 1.2, 0.5, 2.0)
+    v = gt.normal.sample(KEY, 0.0, 1.0)
+    assert jnp.shape(v) == ()
+
+
+def test_broadcasted_normal():
+    v = np.array([1.0, -0.5, 2.0])
+    mu = np.array([0.0, 0.0, 1.0])
+    lp = gt.broadcasted_normal.logpdf(v, mu, 1.0)
+    np.testing.assert_allclose(lp, stats.norm.logpdf(v, mu, 1.0).sum(), rtol=1e-12)
+    s = gt.broadcasted_normal.sample(KEY, jnp.zeros(3), jnp.ones(3))
+    assert s.shape == (3,)
+
+
+def test_mvnormal():
+    mu = np.array([1.0, -1.0])
+    cov = np.array([[2.0, 0.3], [0.3, 1.0]])
+    v = np.array([0.5, 0.5])
+    lp = gt.mvnormal.logpdf(v, mu, cov)
+    np.testing.assert_allclose(lp, stats.multivariate_normal.logpdf(v, mu, cov),
+                               rtol=1e-10)
+    s = gt.mvnormal.sample(KEY, jnp.asarray(mu), jnp.asarray(cov))
+    assert s.shape == (2,)
+    # gradient w.r.t. value
+    g = jax.grad(lambda x: gt.mvnormal.logpdf(x, mu, cov))(jnp.asarray(v))
+    fd0 = (gt.mvnormal.logpdf(v + np.array([DX, 0]), mu, cov)
+           - gt.mvnormal.logpdf(v - np.array([DX, 0]), mu, cov)) / (2 * DX)
+    np.testing.assert_allclose(g[0], fd0, rtol=1e-4)
+
+
+def test_uniform():
+    lp = gt.uniform.logpdf(0.3, -1.0, 2.0)
+    np.testing.assert_allclose(lp, -np.log(3.0), rtol=1e-12)
+    assert gt.uniform.logpdf(3.0, -1.0, 2.0) == -np.inf
+    check_grads(gt.uniform, 0.3, -1.0, 2.0)
+    s = gt.uniform.sample(KEY, -1.0, 2.0)
+    assert -1.0 <= float(s) <= 2.0
+
+
+def test_beta():
+    lp = gt.beta.logpdf(0.3, 2.0, 3.0)
+    np.testing.assert_allclose(lp, stats.beta.logpdf(0.3, 2.0, 3.0), rtol=1e-10)
+    assert gt.beta.logpdf(-0.1, 2.0, 3.0) == -np.inf
+    check_grads(gt.beta, 0.3, 2.0, 3.0)
+
+
+def test_beta_uniform():
+    theta, a, b = 0.4, 2.0, 3.0
+    x = 0.3
+    expected = np.logaddexp(np.log(theta) + stats.beta.logpdf(x, a, b),
+                            np.log(1 - theta))
+    np.testing.assert_allclose(gt.beta_uniform.logpdf(x, theta, a, b),
+                               expected, rtol=1e-10)
+    check_grads(gt.beta_uniform, x, theta, a, b)
+
+
+def test_gamma():
+    lp = gt.gamma.logpdf(2.5, 2.0, 3.0)  # shape, scale
+    np.testing.assert_allclose(lp, stats.gamma.logpdf(2.5, 2.0, scale=3.0),
+                               rtol=1e-10)
+    assert gt.gamma.logpdf(-1.0, 2.0, 3.0) == -np.inf
+    check_grads(gt.gamma, 2.5, 2.0, 3.0)
+
+
+def test_inv_gamma():
+    lp = gt.inv_gamma.logpdf(0.5, 2.0, 3.0)
+    np.testing.assert_allclose(lp, stats.invgamma.logpdf(0.5, 2.0, scale=3.0),
+                               rtol=1e-10)
+    check_grads(gt.inv_gamma, 0.5, 2.0, 3.0)
+
+
+def test_exponential():
+    lp = gt.exponential.logpdf(1.5, 2.0)
+    np.testing.assert_allclose(lp, stats.expon.logpdf(1.5, scale=0.5), rtol=1e-10)
+    assert gt.exponential.logpdf(-0.5, 2.0) == -np.inf
+    check_grads(gt.exponential, 1.5, 2.0)
+
+
+def test_cauchy():
+    lp = gt.cauchy.logpdf(1.5, 0.5, 2.0)
+    np.testing.assert_allclose(lp, stats.cauchy.logpdf(1.5, 0.5, 2.0), rtol=1e-10)
+    check_grads(gt.cauchy, 1.5, 0.5, 2.0)
+
+
+def test_laplace():
+    lp = gt.laplace.logpdf(1.5, 0.5, 2.0)
+    np.testing.assert_allclose(lp, stats.laplace.logpdf(1.5, 0.5, 2.0), rtol=1e-10)
+    check_grads(gt.laplace, 1.5, 0.5, 2.0)
+
+
+def test_piecewise_uniform():
+    bounds = jnp.array([0.0, 1.0, 3.0])
+    probs = jnp.array([0.6, 0.4])
+    np.testing.assert_allclose(gt.piecewise_uniform.logpdf(0.5, bounds, probs),
+                               np.log(0.6), rtol=1e-10)
+    np.testing.assert_allclose(gt.piecewise_uniform.logpdf(2.0, bounds, probs),
+                               np.log(0.4 / 2.0), rtol=1e-10)
+    assert gt.piecewise_uniform.logpdf(4.0, bounds, probs) == -np.inf
+    s = gt.piecewise_uniform.sample(KEY, bounds, probs)
+    assert 0.0 <= float(s) <= 3.0
+
+
+# -- discrete -------------------------------------------------------------
+
+def test_bernoulli():
+    np.testing.assert_allclose(gt.bernoulli.logpdf(True, 0.3), np.log(0.3),
+                               rtol=1e-10)
+    np.testing.assert_allclose(gt.bernoulli.logpdf(False, 0.3), np.log(0.7),
+                               rtol=1e-10)
+    g = gt.bernoulli.logpdf_grad(True, 0.3)
+    assert g[0] is None
+    np.testing.assert_allclose(g[1], 1 / 0.3, rtol=1e-6)
+
+
+def test_categorical():
+    probs = jnp.array([0.2, 0.3, 0.5])
+    np.testing.assert_allclose(gt.categorical.logpdf(2, probs), np.log(0.5),
+                               rtol=1e-10)
+    s = gt.categorical.sample(KEY, probs)
+    assert 0 <= int(s) <= 2
+    # grad w.r.t. probs
+    g = gt.categorical.logpdf_grad(1, probs)[1]
+    np.testing.assert_allclose(g, [0.0, 1 / 0.3, 0.0], atol=1e-8)
+
+
+def test_uniform_discrete():
+    np.testing.assert_allclose(gt.uniform_discrete.logpdf(3, 1, 5),
+                               -np.log(5.0), rtol=1e-10)
+    assert gt.uniform_discrete.logpdf(6, 1, 5) == -np.inf
+    s = gt.uniform_discrete.sample(KEY, 1, 5)
+    assert 1 <= int(s) <= 5
+
+
+def test_poisson():
+    np.testing.assert_allclose(gt.poisson.logpdf(3, 2.5),
+                               stats.poisson.logpmf(3, 2.5), rtol=1e-10)
+    g = gt.poisson.logpdf_grad(3, 2.5)[1]
+    np.testing.assert_allclose(g, 3 / 2.5 - 1, rtol=1e-6)
+
+
+def test_binom():
+    np.testing.assert_allclose(gt.binom.logpdf(3, 10, 0.4),
+                               stats.binom.logpmf(3, 10, 0.4), rtol=1e-10)
+    s = gt.binom.sample(KEY, 10, 0.4)
+    assert 0 <= int(s) <= 10
+
+
+def test_geometric():
+    np.testing.assert_allclose(gt.geometric.logpdf(4, 0.3),
+                               stats.geom.logpmf(5, 0.3), rtol=1e-10)
+    # reference convention: failures before success (support from 0)
+    np.testing.assert_allclose(gt.geometric.logpdf(0, 0.3), np.log(0.3),
+                               rtol=1e-10)
+    g = gt.geometric.logpdf_grad(4, 0.3)[1]
+    np.testing.assert_allclose(g, 1 / 0.3 - 4 / 0.7, rtol=1e-6)
+
+
+def test_neg_binom():
+    np.testing.assert_allclose(gt.neg_binom.logpdf(4, 3.0, 0.4),
+                               stats.nbinom.logpmf(4, 3.0, 0.4), rtol=1e-10)
+
+
+def test_sampling_statistics():
+    """Sampled moments match analytic moments (smoke-level)."""
+    n = 20000
+    keys = jax.random.split(KEY, n)
+    x = jax.vmap(lambda k: gt.gamma.sample(k, 3.0, 2.0))(keys)
+    np.testing.assert_allclose(jnp.mean(x), 6.0, rtol=0.05)
+    b = jax.vmap(lambda k: gt.bernoulli.sample(k, 0.3))(keys)
+    np.testing.assert_allclose(jnp.mean(b), 0.3, atol=0.02)
+    g = jax.vmap(lambda k: gt.geometric.sample(k, 0.25))(keys)
+    np.testing.assert_allclose(jnp.mean(g), 3.0, rtol=0.06)
+    p = jax.vmap(lambda k: gt.poisson.sample(k, 4.0))(keys)
+    np.testing.assert_allclose(jnp.mean(p), 4.0, rtol=0.05)
+    nb = jax.vmap(lambda k: gt.neg_binom.sample(k, 3.0, 0.4))(keys)
+    np.testing.assert_allclose(jnp.mean(nb), 3.0 * 0.6 / 0.4, rtol=0.06)
