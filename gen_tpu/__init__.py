@@ -24,6 +24,10 @@ from .dists import __all__ as _dists_all
 from .dynamic import (GenFn, gen, param, trace_at, init_param, get_param,
                       set_param, get_param_grad, zero_param_grad,
                       set_param_grad, DynamicTrace)
+from .combinators import (Map, MapCombinator, Unfold, UnfoldCombinator,
+                          choice_at, call_at, VectorChoiceMap,
+                          vector_choicemap)
+from . import inference
 from .utils import logsumexp
 
 __version__ = "0.1.0"
@@ -39,4 +43,6 @@ __all__ = [
     "GenFn", "gen", "param", "trace_at", "init_param", "get_param",
     "set_param", "get_param_grad", "zero_param_grad", "set_param_grad",
     "DynamicTrace", "logsumexp",
+    "Map", "MapCombinator", "Unfold", "UnfoldCombinator", "choice_at",
+    "call_at", "VectorChoiceMap", "vector_choicemap", "inference",
 ] + _dists_all

@@ -148,6 +148,10 @@ class ChoiceMap:
         /root/reference/src/choice_map.jl:237-266) duplicate leaf addresses
         raise; with ``overwrite=True`` (the ``t + u`` of the ``update``
         weight formula) ``other`` takes precedence."""
+        if type(self) is ChoiceMap and self.is_empty():
+            return other.copy()
+        if type(other) is not ChoiceMap and hasattr(other, "to_choicemap"):
+            other = other.to_choicemap()
         out = self.copy()
         for k, v in other._leaves.items():
             if k in out._leaves and not overwrite:

@@ -1,0 +1,13 @@
+from .vector import (VectorChoiceMap, vector_choicemap, try_densify,
+                     tree_stack, tree_index)
+from .map_combinator import Map, MapCombinator, MapTrace
+from .unfold import Unfold, UnfoldCombinator, UnfoldTrace
+from .at import choice_at, call_at, ChoiceAtCombinator, CallAtCombinator
+
+__all__ = [
+    "VectorChoiceMap", "vector_choicemap", "try_densify", "tree_stack",
+    "tree_index",
+    "Map", "MapCombinator", "MapTrace",
+    "Unfold", "UnfoldCombinator", "UnfoldTrace",
+    "choice_at", "call_at", "ChoiceAtCombinator", "CallAtCombinator",
+]

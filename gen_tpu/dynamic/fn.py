@@ -24,9 +24,9 @@ from ..choice_map import ChoiceMap
 from ..diff import UnknownChange
 from ..gfi import GenerativeFunction, Trace
 from ..selection import NONE, Selection
-from ..utils import combine, partition_inexact, tree_vdot
 from .handlers import (AssessHandler, GenerateHandler, RegenerateHandler,
                        SimulateHandler, UpdateHandler, active_handler)
+from .params import current_params
 from .trace import ChoiceRecord, DynamicTrace
 
 
@@ -59,20 +59,20 @@ class GenFn(GenerativeFunction):
     # -- GFI --------------------------------------------------------------
 
     def simulate(self, key, args: Tuple) -> DynamicTrace:
-        with SimulateHandler(key, self.params) as h:
+        with SimulateHandler(key, current_params(self)) as h:
             retval = self.run_body(args)
         return DynamicTrace(self, args, retval, h.score, h.noise, h.records)
 
     def generate(self, key, args: Tuple,
                  constraints: Optional[ChoiceMap] = None):
         constraints = constraints if constraints is not None else ChoiceMap()
-        with GenerateHandler(key, constraints, self.params) as h:
+        with GenerateHandler(key, constraints, current_params(self)) as h:
             retval = self.run_body(args)
         trace = DynamicTrace(self, args, retval, h.score, h.noise, h.records)
         return trace, h.weight
 
     def assess(self, args: Tuple, choices: ChoiceMap, params=None):
-        with AssessHandler(choices, self.params if params is None else params) as h:
+        with AssessHandler(choices, current_params(self) if params is None else params) as h:
             retval = self.run_body(args)
             unconsumed = [a for a in choices.addresses()
                           if not h.visitor.covers(a)]
@@ -87,7 +87,7 @@ class GenFn(GenerativeFunction):
 
     def update(self, key, trace: DynamicTrace, args: Tuple, argdiffs: Tuple,
                constraints: ChoiceMap):
-        with UpdateHandler(key, trace, constraints, self.params) as h:
+        with UpdateHandler(key, trace, constraints, current_params(self)) as h:
             retval = self.run_body(args)
         weight = h.weight
         discard = h.discard
@@ -115,7 +115,7 @@ class GenFn(GenerativeFunction):
 
     def regenerate(self, key, trace: DynamicTrace, args: Tuple,
                    argdiffs: Tuple, selection: Selection):
-        with RegenerateHandler(key, trace, selection, self.params) as h:
+        with RegenerateHandler(key, trace, selection, current_params(self)) as h:
             retval = self.run_body(args)
         weight = h.weight
         # deleted calls: subtract their noise (reference regenerate.jl:104-131)
@@ -125,58 +125,6 @@ class GenFn(GenerativeFunction):
         new_trace = DynamicTrace(self, args, retval, h.score, h.noise,
                                  h.records)
         return new_trace, weight, UnknownChange
-
-    # -- gradients --------------------------------------------------------
-
-    def _objective(self, retgrad):
-        def f(sel_or_params_kind, payload, args_dyn, args_static, rest,
-              params):
-            args = combine(args_dyn, args_static)
-            if sel_or_params_kind == "choices":
-                full = rest.merge(payload)
-                w, retval = self.assess(args, full, params=params)
-            else:
-                w, retval = self.assess(args, rest, params=payload)
-            return w + tree_vdot(retgrad, retval)
-        return f
-
-    def choice_gradients(self, trace: Trace, selection: Selection = NONE,
-                         retgrad=None):
-        """(arg_grads, choice_values, choice_grads).
-        Reference: src/gen_fn_interface.jl:373-410 / dynamic/backprop.jl."""
-        choices = trace.get_choices()
-        sel_values = choices.filter(selection)
-        rest = choices.filter(selection.complement())
-        args = trace.get_args()
-        args_dyn, args_static = partition_inexact(args)
-        f = self._objective(retgrad)
-
-        grad_fn = jax.grad(
-            lambda payload, adyn: f("choices", payload, adyn, args_static,
-                                    rest, self.params),
-            argnums=(0, 1))
-        choice_grads, arg_grads = grad_fn(sel_values, args_dyn)
-        return arg_grads, sel_values, choice_grads
-
-    def param_gradients(self, trace: Trace, retgrad=None, scale_factor=1.0):
-        """(arg_grads, param_grads). Reference:
-        src/gen_fn_interface.jl:336-371 / dynamic/backprop.jl:185-211."""
-        choices = trace.get_choices()
-        args = trace.get_args()
-        args_dyn, args_static = partition_inexact(args)
-        params_dyn, params_static = partition_inexact(self.params)
-        f = self._objective(retgrad)
-
-        grad_fn = jax.grad(
-            lambda pdyn, adyn: f("params", combine(pdyn, params_static),
-                                 adyn, args_static, choices, None),
-            argnums=(0, 1))
-        param_grads, arg_grads = grad_fn(params_dyn, args_dyn)
-        if scale_factor != 1.0:
-            param_grads = jax.tree_util.tree_map(
-                lambda g: g * scale_factor, param_grads)
-        return arg_grads, param_grads
-
 
 def gen(fn=None, **kwargs):
     """Decorator: ``@gen`` turns a Python function into a

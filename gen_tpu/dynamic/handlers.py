@@ -138,7 +138,8 @@ class Handler:
     def splice(self, fn, args):
         """Run another gen fn's body inline, splicing its choices into this
         handler's address space (reference src/dynamic/dynamic.jl:90-103)."""
-        self.params_stack.append(fn.params)
+        from .params import current_params
+        self.params_stack.append(current_params(fn))
         try:
             return fn.run_body(args)
         finally:

@@ -172,40 +172,21 @@ class DynamicTrace(Trace):
                 f"addresses={list(self.records)})")
 
 
-def _is_static_arg(x) -> bool:
-    """Shape-determining scalars stay static across jit/vmap/scan boundaries
-    (JAX convention): plain Python/numpy ints, bools, strings, None. Arrays
-    and floats are traced."""
-    if x is None or isinstance(x, str):
-        return True
-    if isinstance(x, jnp.ndarray):
-        return False
-    import numpy as _np
-    return isinstance(x, (bool, int, _np.bool_, _np.integer))
-
-
 def _trace_flatten(tr: DynamicTrace):
+    from ..utils import split_static
     paths = sorted(tr.records.keys(), key=_path_sort_key)
-    flat_args, args_treedef = jax.tree_util.tree_flatten(tr.args)
-    static_mask = tuple(_is_static_arg(x) for x in flat_args)
-    dyn_args = tuple(x for x, s in zip(flat_args, static_mask) if not s)
-    static_args = tuple(x for x, s in zip(flat_args, static_mask) if s)
-    children = (dyn_args, tr.retval, tr.score, tr.noise,
+    args_dyn, args_aux = split_static(tr.args)
+    children = (args_dyn, tr.retval, tr.score, tr.noise,
                 tuple(tr.records[p] for p in paths))
-    aux = (tr.gen_fn, tuple(paths), args_treedef, static_mask, static_args)
-    return children, aux
+    return children, (tr.gen_fn, tuple(paths), args_aux)
 
 
 def _trace_unflatten(aux, children):
-    gen_fn, paths, args_treedef, static_mask, static_args = aux
-    dyn_args, retval, score, noise, recs = children
-    dyn_iter = iter(dyn_args)
-    static_iter = iter(static_args)
-    flat_args = [next(static_iter) if s else next(dyn_iter)
-                 for s in static_mask]
-    args = jax.tree_util.tree_unflatten(args_treedef, flat_args)
-    return DynamicTrace(gen_fn, args, retval, score, noise,
-                        dict(zip(paths, recs)))
+    from ..utils import join_static
+    gen_fn, paths, args_aux = aux
+    args_dyn, retval, score, noise, recs = children
+    return DynamicTrace(gen_fn, join_static(args_dyn, args_aux), retval,
+                        score, noise, dict(zip(paths, recs)))
 
 
 jax.tree_util.register_pytree_node(

@@ -141,6 +141,12 @@ class GenerativeFunction:
         raise NotImplementedError
 
     # -- gradients --------------------------------------------------------
+    #
+    # Both gradient methods are generic over ANY generative function: they
+    # are jax.grad of the key-free, fully-constrained `assess` re-execution
+    # — the functional analogue of the reference's ReverseDiff tape replay
+    # (src/dynamic/backprop.jl), with XLA autodiff supplying the analytic
+    # per-distribution logpdf derivatives.
 
     def choice_gradients(self, trace: Trace, selection: Selection = NONE,
                          retgrad=None):
@@ -148,22 +154,62 @@ class GenerativeFunction:
         log p(t; x) + <retgrad, retval> w.r.t. args and the selected
         continuous choices, as choice maps.
         Reference: gen_fn_interface.jl:373-410."""
-        raise NotImplementedError
+        from .utils import combine, partition_inexact, tree_vdot
+        choices = trace.get_choices()
+        sel_values = choices.filter(selection)
+        rest = choices.filter(selection.complement())
+        args = trace.get_args()
+        args_dyn, args_static = partition_inexact(args)
+
+        def f(payload, adyn):
+            full = rest.merge(payload)
+            w, retval = self.assess(combine(adyn, args_static), full)
+            return w + tree_vdot(retgrad, retval)
+
+        choice_grads, arg_grads = jax.grad(f, argnums=(0, 1))(
+            sel_values, args_dyn)
+        return arg_grads, sel_values, choice_grads
 
     def param_gradients(self, trace: Trace, retgrad=None, scale_factor=1.0):
-        """(arg_grads, param_grads_dict): functional form of the reference's
+        """(arg_grads, param_grads): functional form of the reference's
         ``accumulate_param_gradients!`` (gen_fn_interface.jl:336-371).
-        param grads are scaled by ``scale_factor``; arg grads are not."""
-        raise NotImplementedError
+        ``param_grads`` maps each reachable gen fn with trainable params to
+        its {name: grad} dict (the reference recurses into callees the same
+        way, backprop.jl:336-370). Param grads are scaled by
+        ``scale_factor``; arg grads are not."""
+        from .dynamic.params import collect_param_fns, override_params
+        from .utils import combine, partition_inexact, tree_vdot
+        fns = collect_param_fns(trace)
+        bundle = {i: dict(fn.params) for i, fn in enumerate(fns)}
+        bundle_dyn, bundle_static = partition_inexact(bundle)
+        choices = trace.get_choices()
+        args = trace.get_args()
+        args_dyn, args_static = partition_inexact(args)
+
+        def f(bdyn, adyn):
+            b = combine(bdyn, bundle_static)
+            with override_params({id(fn): b[i] for i, fn in enumerate(fns)}):
+                w, retval = self.assess(combine(adyn, args_static), choices)
+            return w + tree_vdot(retgrad, retval)
+
+        bundle_grads, arg_grads = jax.grad(f, argnums=(0, 1))(
+            bundle_dyn, args_dyn)
+        if scale_factor != 1.0:
+            bundle_grads = jax.tree_util.tree_map(
+                lambda g: g * scale_factor, bundle_grads)
+        param_grads = {fn: bundle_grads[i] for i, fn in enumerate(fns)}
+        return arg_grads, param_grads
 
     def accumulate_param_gradients(self, trace: Trace, retgrad=None,
                                    scale_factor=1.0):
-        """Mutating wrapper: increments this gen fn's gradient accumulators
-        (host-side) and returns arg grads, matching the reference API."""
-        arg_grads, param_grads = self.param_gradients(trace, retgrad, scale_factor)
-        store = getattr(self, "params_grad", None)
-        if store is not None:
-            for name, g in param_grads.items():
+        """Mutating wrapper: increments the gradient accumulators of every
+        reachable gen fn (host-side) and returns arg grads, matching the
+        reference API (gen_fn_interface.jl:336-371)."""
+        arg_grads, param_grads = self.param_gradients(trace, retgrad,
+                                                      scale_factor)
+        for fn, grads in param_grads.items():
+            store = fn.params_grad
+            for name, g in grads.items():
                 acc = store.get(name)
                 store[name] = g if acc is None else jax.tree_util.tree_map(
                     lambda a, b: a + b, acc, g)

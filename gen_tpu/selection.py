@@ -43,6 +43,9 @@ class AllSelection(Selection):
     def subselection(self, key: Key) -> Selection:
         return self
 
+    def complement(self) -> "Selection":
+        return NONE
+
     def __repr__(self):
         return "AllSelection()"
 
@@ -58,6 +61,9 @@ class EmptySelection(Selection):
 
     def is_empty_set(self) -> bool:
         return True
+
+    def complement(self) -> "Selection":
+        return ALL
 
     def __repr__(self):
         return "EmptySelection()"

@@ -45,6 +45,36 @@ def tree_vdot(a, b):
     return total
 
 
+def is_static_scalar(x) -> bool:
+    """Shape-determining scalars stay static across jit/vmap/scan boundaries
+    (JAX convention): plain Python/numpy ints, bools, strings, None. Arrays
+    and floats are traced."""
+    import numpy as _np
+    if x is None or isinstance(x, str):
+        return True
+    if isinstance(x, jnp.ndarray):
+        return False
+    return isinstance(x, (bool, int, _np.bool_, _np.integer))
+
+
+def split_static(tree):
+    """Partition a pytree's leaves into traced children and hashable static
+    aux, for trace pytree registrations. Returns (dyn_children, aux)."""
+    flat, treedef = jax.tree_util.tree_flatten(tree)
+    mask = tuple(is_static_scalar(x) for x in flat)
+    dyn = tuple(x for x, s in zip(flat, mask) if not s)
+    static = tuple(x for x, s in zip(flat, mask) if s)
+    return dyn, (treedef, mask, static)
+
+
+def join_static(dyn, aux):
+    treedef, mask, static = aux
+    dyn_iter = iter(dyn)
+    static_iter = iter(static)
+    flat = [next(static_iter) if s else next(dyn_iter) for s in mask]
+    return jax.tree_util.tree_unflatten(treedef, flat)
+
+
 def logsumexp(x, axis=None):
     """Numerically stable logsumexp (reference:
     /root/reference/src/inference/inference.jl:3-7)."""

@@ -85,11 +85,13 @@ def test_param_gradients_finite_diff():
 
     init_param(pmodel, "theta", 0.5)
     tr, _ = pmodel.generate(KEY, (), choicemap(x=1.2))
-    _, pgrads = pmodel.param_gradients(tr)
+    _, all_pgrads = pmodel.param_gradients(tr)
+    pgrads = all_pgrads[pmodel]
     fd = (stats.norm.logpdf(1.2, 0.5 + DX, 1) - stats.norm.logpdf(1.2, 0.5 - DX, 1)) / (2 * DX)
     np.testing.assert_allclose(pgrads["theta"], fd, rtol=1e-5)
     # scale factor applies to param grads
-    _, pg2 = pmodel.param_gradients(tr, scale_factor=3.0)
+    _, pg2all = pmodel.param_gradients(tr, scale_factor=3.0)
+    pg2 = pg2all[pmodel]
     np.testing.assert_allclose(pg2["theta"], 3 * np.asarray(pgrads["theta"]),
                                rtol=1e-10)
 
@@ -118,6 +120,7 @@ def test_vector_param_gradients():
 
     init_param(vmodel, "w", jnp.array([0.1, 0.2, 0.3]))
     tr, _ = vmodel.generate(KEY, (), choicemap(x=1.0))
-    _, pgrads = vmodel.param_gradients(tr)
+    _, all_pg = vmodel.param_gradients(tr)
+    pgrads = all_pg[vmodel]
     expected = (1.0 - 0.6) * np.ones(3)
     np.testing.assert_allclose(pgrads["w"], expected, rtol=1e-8)

@@ -1,0 +1,164 @@
+"""Inference-kernel correctness: exact-marginal checks on conjugate models
+(reference patterns: test/inference/importance_sampling.jl, mh.jl, hmc.jl,
+mala.jl, elliptical_slice.jl — but with quantitative posterior checks where
+the reference only smoke-tests)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy import stats
+
+import gen_tpu as gt
+from gen_tpu import choicemap, gen, select
+from gen_tpu.inference import (elliptical_slice, hmc, importance_resampling,
+                               importance_sampling, mala, map_optimize,
+                               mh_selection, mh_proposal)
+
+KEY = jax.random.PRNGKey(0)
+
+# conjugate: mu ~ N(0,3); 20 obs at 2.0 with noise 1
+# posterior: N(1.9890, 0.2230^2); log-evidence exact below
+N_OBS, OBS_VAL = 20, 2.0
+POST_VAR = 1 / (1 / 9 + N_OBS)
+POST_MU = POST_VAR * N_OBS * OBS_VAL
+
+
+@gen
+def conj_model(n):
+    mu = gt.normal(0.0, 3.0) @ "mu"
+    gt.normal(mu * jnp.ones(n), 1.0) @ "ys"
+    return mu
+
+
+OBS = choicemap(ys=jnp.full(N_OBS, OBS_VAL))
+
+
+def exact_log_ml():
+    cov = 9 * np.ones((N_OBS, N_OBS)) + np.eye(N_OBS)
+    return stats.multivariate_normal.logpdf(
+        np.full(N_OBS, OBS_VAL), np.zeros(N_OBS), cov)
+
+
+def test_importance_sampling_log_ml():
+    _, lnw, lml = importance_sampling(KEY, conj_model, (N_OBS,), OBS, 5000)
+    np.testing.assert_allclose(np.exp(lnw).sum(), 1.0, rtol=1e-8)
+    np.testing.assert_allclose(lml, exact_log_ml(), atol=0.15)
+
+
+def test_importance_resampling_respects_observations():
+    tr, lml = importance_resampling(KEY, conj_model, (N_OBS,), OBS, 100)
+    np.testing.assert_allclose(np.asarray(tr.get_choices()["ys"]),
+                               np.full(N_OBS, OBS_VAL))
+
+
+def test_custom_proposal_importance():
+    @gen
+    def prop():
+        gt.normal(POST_MU, np.sqrt(POST_VAR)) @ "mu"
+
+    _, _, lml = importance_sampling(KEY, conj_model, (N_OBS,), OBS, 500,
+                                    proposal=prop)
+    # proposal == posterior -> near-zero-variance estimator
+    np.testing.assert_allclose(lml, exact_log_ml(), atol=0.02)
+
+
+def _run_chain(step, init, n, seed=1):
+    keys = jax.random.split(jax.random.PRNGKey(seed), n)
+    final, out = jax.lax.scan(step, init, keys)
+    return np.asarray(out)
+
+
+def test_mh_selection_posterior():
+    tr, _ = conj_model.generate(KEY, (N_OBS,), OBS)
+
+    def step(tr, k):
+        tr, _ = mh_selection(k, tr, select("mu"))
+        return tr, tr["mu"]
+
+    mus = _run_chain(step, tr, 4000)[500:]
+    np.testing.assert_allclose(mus.mean(), POST_MU, atol=0.06)
+    np.testing.assert_allclose(mus.std(), np.sqrt(POST_VAR), atol=0.04)
+
+
+def test_mh_custom_proposal_posterior():
+    @gen
+    def drift_prop(tr):
+        gt.normal(tr["mu"], 0.25) @ "mu"
+
+    tr, _ = conj_model.generate(KEY, (N_OBS,), OBS)
+
+    def step(tr, k):
+        tr, _ = mh_proposal(k, tr, drift_prop)
+        return tr, tr["mu"]
+
+    mus = _run_chain(step, tr, 4000)[500:]
+    np.testing.assert_allclose(mus.mean(), POST_MU, atol=0.05)
+    np.testing.assert_allclose(mus.std(), np.sqrt(POST_VAR), atol=0.04)
+
+
+def test_hmc_posterior():
+    tr, _ = conj_model.generate(KEY, (N_OBS,), OBS)
+
+    def step(tr, k):
+        tr, acc = hmc(k, tr, select("mu"), L=5, eps=0.05)
+        return tr, (tr["mu"], acc)
+
+    keys = jax.random.split(jax.random.PRNGKey(2), 1500)
+    _, (mus, accs) = jax.lax.scan(step, tr, keys)
+    mus = np.asarray(mus)[300:]
+    assert np.mean(np.asarray(accs)) > 0.7
+    np.testing.assert_allclose(mus.mean(), POST_MU, atol=0.06)
+    np.testing.assert_allclose(mus.std(), np.sqrt(POST_VAR), atol=0.05)
+
+
+def test_hmc_vmapped_chains():
+    n_chains = 16
+    keys = jax.random.split(KEY, n_chains)
+    traces, _ = jax.vmap(
+        lambda k: conj_model.generate(k, (N_OBS,), OBS))(keys)
+
+    def one_step(tr, k):
+        new_tr, acc = hmc(k, tr, select("mu"), L=5, eps=0.05)
+        return new_tr, acc
+
+    step_keys = jax.random.split(jax.random.PRNGKey(3), n_chains)
+    new_traces, accs = jax.vmap(one_step)(traces, step_keys)
+    assert accs.shape == (n_chains,)
+    assert new_traces.get_score().shape == (n_chains,)
+
+
+def test_mala_posterior():
+    tr, _ = conj_model.generate(KEY, (N_OBS,), OBS)
+
+    def step(tr, k):
+        tr, _ = mala(k, tr, select("mu"), 0.005)
+        return tr, tr["mu"]
+
+    mus = _run_chain(step, tr, 3000)[500:]
+    np.testing.assert_allclose(mus.mean(), POST_MU, atol=0.06)
+
+
+def test_map_optimize_finds_mode():
+    tr, _ = conj_model.generate(KEY, (N_OBS,), OBS)
+    for _ in range(40):
+        tr = map_optimize(tr, select("mu"))
+    np.testing.assert_allclose(float(tr["mu"]), POST_MU, atol=1e-4)
+
+
+def test_elliptical_slice_posterior():
+    @gen
+    def ess_model():
+        f = gt.mvnormal(jnp.zeros(3), jnp.eye(3)) @ "f"
+        gt.normal(f, 0.5) @ "y"
+        return f
+
+    obs = choicemap(y=jnp.array([1.0, 1.0, 1.0]))
+    tr, _ = ess_model.generate(KEY, (), obs)
+
+    def step(tr, k):
+        tr = elliptical_slice(k, tr, "f", jnp.zeros(3), jnp.eye(3))
+        return tr, tr["f"]
+
+    fs = _run_chain(step, tr, 4000)[500:]
+    # exact posterior mean: (1/0.25)/(1 + 1/0.25) = 0.8 per coordinate
+    np.testing.assert_allclose(fs.mean(axis=0), 0.8, atol=0.05)
