@@ -28,6 +28,7 @@ from .combinators import (Map, MapCombinator, Unfold, UnfoldCombinator,
                           choice_at, call_at, VectorChoiceMap,
                           vector_choicemap)
 from . import inference
+from . import learning
 from .utils import logsumexp
 
 __version__ = "0.1.0"
@@ -45,4 +46,5 @@ __all__ = [
     "DynamicTrace", "logsumexp",
     "Map", "MapCombinator", "Unfold", "UnfoldCombinator", "choice_at",
     "call_at", "VectorChoiceMap", "vector_choicemap", "inference",
+    "learning",
 ] + _dists_all

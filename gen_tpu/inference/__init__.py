@@ -5,10 +5,17 @@ from .hmc import hmc
 from .mala import mala
 from .map_optimize import map_optimize
 from .elliptical_slice import elliptical_slice
+from .particle_filter import (ParticleFilterState, initialize_particle_filter,
+                              particle_filter_step, maybe_resample,
+                              log_ml_estimate, effective_sample_size,
+                              sample_unweighted_traces)
 
 __all__ = [
     "select_trace", "mh_accept",
     "importance_sampling", "importance_resampling",
     "mh", "metropolis_hastings", "mh_selection", "mh_proposal",
     "hmc", "mala", "map_optimize", "elliptical_slice",
+    "ParticleFilterState", "initialize_particle_filter",
+    "particle_filter_step", "maybe_resample", "log_ml_estimate",
+    "effective_sample_size", "sample_unweighted_traces",
 ]
