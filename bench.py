@@ -1,0 +1,140 @@
+"""Headline benchmark: effective samples/sec/chip for many-chain HMC on the
+Bayesian regression model (the north-star primary metric, BASELINE.md).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline: the reference publishes no numbers (BASELINE.md), so the
+baseline is this repo's own recorded first measurement on the same hardware
+class, stored in bench_reference.json. On first run the file is created and
+vs_baseline = 1.0; later runs report the ratio (higher is better).
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def autocorr_ess(x):
+    """ESS per chain via Geyer's initial positive sequence; x: (steps, chains)."""
+    x = np.asarray(x, dtype=np.float64)
+    n, m = x.shape
+    x = x - x.mean(axis=0, keepdims=True)
+    # FFT autocovariance per chain
+    f = np.fft.rfft(np.concatenate([x, np.zeros_like(x)], axis=0), axis=0)
+    acov = np.fft.irfft(f * np.conj(f), axis=0)[:n].real / n
+    rho = acov / np.maximum(acov[0:1], 1e-300)
+    ess_total = 0.0
+    for c in range(m):
+        if not np.isfinite(rho[:, c]).all() or acov[0, c] <= 0:
+            ess_total += 1.0  # degenerate (stuck) chain
+            continue
+        # sum consecutive pairs until a pair sum goes negative
+        s = 0.0
+        t = 1
+        while t + 1 < n:
+            pair = rho[t, c] + rho[t + 1, c]
+            if pair < 0:
+                break
+            s += pair
+            t += 2
+        ess_total += n / (1.0 + 2.0 * s)
+    return float(ess_total)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import gen_tpu as gt
+    from gen_tpu import gen, choicemap, select
+    from gen_tpu.inference import hmc
+
+    n_points = 50
+    xs = jnp.linspace(-3.0, 3.0, n_points)
+    rng = np.random.default_rng(0)
+    true_ys = 0.7 * xs - 0.4 + 0.5 * jnp.asarray(rng.standard_normal(n_points))
+
+    @gen
+    def regression_model(x):
+        slope = gt.normal(0.0, 2.0) @ "slope"
+        intercept = gt.normal(0.0, 2.0) @ "intercept"
+        log_noise = gt.normal(0.0, 1.0) @ "log_noise"
+        gt.normal(slope * x + intercept, jnp.exp(log_noise)) @ "ys"
+        return slope
+
+    obs = choicemap(ys=true_ys)
+    sel = select("slope", "intercept", "log_noise")
+
+    n_chains = 256
+    warmup_steps = 100
+    sample_steps = 200
+    L, eps = 10, 0.02
+
+    key = jax.random.PRNGKey(0)
+    k_init, k_run = jax.random.split(key)
+    init_keys = jax.random.split(k_init, n_chains)
+
+    @jax.jit
+    def init(keys):
+        traces, _ = jax.vmap(
+            lambda k: regression_model.generate(k, (xs,), obs))(keys)
+        return traces
+
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=2)
+    def run(traces, key, n_steps):
+        def body(trs, step_key):
+            ks = jax.vmap(lambda i: jax.random.fold_in(step_key, i))(
+                jnp.arange(n_chains))
+
+            def one(tr, k):
+                new_tr, acc = hmc(k, tr, sel, L=L, eps=eps)
+                return new_tr, (new_tr["slope"], acc)
+
+            trs, out = jax.vmap(one)(trs, ks)
+            return trs, out
+
+        return jax.lax.scan(body, traces, jax.random.split(key, n_steps))
+
+    traces = init(init_keys)
+    # warmup (also compiles)
+    traces, _ = run(traces, jax.random.fold_in(k_run, 0), warmup_steps)
+    jax.block_until_ready(traces)
+
+    t0 = time.time()
+    traces, (slopes, accs) = run(traces, jax.random.fold_in(k_run, 1),
+                                 sample_steps)
+    jax.block_until_ready(slopes)
+    elapsed = time.time() - t0
+
+    slopes = np.asarray(slopes)          # (steps, chains)
+    accept_rate = float(np.mean(np.asarray(accs)))
+    ess = autocorr_ess(slopes)
+    ess_per_sec = ess / elapsed
+
+    ref_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "bench_reference.json")
+    if os.path.exists(ref_path):
+        with open(ref_path) as f:
+            baseline = json.load(f)["value"]
+    else:
+        baseline = ess_per_sec
+        with open(ref_path, "w") as f:
+            json.dump({"metric": "hmc_ess_per_sec_per_chip",
+                       "value": float(ess_per_sec),
+                       "note": "first-light measurement; later runs report "
+                               "the ratio to this"}, f)
+
+    print(json.dumps({
+        "metric": "hmc_ess_per_sec_per_chip",
+        "value": round(ess_per_sec, 2),
+        "unit": "effective samples/sec/chip (regression model, "
+                f"{n_chains} chains, L={L}, accept={accept_rate:.2f})",
+        "vs_baseline": round(ess_per_sec / baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

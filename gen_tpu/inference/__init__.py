@@ -5,6 +5,17 @@ from .hmc import hmc
 from .mala import mala
 from .map_optimize import map_optimize
 from .elliptical_slice import elliptical_slice
+from .nuts import (nuts, nuts_flat, nuts_warmup_and_sample, da_init,
+                   da_update, find_reasonable_step_size, NUTSStats)
+from .target import FlatTarget
+from .trace_translators import (transform, TraceTransform, TransformContext,
+                                DeterministicTraceTranslator,
+                                GeneralTraceTranslator,
+                                SimpleExtendingTraceTranslator,
+                                SymmetricTraceTranslator, mh_involutive,
+                                involutive_mcmc)
+from .kernel_dsl import (primitive_kernel, reversal, seq, repeat, mixture,
+                         cond_kernel, check_observations, checked)
 from .particle_filter import (ParticleFilterState, initialize_particle_filter,
                               particle_filter_step, maybe_resample,
                               log_ml_estimate, effective_sample_size,
@@ -18,4 +29,12 @@ __all__ = [
     "ParticleFilterState", "initialize_particle_filter",
     "particle_filter_step", "maybe_resample", "log_ml_estimate",
     "effective_sample_size", "sample_unweighted_traces",
+    "nuts", "nuts_flat", "nuts_warmup_and_sample", "da_init", "da_update",
+    "find_reasonable_step_size", "NUTSStats", "FlatTarget",
+    "transform", "TraceTransform", "TransformContext",
+    "DeterministicTraceTranslator", "GeneralTraceTranslator",
+    "SimpleExtendingTraceTranslator", "SymmetricTraceTranslator",
+    "mh_involutive", "involutive_mcmc",
+    "primitive_kernel", "reversal", "seq", "repeat", "mixture",
+    "cond_kernel", "check_observations", "checked",
 ]

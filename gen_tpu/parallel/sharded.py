@@ -1,0 +1,159 @@
+"""Sharded inference: chains/particles laid out over a device mesh.
+
+Design (SURVEY.md §5.8, §7.1): the per-chain/per-particle computation is the
+same vmapped program as single-chip; sharding annotations on the batch axis
+make XLA partition it across devices, and the cross-particle reductions
+(logsumexp weight normalization, ESS, log-ML, resampling CDF, VI gradient
+means) lower to ``all-reduce``/``all-gather`` collectives over ICI. No
+explicit psum calls are needed in the common path — the sharding propagation
+inserts them — which keeps these functions identical in semantics to their
+single-chip counterparts in gen_tpu.inference."""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..choice_map import ChoiceMap
+from ..gfi import GenerativeFunction
+from ..inference.particle_filter import (ParticleFilterState,
+                                         _resample_parents,
+                                         effective_sample_size)
+from ..utils import logsumexp
+from .mesh import shard_keys
+
+
+def _batch_sharding(mesh: Mesh, axis: str):
+    return NamedSharding(mesh, P(axis))
+
+
+def sharded_importance_sampling(key, model: GenerativeFunction,
+                                model_args: Tuple, observations: ChoiceMap,
+                                num_samples: int, mesh: Mesh,
+                                axis: str = "chains"):
+    """Importance sampling with the particle axis sharded over the mesh.
+    Returns (traces, log_normalized_weights, log_ml_estimate); the logsumexp
+    reduction is a cross-device all-reduce."""
+    keys = shard_keys(key, num_samples, mesh, axis)
+
+    @jax.jit
+    def run(keys):
+        traces, log_weights = jax.vmap(
+            lambda k: model.generate(k, model_args, observations))(keys)
+        log_total = logsumexp(log_weights)
+        return (traces, log_weights - log_total,
+                log_total - jnp.log(num_samples))
+
+    return run(keys)
+
+
+def sharded_mcmc_step(step_fn, traces, keys):
+    """Apply a (trace, key) -> (trace, aux) kernel step to sharded chains.
+    Chains are independent — no collectives; XLA runs each shard locally."""
+    return jax.jit(jax.vmap(step_fn))(traces, keys)
+
+
+def sharded_hmc_chains(key, model: GenerativeFunction, model_args: Tuple,
+                       observations: ChoiceMap, selection, num_chains: int,
+                       num_steps: int, mesh: Mesh, axis: str = "chains",
+                       L: int = 10, eps: float = 0.1):
+    """Run many HMC chains sharded over the mesh; returns the final batched
+    traces and the per-step selected-choice history."""
+    from ..inference.hmc import hmc
+    k_init, k_steps = jax.random.split(key)
+    init_keys = shard_keys(k_init, num_chains, mesh, axis)
+
+    @jax.jit
+    def run(init_keys, k_steps):
+        traces, _ = jax.vmap(
+            lambda k: model.generate(k, model_args, observations))(init_keys)
+
+        def body(trs, step_key):
+            ks = jax.vmap(
+                lambda i: jax.random.fold_in(step_key, i))(
+                    jnp.arange(num_chains))
+
+            def one(tr, k):
+                new_tr, acc = hmc(k, tr, selection, L=L, eps=eps)
+                return new_tr, acc
+
+            trs, accs = jax.vmap(one)(trs, ks)
+            return trs, (trs.get_score(), accs)
+
+        step_keys = jax.random.split(k_steps, num_steps)
+        final, (scores, accs) = jax.lax.scan(body, traces, step_keys)
+        return final, scores, accs
+
+    return run(init_keys, k_steps)
+
+
+def sharded_particle_filter_init(key, model: GenerativeFunction,
+                                 model_args: Tuple, observations: ChoiceMap,
+                                 num_particles: int, mesh: Mesh,
+                                 axis: str = "particles"):
+    """PF initialization with particles sharded over the mesh."""
+    keys = shard_keys(key, num_particles, mesh, axis)
+
+    @jax.jit
+    def run(keys):
+        traces, log_weights = jax.vmap(
+            lambda k: model.generate(k, model_args, observations))(keys)
+        return ParticleFilterState(traces, log_weights, jnp.asarray(0.0))
+
+    return run(keys)
+
+
+def sharded_maybe_resample(key, state: ParticleFilterState,
+                           ess_threshold: Optional[float] = None,
+                           method: str = "systematic"):
+    """Collective resampling: the weight CDF is a cross-device reduction and
+    the parent gather is an all-gather over the particle axis. Semantics
+    identical to gen_tpu.inference.maybe_resample."""
+    from ..inference.particle_filter import maybe_resample
+    return maybe_resample(key, state, ess_threshold, method)
+
+
+def sharded_vi_step(key, model, model_args, observations, var_model,
+                    var_model_args, num_samples: int, mesh: Mesh,
+                    axis: str = "chains"):
+    """One BBVI gradient estimate with the sample axis sharded; the gradient
+    mean is an all-reduce. Returns (elbo, bundle_grads)."""
+    from ..dynamic.params import override_params
+    from ..learning.variational import (_bundle, _overrides,
+                                        collect_params_targets)
+    from ..utils import combine, partition_inexact
+
+    fns = collect_params_targets(var_model)
+    keys = shard_keys(key, num_samples, mesh, axis)
+    bdyn, bstatic = partition_inexact(_bundle(fns))
+
+    @jax.jit
+    def step(keys, bdyn):
+        b0 = combine(bdyn, bstatic)
+        with override_params(_overrides(fns, b0)):
+            var_traces = jax.vmap(
+                lambda k: var_model.simulate(k, var_model_args))(keys)
+
+        def model_weight(tr):
+            w, _ = model.assess(model_args,
+                                observations.merge(tr.get_choices()))
+            return w
+
+        log_weights = (jax.vmap(model_weight)(var_traces)
+                       - var_traces.get_score())
+        elbo = jnp.mean(log_weights)
+
+        def obj(bdyn_):
+            b = combine(bdyn_, bstatic)
+            with override_params(_overrides(fns, b)):
+                def q_logp(tr, lw):
+                    w, _ = var_model.assess(var_model_args, tr.get_choices())
+                    return jax.lax.stop_gradient(lw) * w
+                return jnp.mean(jax.vmap(q_logp)(var_traces, log_weights))
+
+        return elbo, jax.grad(obj)(bdyn)
+
+    return step(keys, bdyn)

@@ -1,0 +1,236 @@
+"""Trace transforms / involutive MCMC (reference: test/inference/mh.jl:13-48
+— both a transform-DSL involution and an equivalent hand-written one, with
+round-trip checks), kernel DSL, and NUTS posterior recovery."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy import stats
+
+import gen_tpu as gt
+from gen_tpu import choicemap, gen, select
+from gen_tpu.inference import (checked, mh_involutive, mh_selection, nuts,
+                               nuts_warmup_and_sample, reversal, seq,
+                               transform, mixture, repeat)
+
+KEY = jax.random.PRNGKey(0)
+
+
+# -- transform DSL: log|det J| ---------------------------------------------
+
+def test_transform_jacobian_scalar():
+    @transform
+    def double_it(ctx):
+        x = ctx.model_in["x"]
+        ctx.model_out["x"] = 2.0 * x
+
+    _, _, logJ = double_it.run(choicemap(x=3.0), gt.ChoiceMap())
+    np.testing.assert_allclose(logJ, np.log(2.0), rtol=1e-10)
+
+
+def test_transform_jacobian_coupled():
+    # (x, y) -> (x + y, x - y): |det J| = 2
+    @transform
+    def rot(ctx):
+        x = ctx.model_in["x"]
+        y = ctx.model_in["y"]
+        ctx.model_out["x"] = x + y
+        ctx.model_out["y"] = x - y
+
+    _, _, logJ = rot.run(choicemap(x=1.0, y=2.0), gt.ChoiceMap())
+    np.testing.assert_allclose(logJ, np.log(2.0), rtol=1e-10)
+
+
+def test_transform_non_square_errors():
+    @transform
+    def bad(ctx):
+        x = ctx.model_in["x"]
+        ctx.model_out["a"] = x
+        ctx.model_out["b"] = 2 * x
+
+    with pytest.raises(ValueError):
+        bad.run(choicemap(x=1.0), gt.ChoiceMap())
+
+
+def test_transform_copy_and_discrete():
+    @transform
+    def f(ctx):
+        b = ctx.model_in.discrete["b"]
+        ctx.model_out.discrete["b"] = ~b
+        ctx.copy("model_in", "keep", "model_out", "keep")
+        x = ctx.model_in["x"]
+        ctx.model_out["x"] = -x
+
+    mo, ao, logJ = f.run(choicemap(b=jnp.asarray(True), keep=5.0, x=2.0),
+                         gt.ChoiceMap())
+    assert bool(mo["b"]) is False
+    np.testing.assert_allclose(mo["keep"], 5.0)
+    np.testing.assert_allclose(mo["x"], -2.0)
+    np.testing.assert_allclose(logJ, 0.0, atol=1e-12)
+
+
+# -- involutive MCMC -------------------------------------------------------
+#
+# bimodal model: z ~ bernoulli(0.5); if z: x ~ N(2,0.5) else x ~ N(-2,0.5)
+# involution: flip z and negate x — exactly maps one mode onto the other.
+
+@gen
+def bimodal():
+    z = gt.bernoulli(0.5) @ "z"
+    if z:
+        gt.normal(2.0, 0.5) @ "x"
+    else:
+        gt.normal(-2.0, 0.5) @ "x"
+
+
+@gen
+def null_proposal(tr):
+    gt.bernoulli(0.5) @ "dummy"
+
+
+@transform
+def flip_involution(ctx):
+    z = ctx.model_in.discrete["z"]
+    x = ctx.model_in["x"]
+    ctx.model_out.discrete["z"] = jnp.logical_not(z)
+    ctx.model_out["x"] = -x
+    ctx.copy("aux_in", "dummy", "aux_out", "dummy")
+
+
+def test_involutive_mh_mode_hopping():
+    tr, _ = bimodal.generate(KEY, (), choicemap(z=True, x=2.0))
+    zs = []
+    key = KEY
+    for i in range(200):
+        key, sub = jax.random.split(key)
+        tr, acc = mh_involutive(sub, tr, null_proposal, (), flip_involution,
+                                check=(i < 3))
+        zs.append(bool(tr["z"]))
+    # symmetric modes: the flip should accept often and visit both modes
+    frac = np.mean(zs)
+    assert 0.25 < frac < 0.75
+    # x sign always matches mode
+    assert bool(tr["z"]) == (float(tr["x"]) > 0)
+
+
+def test_involutive_mh_plain_function():
+    def invol(trace, fwd_choices, fwd_ret, args):
+        z = bool(trace["z"])
+        x = float(trace["x"])
+        cons = choicemap(z=not z, x=-x)
+        new_trace, w, _, _ = trace.update(None, cons)
+        return new_trace, fwd_choices, w
+
+    tr, _ = bimodal.generate(KEY, (), choicemap(z=True, x=2.0))
+    flips = 0
+    key = KEY
+    for i in range(100):
+        key, sub = jax.random.split(key)
+        z_before = bool(tr["z"])
+        tr, acc = mh_involutive(sub, tr, null_proposal, (), invol)
+        flips += int(bool(tr["z"]) != z_before)
+    assert flips > 20
+
+
+def test_involution_scaling_jacobian_balance():
+    """Non-volume-preserving involution: x -> c/x on x ~ Gamma; acceptance
+    must include |d(c/x)/dx| = c/x^2, which the transform provides."""
+    @gen
+    def gmodel():
+        gt.gamma(2.0, 1.0) @ "x"
+
+    c = 1.0
+
+    @transform
+    def inv(ctx):
+        x = ctx.model_in["x"]
+        ctx.model_out["x"] = c / x
+        ctx.copy("aux_in", "dummy", "aux_out", "dummy")
+
+    # round-trip check on a few steps proves involution validity
+    tr, _ = gmodel.generate(KEY, (), choicemap(x=2.0))
+    key = KEY
+    xs = []
+    for i in range(2000):
+        key, sub = jax.random.split(key)
+        tr, _ = mh_involutive(sub, tr, null_proposal, (), inv, check=(i < 2))
+        key, sub2 = jax.random.split(key)
+        tr, _ = mh_selection(sub2, tr, select("x"))
+        xs.append(float(tr["x"]))
+    # chain must still target Gamma(2,1): mean 2, var 2
+    xs = np.asarray(xs[200:])
+    np.testing.assert_allclose(xs.mean(), 2.0, atol=0.15)
+    np.testing.assert_allclose(xs.var(), 2.0, atol=0.5)
+
+
+# -- kernel DSL ------------------------------------------------------------
+
+def test_kernel_composition():
+    @gen
+    def m():
+        a = gt.normal(0.0, 1.0) @ "a"
+        gt.normal(a, 0.5) @ "y"
+
+    obs = choicemap(y=1.0)
+    tr, _ = m.generate(KEY, (), obs)
+
+    def k_a(key, trace):
+        return mh_selection(key, trace, select("a"))
+
+    composite = seq(repeat(3, k_a), mixture([0.5, 0.5], [k_a, k_a]))
+    new_tr, _ = checked(composite, obs)(KEY, tr)
+    assert float(new_tr["y"]) == 1.0
+    # reversal exists and runs
+    rev = reversal(composite)
+    new_tr2, _ = rev(jax.random.PRNGKey(1), new_tr)
+    # posterior check: a | y=1.0 ~ N(0.8, 0.2)
+    def step(trace, k):
+        trace, _ = composite(k, trace)
+        return trace, trace["a"]
+    cur = tr
+    vals = []
+    key = KEY
+    for i in range(800):
+        key, sub = jax.random.split(key)
+        cur, a = step(cur, sub)
+        vals.append(float(a))
+    vals = np.asarray(vals[100:])
+    np.testing.assert_allclose(vals.mean(), 0.8, atol=0.06)
+
+
+# -- NUTS ------------------------------------------------------------------
+
+def test_nuts_posterior():
+    @gen
+    def model(n):
+        mu = gt.normal(0.0, 3.0) @ "mu"
+        gt.normal(mu * jnp.ones(n), 1.0) @ "ys"
+
+    obs = choicemap(ys=jnp.full(20, 2.0))
+    tr, _ = model.generate(KEY, (20,), obs)
+    samples, final_tr, info = nuts_warmup_and_sample(
+        jax.random.PRNGKey(1), tr, select("mu"),
+        num_warmup=200, num_samples=800)
+    mus = np.asarray(samples)[:, 0]
+    np.testing.assert_allclose(mus.mean(), 1.9890, atol=0.03)
+    np.testing.assert_allclose(mus.std(), 0.2230, atol=0.03)
+    assert float(info["mean_accept"]) > 0.6
+
+
+def test_nuts_vmapped_chains():
+    @gen
+    def model():
+        gt.normal(0.0, 1.0) @ "x"
+        gt.normal(0.0, 1.0) @ "y"
+
+    keys = jax.random.split(KEY, 8)
+    traces = jax.vmap(lambda k: model.simulate(k, ()))(keys)
+    step_keys = jax.random.split(jax.random.PRNGKey(1), 8)
+
+    def one(tr, k):
+        new_tr, stats = nuts(k, tr, gt.ALL, step_size=0.5)
+        return new_tr.get_score(), stats.depth
+
+    scores, depths = jax.jit(jax.vmap(one))(traces, step_keys)
+    assert scores.shape == (8,)
