@@ -17,30 +17,26 @@ import numpy as np
 
 
 def autocorr_ess(x):
-    """ESS per chain via Geyer's initial positive sequence; x: (steps, chains)."""
+    """ESS per chain via Geyer's initial positive sequence, vectorized over
+    chains; x: (steps, chains)."""
     x = np.asarray(x, dtype=np.float64)
     n, m = x.shape
     x = x - x.mean(axis=0, keepdims=True)
     # FFT autocovariance per chain
     f = np.fft.rfft(np.concatenate([x, np.zeros_like(x)], axis=0), axis=0)
     acov = np.fft.irfft(f * np.conj(f), axis=0)[:n].real / n
-    rho = acov / np.maximum(acov[0:1], 1e-300)
-    ess_total = 0.0
-    for c in range(m):
-        if not np.isfinite(rho[:, c]).all() or acov[0, c] <= 0:
-            ess_total += 1.0  # degenerate (stuck) chain
-            continue
-        # sum consecutive pairs until a pair sum goes negative
-        s = 0.0
-        t = 1
-        while t + 1 < n:
-            pair = rho[t, c] + rho[t + 1, c]
-            if pair < 0:
-                break
-            s += pair
-            t += 2
-        ess_total += n / (1.0 + 2.0 * s)
-    return float(ess_total)
+    var0 = acov[0]
+    ok = np.isfinite(var0) & (var0 > 0)
+    rho = acov / np.where(ok, var0, 1.0)[None, :]
+    # consecutive-pair sums rho[2t+1] + rho[2t+2]
+    n_pairs = (n - 1) // 2
+    pairs = rho[1:1 + 2 * n_pairs].reshape(n_pairs, 2, m).sum(axis=1)
+    # truncate each chain at its first negative pair (Geyer initial positive)
+    stopped = np.cumsum(pairs < 0, axis=0) > 0
+    s = np.where(stopped, 0.0, pairs).sum(axis=0)
+    ess = n / (1.0 + 2.0 * s)
+    ess = np.where(ok, ess, 1.0)  # degenerate (stuck) chains
+    return float(ess.sum())
 
 
 def main():
@@ -66,9 +62,9 @@ def main():
     obs = choicemap(ys=true_ys)
     sel = select("slope", "intercept", "log_noise")
 
-    n_chains = 256
-    warmup_steps = 100
-    sample_steps = 200
+    n_chains = 32768
+    warmup_steps = 50
+    sample_steps = 100
     L, eps = 10, 0.02
 
     key = jax.random.PRNGKey(0)

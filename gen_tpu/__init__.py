@@ -26,7 +26,8 @@ from .dynamic import (GenFn, gen, param, trace_at, init_param, get_param,
                       set_param_grad, DynamicTrace)
 from .combinators import (Map, MapCombinator, Unfold, UnfoldCombinator,
                           choice_at, call_at, VectorChoiceMap,
-                          vector_choicemap)
+                          vector_choicemap, Switch, SwitchCombinator,
+                          CustomDetermGF, CustomUpdateGF, CustomGradientGF)
 from . import inference
 from . import learning
 from .utils import logsumexp
@@ -46,5 +47,7 @@ __all__ = [
     "DynamicTrace", "logsumexp",
     "Map", "MapCombinator", "Unfold", "UnfoldCombinator", "choice_at",
     "call_at", "VectorChoiceMap", "vector_choicemap", "inference",
+    "Switch", "SwitchCombinator", "CustomDetermGF", "CustomUpdateGF",
+    "CustomGradientGF",
     "learning",
 ] + _dists_all

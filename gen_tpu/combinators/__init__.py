@@ -3,6 +3,9 @@ from .vector import (VectorChoiceMap, vector_choicemap, try_densify,
 from .map_combinator import Map, MapCombinator, MapTrace
 from .unfold import Unfold, UnfoldCombinator, UnfoldTrace
 from .at import choice_at, call_at, ChoiceAtCombinator, CallAtCombinator
+from .switch import Switch, SwitchCombinator, SwitchTrace
+from .custom_determ import (CustomDetermGF, CustomUpdateGF, CustomGradientGF,
+                            CustomDetermGFTrace)
 
 __all__ = [
     "VectorChoiceMap", "vector_choicemap", "try_densify", "tree_stack",
@@ -10,4 +13,7 @@ __all__ = [
     "Map", "MapCombinator", "MapTrace",
     "Unfold", "UnfoldCombinator", "UnfoldTrace",
     "choice_at", "call_at", "ChoiceAtCombinator", "CallAtCombinator",
+    "Switch", "SwitchCombinator", "SwitchTrace",
+    "CustomDetermGF", "CustomUpdateGF", "CustomGradientGF",
+    "CustomDetermGFTrace",
 ]

@@ -5,6 +5,9 @@ from .continuous import (
     piecewise_uniform,
 )
 from .mixture import HomogeneousMixture, HeterogeneousMixture
+from .dist_dsl import (TransformedDistribution, RelabeledDistribution,
+                       ArgMappedDistribution, Bijection, affine_bijection,
+                       exp_of, log_of, dist)
 from .discrete import (
     bernoulli, categorical, labeled_categorical, uniform_discrete, poisson,
     binom, geometric, neg_binom,
@@ -16,6 +19,9 @@ __all__ = [
     "uniform_continuous", "beta", "beta_uniform", "gamma", "inv_gamma",
     "exponential", "cauchy", "laplace", "piecewise_uniform",
     "HomogeneousMixture", "HeterogeneousMixture",
+    "TransformedDistribution", "RelabeledDistribution",
+    "ArgMappedDistribution", "Bijection", "affine_bijection", "exp_of",
+    "log_of", "dist",
     "bernoulli", "categorical", "labeled_categorical", "uniform_discrete",
     "poisson", "binom", "geometric", "neg_binom",
 ]

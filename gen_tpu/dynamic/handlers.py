@@ -127,6 +127,11 @@ class Handler:
         self.key, sub = jax.random.split(self.key)
         return sub
 
+    def _maybe_key(self):
+        """Key for a nested GFI call: None propagates (the callee raises
+        only if it actually needs to sample)."""
+        return None if self.key is None else self._next_key()
+
     def get_param(self, name: str):
         params = self.params_stack[-1]
         if name not in params:
@@ -216,7 +221,7 @@ class GenerateHandler(Handler):
             raise ValueError(
                 f"constraints hold a value at call address {path!r}")
         sub_constraints = self.constraints.get_submap(path)
-        sub, w = fn.generate(self._next_key(), args, sub_constraints)
+        sub, w = fn.generate(self._maybe_key(), args, sub_constraints)
         noise = sub.project(NONE)
         self.records[path] = CallRecord(sub, noise)
         self.score = self.score + sub.get_score()
@@ -298,12 +303,12 @@ class UpdateHandler(Handler):
         if self.prev.has_call(path):
             prev_sub = self.prev.get_call(path).subtrace
             sub, w, _, sub_discard = fn.update(
-                self._next_key(), prev_sub, args, all_unknown_change(args),
+                self._maybe_key(), prev_sub, args, all_unknown_change(args),
                 sub_constraints)
             if not sub_discard.is_empty():
                 self.discard.set_submap(path, sub_discard)
         else:
-            sub, w = fn.generate(self._next_key(), args, sub_constraints)
+            sub, w = fn.generate(self._maybe_key(), args, sub_constraints)
         noise = sub.project(NONE)
         self.records[path] = CallRecord(sub, noise)
         self.score = self.score + sub.get_score()
@@ -346,10 +351,10 @@ class RegenerateHandler(Handler):
         if self.prev.has_call(path):
             prev_sub = self.prev.get_call(path).subtrace
             sub, w, _ = fn.regenerate(
-                self._next_key(), prev_sub, args, all_unknown_change(args),
+                self._maybe_key(), prev_sub, args, all_unknown_change(args),
                 subsel)
         else:
-            sub, w = fn.generate(self._next_key(), args, ChoiceMap())
+            sub, w = fn.generate(self._maybe_key(), args, ChoiceMap())
         noise = sub.project(NONE)
         self.records[path] = CallRecord(sub, noise)
         self.score = self.score + sub.get_score()

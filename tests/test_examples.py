@@ -1,0 +1,52 @@
+"""Example workloads as integration smoke tests (reference: the Docker
+image runs examples/run_examples.jl, docker/ubuntu1604:28-33). Full-size
+runs with posterior assertions live in examples/*.py; these use reduced
+iteration counts and only assert execution + sanity."""
+
+import os
+import sys
+
+import jax
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "examples"))
+
+
+def test_regression_example():
+    import regression
+    s_mean, i_mean = regression.main(n_sweeps=60)
+    assert np.isfinite(s_mean)
+
+
+def test_coal_example_smoke():
+    import coal
+    import gen_tpu as gt
+    years, counts = coal.make_dataset()
+    obs = gt.choicemap(counts=counts)
+    key = jax.random.PRNGKey(0)
+    trace, _ = coal.coal_model.generate(key, (years,), obs)
+    for i in range(30):
+        key, sub = jax.random.split(key)
+        trace = coal.sweep(sub, trace)
+    assert 0 <= int(trace["k"]) <= coal.K_MAX
+
+
+def test_gp_structure_example_smoke():
+    import gp_structure
+    import gen_tpu as gt
+    xs, ys = gp_structure.make_dataset(n=15)
+    obs = gt.choicemap(ys=ys)
+    key = jax.random.PRNGKey(0)
+    trace, _ = gp_structure.gp_model.generate(key, (xs,), obs)
+    for i in range(20):
+        key, sub = jax.random.split(key)
+        trace = gp_structure.sweep(sub, trace)
+    assert np.isfinite(float(trace.get_score()))
+
+
+def test_pmmh_example_smoke():
+    import pmmh
+    ys = pmmh.simulate_data(6)
+    lml = pmmh.pf_log_ml(jax.random.PRNGKey(0), ys, 0.8, 0.5, 0.4, 50)
+    assert np.isfinite(float(lml))

@@ -1,0 +1,209 @@
+"""Switch combinator, derived distributions (@dist analogue), and
+CustomDetermGF (reference: test/modeling_library/switch.jl 340 LoC,
+dist_dsl.jl, custom_determ)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy import stats
+
+import gen_tpu as gt
+from gen_tpu import Switch, choicemap, gen, select
+from gen_tpu.dists import (RelabeledDistribution, exp_of, affine_bijection,
+                           TransformedDistribution)
+from gen_tpu.combinators import CustomGradientGF, CustomUpdateGF
+
+KEY = jax.random.PRNGKey(0)
+
+
+@gen
+def branch_a(mu):
+    x = gt.normal(mu, 1.0) @ "x"
+    return x
+
+
+@gen
+def branch_b(mu):
+    x = gt.normal(mu, 2.0) @ "x"
+    y = gt.normal(x, 0.5) @ "y"
+    return y
+
+
+sw = Switch(branch_a, branch_b)
+
+
+def N(v, mu, std):
+    return stats.norm.logpdf(float(v), mu, std)
+
+
+class TestSwitch:
+    def test_simulate_concrete(self):
+        tr = sw.simulate(KEY, (0, 1.0))
+        np.testing.assert_allclose(tr.get_score(), N(tr["x"], 1.0, 1.0),
+                                   rtol=1e-12)
+        tr1 = sw.simulate(KEY, (1, 1.0))
+        expected = N(tr1["x"], 1.0, 2.0) + N(tr1["y"], float(tr1["x"]), 0.5)
+        np.testing.assert_allclose(tr1.get_score(), expected, rtol=1e-12)
+
+    def test_generate_and_update_same_index(self):
+        tr, w = sw.generate(KEY, (0, 1.0), choicemap(x=0.5))
+        np.testing.assert_allclose(w, N(0.5, 1.0, 1.0), rtol=1e-12)
+        new_tr, uw, _, disc = sw.update(
+            KEY, tr, (0, 2.0), (gt.NoChange, gt.UnknownChange), choicemap())
+        np.testing.assert_allclose(uw, N(0.5, 2.0, 1.0) - N(0.5, 1.0, 1.0),
+                                   rtol=1e-12)
+
+    def test_update_index_change_inherits_shared(self):
+        tr, _ = sw.generate(KEY, (0, 1.0), choicemap(x=0.5))
+        new_tr, w, _, disc = sw.update(
+            jax.random.PRNGKey(1), tr, (1, 1.0),
+            (gt.UnknownChange, gt.NoChange), choicemap())
+        # x inherited into branch b; y freshly sampled
+        np.testing.assert_allclose(new_tr["x"], 0.5)
+        y = float(new_tr["y"])
+        # weight = generate_weight - prev_score (reference
+        # switch/update.jl:95-98); generate weight counts inherited x only
+        expected = N(0.5, 1.0, 2.0) - N(0.5, 1.0, 1.0)
+        np.testing.assert_allclose(w, expected, rtol=1e-12)
+        # y existed in neither -> not discarded; x retained -> not discarded
+        assert disc.is_empty()
+
+    def test_update_index_change_discards_dropped(self):
+        tr, _ = sw.generate(KEY, (1, 1.0), choicemap(x=0.5, y=0.2))
+        new_tr, w, _, disc = sw.update(
+            jax.random.PRNGKey(1), tr, (0, 1.0),
+            (gt.UnknownChange, gt.NoChange), choicemap())
+        np.testing.assert_allclose(new_tr["x"], 0.5)
+        np.testing.assert_allclose(disc["y"], 0.2)  # y dropped by branch a
+        expected = N(0.5, 1.0, 1.0) - (N(0.5, 1.0, 2.0) + N(0.2, 0.5, 0.5))
+        np.testing.assert_allclose(w, expected, rtol=1e-12)
+
+    def test_traced_index_all_branches(self):
+        @gen
+        def c0():
+            return gt.normal(0.0, 1.0) @ "v"
+
+        @gen
+        def c1():
+            return gt.normal(5.0, 1.0) @ "v"
+
+        sw2 = Switch(c0, c1)
+
+        def run(key, idx):
+            tr = sw2.simulate(key, (idx,))
+            return tr.get_score(), tr.get_retval()
+
+        keys = jax.random.split(KEY, 100)
+        idxs = jnp.array([0, 1] * 50)
+        scores, vals = jax.jit(jax.vmap(run))(keys, idxs)
+        vals = np.asarray(vals)
+        assert abs(vals[idxs == 0].mean()) < 0.5
+        assert abs(vals[np.asarray(idxs) == 1].mean() - 5.0) < 0.5
+
+    def test_switch_inside_model(self):
+        @gen
+        def model():
+            which = gt.bernoulli(0.5) @ "which"
+            v = sw(jnp.int32(which), 0.0) @ "b"
+            return v
+
+        tr = model.simulate(KEY, ())
+        assert np.isfinite(float(tr.get_score()))
+
+
+class TestDistDSL:
+    def test_affine_transform(self):
+        d = gt.normal * 2.0 + 3.0  # N(3 + 2*mu_arg...) careful: transforms output
+        # y = 2x + 3, x ~ N(0,1) -> y ~ N(3, 2)
+        lp = d.logpdf(4.0, 0.0, 1.0)
+        np.testing.assert_allclose(lp, stats.norm.logpdf(4.0, 3.0, 2.0),
+                                   rtol=1e-10)
+        ks = jax.random.split(KEY, 4000)
+        ys = jax.vmap(lambda k: d.sample(k, 0.0, 1.0))(ks)
+        np.testing.assert_allclose(jnp.mean(ys), 3.0, atol=0.1)
+        np.testing.assert_allclose(jnp.std(ys), 2.0, atol=0.1)
+
+    def test_exp_transform_lognormal(self):
+        d = exp_of(gt.normal)
+        lp = d.logpdf(2.0, 0.5, 1.0)
+        np.testing.assert_allclose(lp, stats.lognorm.logpdf(2.0, 1.0,
+                                                            scale=np.exp(0.5)),
+                                   rtol=1e-10)
+
+    def test_relabeled(self):
+        labels = jnp.array([10, 20, 10])
+        d = RelabeledDistribution(labels, gt.categorical)
+        probs = jnp.array([0.2, 0.3, 0.5])
+        # P(10) = 0.2 + 0.5 (duplicate labels sum)
+        np.testing.assert_allclose(d.logpdf(10, probs), np.log(0.7), rtol=1e-10)
+        np.testing.assert_allclose(d.logpdf(20, probs), np.log(0.3), rtol=1e-10)
+        s = d.sample(KEY, probs)
+        assert int(s) in (10, 20)
+
+    def test_in_model_with_grad(self):
+        d = gt.normal * 0.5  # y ~ N(mu/2... no: y = x/2, x~N(mu, std)
+
+        @gen
+        def m():
+            return d(1.0, 1.0) @ "y"
+
+        tr, w = m.generate(KEY, (), choicemap(y=0.8))
+        np.testing.assert_allclose(w, stats.norm.logpdf(0.8, 0.5, 0.5),
+                                   rtol=1e-10)
+        _, _, grads = m.choice_gradients(tr, select("y"))
+        eps = 1e-6
+        fd = (stats.norm.logpdf(0.8 + eps, 0.5, 0.5)
+              - stats.norm.logpdf(0.8 - eps, 0.5, 0.5)) / (2 * eps)
+        np.testing.assert_allclose(grads["y"], fd, rtol=1e-4)
+
+
+class TestCustomDeterm:
+    def test_custom_gradient_gf(self):
+        f = CustomGradientGF(lambda x: jnp.sum(x ** 2))
+
+        @gen
+        def m():
+            z = gt.normal(jnp.zeros(3), 1.0) @ "z"
+            s = f(z) @ "sumsq"
+            gt.normal(s, 1.0) @ "y"
+
+        tr, w = m.generate(KEY, (), choicemap(
+            z=jnp.array([1.0, 2.0, 0.0]), y=4.0))
+        np.testing.assert_allclose(tr["sumsq"], 5.0)
+        np.testing.assert_allclose(
+            w, stats.norm.logpdf(4.0, 5.0, 1.0)
+            + stats.norm.logpdf([1.0, 2.0, 0.0]).sum(), rtol=1e-10)
+        # gradient flows through the deterministic node
+        _, _, grads = m.choice_gradients(tr, select("z"))
+        # d/dz [ logN(z;0,1) + logN(4; sum z^2, 1) ] = -z + (4-5)*2z
+        expected = -np.array([1.0, 2.0, 0.0]) + (4 - 5) * 2 * np.array([1.0, 2.0, 0.0])
+        np.testing.assert_allclose(np.asarray(grads["z"]), expected, rtol=1e-6)
+
+    def test_custom_update_gf(self):
+        calls = {"apply": 0, "update": 0}
+
+        def apply_fn(xs):
+            calls["apply"] += 1
+            return jnp.sum(xs)
+
+        def update_fn(state, args, argdiffs):
+            calls["update"] += 1
+            return state, state, gt.NoChange  # pretend nothing changed
+
+        cu = CustomUpdateGF(apply_fn, update_fn)
+
+        @gen
+        def m(xs):
+            s = cu(xs) @ "s"
+            gt.normal(s, 1.0) @ "y"
+
+        xs = jnp.arange(3.0)
+        tr, _ = m.generate(KEY, (xs,), choicemap(y=1.0))
+        assert calls["apply"] == 1
+        new_tr, w, _, _ = m.update(KEY, tr, (xs,), (gt.NoChange,),
+                                   choicemap(y=2.0))
+        assert calls["update"] == 1
+        np.testing.assert_allclose(
+            w, stats.norm.logpdf(2.0, 3.0, 1.0)
+            - stats.norm.logpdf(1.0, 3.0, 1.0), rtol=1e-10)
