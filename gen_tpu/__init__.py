@@ -26,10 +26,11 @@ from .dynamic import (GenFn, gen, param, trace_at, init_param, get_param,
                       set_param_grad, DynamicTrace)
 from .combinators import (Map, MapCombinator, Unfold, UnfoldCombinator,
                           choice_at, call_at, VectorChoiceMap,
-                          vector_choicemap, Switch, SwitchCombinator,
+                          vector_choicemap, Switch, SwitchCombinator, Recurse,
                           CustomDetermGF, CustomUpdateGF, CustomGradientGF)
 from . import inference
 from . import learning
+from . import static_ir
 from .utils import logsumexp
 
 __version__ = "0.1.0"
@@ -47,7 +48,7 @@ __all__ = [
     "DynamicTrace", "logsumexp",
     "Map", "MapCombinator", "Unfold", "UnfoldCombinator", "choice_at",
     "call_at", "VectorChoiceMap", "vector_choicemap", "inference",
-    "Switch", "SwitchCombinator", "CustomDetermGF", "CustomUpdateGF",
+    "Switch", "SwitchCombinator", "Recurse", "CustomDetermGF", "CustomUpdateGF",
     "CustomGradientGF",
-    "learning",
+    "learning", "static_ir",
 ] + _dists_all

@@ -4,6 +4,7 @@ from .map_combinator import Map, MapCombinator, MapTrace
 from .unfold import Unfold, UnfoldCombinator, UnfoldTrace
 from .at import choice_at, call_at, ChoiceAtCombinator, CallAtCombinator
 from .switch import Switch, SwitchCombinator, SwitchTrace
+from .recurse import Recurse, RecurseCombinator, RecurseTrace
 from .custom_determ import (CustomDetermGF, CustomUpdateGF, CustomGradientGF,
                             CustomDetermGFTrace)
 
@@ -16,4 +17,5 @@ __all__ = [
     "Switch", "SwitchCombinator", "SwitchTrace",
     "CustomDetermGF", "CustomUpdateGF", "CustomGradientGF",
     "CustomDetermGFTrace",
+    "Recurse", "RecurseCombinator", "RecurseTrace",
 ]

@@ -117,12 +117,11 @@ def _resample_parents(key, log_normalized_weights, method: str):
         return jax.random.categorical(key, log_normalized_weights, shape=(n,))
     if method == "systematic":
         # single uniform, stratified positions — O(N), deterministic layout,
-        # collective-friendly (sorted positions ride a single cumsum)
+        # collective-friendly; fused Pallas kernel on TPU (ops/resample.py)
+        from ..ops.resample import on_tpu, systematic_resample
         u = jax.random.uniform(key)
-        positions = (jnp.arange(n) + u) / n
-        cdf = jnp.cumsum(jnp.exp(log_normalized_weights))
-        cdf = cdf / cdf[-1]
-        return jnp.searchsorted(cdf, positions, side="left").astype(jnp.int32)
+        return systematic_resample(log_normalized_weights, u,
+                                   use_pallas=on_tpu())
     if method == "residual":
         w = jnp.exp(log_normalized_weights)
         counts = jnp.floor(w * n).astype(jnp.int32)
