@@ -5,6 +5,7 @@ from .unfold import Unfold, UnfoldCombinator, UnfoldTrace
 from .at import choice_at, call_at, ChoiceAtCombinator, CallAtCombinator
 from .switch import Switch, SwitchCombinator, SwitchTrace
 from .recurse import Recurse, RecurseCombinator, RecurseTrace
+from .arena import UnfoldArena, ArenaTrace, smc_run
 from .custom_determ import (CustomDetermGF, CustomUpdateGF, CustomGradientGF,
                             CustomDetermGFTrace)
 
@@ -18,4 +19,5 @@ __all__ = [
     "CustomDetermGF", "CustomUpdateGF", "CustomGradientGF",
     "CustomDetermGFTrace",
     "Recurse", "RecurseCombinator", "RecurseTrace",
+    "UnfoldArena", "ArenaTrace", "smc_run",
 ]

@@ -4,21 +4,24 @@ Reference: /root/reference/src/inference/hmc.jl (leapfrog over the
 ``to_array``-flattened selected choices, gradients from
 ``choice_gradients``, standard-normal momenta, MH-corrected accept).
 
-TPU-native design: the L-step leapfrog is a ``lax.scan`` whose body is one
-fused XLA computation — gradient of the model's joint logpdf w.r.t. the
-selected flat vector plus the position/momentum updates. No per-step Python
-or host↔device traffic; ``vmap`` runs thousands of chains in one program
-(the reference is a Julia loop doing one chain per process)."""
+TPU-native design: the potential is extracted ONCE as a flat closed-over
+``logp`` (:class:`~gen_tpu.inference.target.FlatTarget`); the L-step
+leapfrog is a ``lax.scan`` over value-and-grad of that potential — a single
+fused XLA loop with no trace reconstruction inside (the reference re-runs
+``update`` + ``choice_gradients`` on the full trace every step,
+hmc.jl:42-55; the math is identical because the unselected choices are
+fixed, so Δ(model score) = Δ logp). The trace is rebuilt once, at accept
+time. ``vmap`` runs thousands of chains in one program."""
 
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
 
-from ..diff import all_no_change
 from ..gfi import Trace
 from ..selection import Selection
 from .common import mh_accept, select_trace
+from .target import FlatTarget
 
 _HALF_LOG_2PI = 0.9189385332046727
 
@@ -29,39 +32,33 @@ def _momenta_score(m):
 
 def hmc(key, trace: Trace, selection: Selection, L: int = 10,
         eps: float = 0.1):
-    """One HMC update on the selected addresses.
-
-    Returns (new_trace, accepted)."""
-    gen_fn = trace.get_gen_fn()
-    args = trace.get_args()
-    argdiffs = all_no_change(args)
-
-    _, values_chm, grad_chm = gen_fn.choice_gradients(trace, selection, None)
-    values = values_chm.to_array()
-    gradient = grad_chm.to_array()
+    """One HMC update on the selected addresses. Returns
+    (new_trace, accepted)."""
+    target = FlatTarget(trace, selection)
+    values0 = target.flat0
+    logp0, grad0 = target.value_and_grad(values0)
 
     k_mom, k_acc = jax.random.split(key)
-    momenta = jax.random.normal(k_mom, values.shape, dtype=values.dtype)
-    prev_momenta_score = _momenta_score(momenta)
-    prev_model_score = trace.get_score()
+    momenta0 = jax.random.normal(k_mom, values0.shape, dtype=values0.dtype)
+    prev_momenta_score = _momenta_score(momenta0)
 
     def leapfrog(carry, _):
-        values, momenta, gradient, cur_trace = carry
-        momenta = momenta + (eps / 2) * gradient
+        values, momenta, grad = carry
+        momenta = momenta + (eps / 2) * grad
         values = values + eps * momenta
-        new_trace, _, _, _ = gen_fn.update(
-            None, cur_trace, args, argdiffs, values_chm.from_array(values))
-        _, _, g_chm = gen_fn.choice_gradients(new_trace, selection, None)
-        gradient = g_chm.to_array()
-        momenta = momenta + (eps / 2) * gradient
-        return (values, momenta, gradient, new_trace), None
+        logp, grad = target.value_and_grad(values)
+        momenta = momenta + (eps / 2) * grad
+        return (values, momenta, grad), logp
 
-    (values, momenta, gradient, new_trace), _ = jax.lax.scan(
-        leapfrog, (values, momenta, gradient, trace), None, length=L)
+    (values, momenta, _), logps = jax.lax.scan(
+        leapfrog, (values0, momenta0, grad0), None, length=L)
 
-    new_model_score = new_trace.get_score()
+    new_model_score = logps[-1]
     new_momenta_score = _momenta_score(-momenta)
-    alpha = (new_model_score - prev_model_score
+    alpha = (new_model_score - logp0
              + new_momenta_score - prev_momenta_score)
+    alpha = jnp.where(jnp.isnan(alpha), -jnp.inf, alpha)
     accept = mh_accept(k_acc, alpha)
+
+    new_trace = target.rebuild(values)
     return select_trace(accept, new_trace, trace), accept
