@@ -9,7 +9,6 @@ template, so traces restore with their static gen-fn metadata intact)."""
 
 from __future__ import annotations
 
-import os
 from typing import Any
 
 import jax

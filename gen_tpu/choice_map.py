@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .address import Address, Key, addr_head_rest, addr_path, sorted_keys
+from .address import Address, Key, addr_head_rest, sorted_keys
 
 
 class ChoiceMap:

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from ..choice_map import ChoiceMap
 from ..gfi import GenerativeFunction, Trace
 from ..utils import logsumexp
-from .vector import VectorChoiceMap, tree_index
+from .vector import VectorChoiceMap
 
 
 class ArenaTrace(Trace):
@@ -56,7 +56,6 @@ class ArenaTrace(Trace):
             self.get_retval())
 
     def get_choices(self):
-        import numpy as np
         t = self.t_active
         if isinstance(t, jax.core.Tracer):
             raise ValueError("arena choices view requires a concrete length")
@@ -67,7 +66,6 @@ class ArenaTrace(Trace):
         return out
 
     def project(self, selection):
-        from ..selection import NONE
         if hasattr(selection, "is_empty_set") and selection.is_empty_set():
             return jnp.asarray(0.0)
         raise NotImplementedError(

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from ..choice_map import ChoiceMap
-from ..diff import NoChange, UnknownChange
+from ..diff import UnknownChange
 from ..gfi import GenerativeFunction, Trace
 from ..selection import Selection
 

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..choice_map import ChoiceMap
-from ..diff import NoChange, UnknownChange, all_unknown_change
+from ..diff import UnknownChange, all_unknown_change
 from ..gfi import GenerativeFunction, Trace
 from ..selection import Selection
 

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from ..choice_map import ChoiceMap
-from ..diff import IntDiff, NoChange, UnknownChange, all_unknown_change
+from ..diff import IntDiff, NoChange, UnknownChange
 from ..gfi import GenerativeFunction, Trace
 from ..selection import AllSelection, EmptySelection, Selection
 from .vector import VectorChoiceMap, try_densify, tree_index, tree_stack

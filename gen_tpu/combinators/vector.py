@@ -11,8 +11,6 @@ materialize per-element Python structures on the hot path."""
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 

@@ -68,7 +68,10 @@ class DictDiff(Diff):
 
 
 class Diffed:
-    """A value paired with its diff (Gen's ``Diffed{V,DV}``)."""
+    """A value paired with its diff (Gen's ``Diffed{V,DV}``), with the
+    reference's arithmetic/indexing propagation rules (diff.jl:160-417):
+    any operation on a Diffed whose diff is not NoChange yields
+    UnknownChange; NoChange inputs propagate NoChange."""
 
     def __init__(self, value, diff: Diff):
         self.value = value
@@ -76,6 +79,45 @@ class Diffed:
 
     def __repr__(self):
         return f"Diffed({self.value!r}, {self.diff!r})"
+
+    @staticmethod
+    def _combine(*xs) -> Diff:
+        ds = [get_diff(x) for x in xs]
+        if all(isinstance(d, _NoChange) for d in ds):
+            return NoChange
+        return UnknownChange
+
+    def _binop(self, other, op):
+        return Diffed(op(self.value, strip_diff(other)),
+                      Diffed._combine(self, other))
+
+    def __add__(self, o):
+        return self._binop(o, lambda a, b: a + b)
+
+    def __radd__(self, o):
+        return self._binop(o, lambda a, b: b + a)
+
+    def __sub__(self, o):
+        return self._binop(o, lambda a, b: a - b)
+
+    def __rsub__(self, o):
+        return self._binop(o, lambda a, b: b - a)
+
+    def __mul__(self, o):
+        return self._binop(o, lambda a, b: a * b)
+
+    def __rmul__(self, o):
+        return self._binop(o, lambda a, b: b * a)
+
+    def __truediv__(self, o):
+        return self._binop(o, lambda a, b: a / b)
+
+    def __getitem__(self, idx):
+        return Diffed(self.value[strip_diff(idx)],
+                      Diffed._combine(self, idx))
+
+    def __len__(self):
+        return len(self.value)
 
 
 def strip_diff(x):

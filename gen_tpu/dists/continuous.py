@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-from jax.scipy.special import betaln, gammaln, digamma  # noqa: F401
+from jax.scipy.special import betaln, gammaln
 
 from .distribution import Distribution, _f, logsumexp2
 

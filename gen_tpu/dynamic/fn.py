@@ -22,8 +22,8 @@ import jax.numpy as jnp
 
 from ..choice_map import ChoiceMap
 from ..diff import UnknownChange
-from ..gfi import GenerativeFunction, Trace
-from ..selection import NONE, Selection
+from ..gfi import GenerativeFunction
+from ..selection import Selection
 from .handlers import (AssessHandler, GenerateHandler, RegenerateHandler,
                        SimulateHandler, UpdateHandler, active_handler)
 from .params import current_params

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 from ..address import Address, addr_path
 from ..choice_map import ChoiceMap
-from ..diff import UnknownChange, all_unknown_change
+from ..diff import all_unknown_change
 from ..dists.distribution import Distribution
 from ..selection import NONE, Selection
 from .trace import CallRecord, ChoiceRecord

@@ -13,7 +13,7 @@ loop ranges, swap proposals' reversals)."""
 
 from __future__ import annotations
 
-from typing import Callable, Sequence, Tuple
+from typing import Callable, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,6 @@ once, at accept time. Identical math, far less interpreter work."""
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 from ..diff import all_no_change
 from ..gfi import Trace

@@ -17,7 +17,7 @@ General (:697-755), SimpleExtending (:775-802), Symmetric (:826-902).
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Tuple
+from typing import Callable, Tuple
 
 import jax
 import jax.numpy as jnp

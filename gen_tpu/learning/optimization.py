@@ -13,8 +13,6 @@ and zeroes the accumulators — matching the reference's ``apply!`` loop
 
 from __future__ import annotations
 
-from typing import Dict, Iterable
-
 import jax
 import jax.numpy as jnp
 

@@ -19,9 +19,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..choice_map import ChoiceMap
 from ..gfi import GenerativeFunction
-from ..inference.particle_filter import (ParticleFilterState,
-                                         _resample_parents,
-                                         effective_sample_size)
+from ..inference.particle_filter import ParticleFilterState
 from ..utils import logsumexp
 from .mesh import shard_keys
 

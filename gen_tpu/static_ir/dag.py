@@ -20,7 +20,7 @@ GenerativeFunctionCallNode / TrainableParameterNode) that tools can analyze
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Sequence, Tuple
+from typing import Callable, Optional, Sequence
 
 from ..address import Address
 from ..dists.distribution import Distribution

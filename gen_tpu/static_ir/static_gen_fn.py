@@ -12,8 +12,8 @@ from __future__ import annotations
 
 from ..dynamic.fn import GenFn
 from ..dynamic.handlers import active_handler, trace_at
-from .dag import (ArgumentNode, GenerativeFunctionCallNode, JuliaNode,
-                  RandomChoiceNode, StaticIR, TrainableParameterNode)
+from .dag import (GenerativeFunctionCallNode, JuliaNode, RandomChoiceNode,
+                  StaticIR, TrainableParameterNode)
 
 
 class StaticGenFn(GenFn):
