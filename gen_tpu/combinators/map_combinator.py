@@ -184,17 +184,17 @@ class MapCombinator(GenerativeFunction):
         if n == trace.length and kind in ("empty", "dense"):
             cons_inner = (payload.inner if kind == "dense"
                           else ChoiceMap())
-            in_axes = (0, 0, 0, 0 if kind == "dense" else None)
+            in_axes = (None if key is None else 0, 0, 0,
+                       0 if kind == "dense" else None)
 
             def one(k, prev, a, c):
                 new_sub, w, _, d = self.kernel.update(
                     k, prev, a, all_unknown_change(a), c)
                 return new_sub, w, d
 
-            if key is None:
-                keys = jax.random.split(jax.random.PRNGKey(0), n)
+            key_arg = None if key is None else jnp.asarray(keys)
             new_subs, weights, discards = jax.vmap(one, in_axes=in_axes)(
-                keys, trace.subtraces, args, cons_inner)
+                key_arg, trace.subtraces, args, cons_inner)
             discard = (VectorChoiceMap(discards, n)
                        if not discards.is_empty() else ChoiceMap())
             return (self._make_trace(args, new_subs, n), jnp.sum(weights),

@@ -201,12 +201,24 @@ class GenerateHandler(Handler):
         self.weight = jnp.asarray(0.0)
 
     def handle_dist(self, path, dist, args):
+        from ..masked import MaskedValue
         constrained = self.constraints.has_value(path)
         if not constrained and self.constraints.has_submap(path):
             raise ValueError(
                 f"constraints hold a submap at choice address {path!r}")
         if constrained:
             v = self.constraints.get_value(path)
+            if isinstance(v, MaskedValue):
+                # dynamically-present constraint: sample where absent,
+                # weight only where present (gen_tpu.masked)
+                flag = v.flag
+                sampled = dist.sample(self._next_key(), *args)
+                v = jnp.where(flag, jnp.asarray(v.value), sampled)
+                s = dist.logpdf(v, *args)
+                self.records[path] = ChoiceRecord(v, s)
+                self.score = self.score + s
+                self.weight = self.weight + jnp.where(flag, s, 0.0)
+                return v
         else:
             v = dist.sample(self._next_key(), *args)
         s = dist.logpdf(v, *args)
@@ -271,6 +283,7 @@ class UpdateHandler(Handler):
         self.weight = jnp.asarray(0.0)
 
     def handle_dist(self, path, dist, args):
+        from ..masked import MaskedValue
         has_prev = self.prev.has_choice(path)
         constrained = self.constraints.has_value(path)
         if not constrained and self.constraints.has_submap(path):
@@ -278,10 +291,27 @@ class UpdateHandler(Handler):
                 f"constraints hold a submap at choice address {path!r}")
         if has_prev:
             prev_rec = self.prev.get_choice(path)
+        cons_v = self.constraints.get_value(path) if constrained else None
+        if isinstance(cons_v, MaskedValue):
+            flag = cons_v.flag
+            if has_prev:
+                v = jnp.where(flag, jnp.asarray(cons_v.value), prev_rec.value)
+                self.discard.set_value(path, MaskedValue(prev_rec.value,
+                                                         flag))
+                s = dist.logpdf(v, *args)
+                self.weight = self.weight + s - prev_rec.score
+            else:
+                sampled = dist.sample(self._next_key(), *args)
+                v = jnp.where(flag, jnp.asarray(cons_v.value), sampled)
+                s = dist.logpdf(v, *args)
+                self.weight = self.weight + jnp.where(flag, s, 0.0)
+            self.records[path] = ChoiceRecord(v, s)
+            self.score = self.score + s
+            return v
         if constrained and has_prev:
             self.discard.set_value(path, prev_rec.value)
         if constrained:
-            v = self.constraints.get_value(path)
+            v = cons_v
         elif has_prev:
             v = prev_rec.value
         else:

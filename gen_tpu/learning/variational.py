@@ -19,13 +19,16 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
 from ..choice_map import ChoiceMap
 from ..dynamic.params import override_params
 from ..gfi import GenerativeFunction
-from ..utils import combine, logsumexp, partition_inexact
+from ..utils import (combine, join_static, logsumexp,
+                     partition_inexact, split_static)
 from .optimization import ParamUpdate
 
 
@@ -98,8 +101,11 @@ def _score_estimator(var_model, model, num_samples):
         return _EST_CACHE[cache_key]
     fns = collect_params_targets(var_model)
 
-    @jax.jit
-    def est(key, var_args, model_args, observations, bdyn, bstatic):
+    @functools.partial(jax.jit, static_argnames=("va_aux", "ma_aux"))
+    def est_inner(key, va_dyn, va_aux, ma_dyn, ma_aux, observations, bdyn,
+                  bstatic):
+        var_args = join_static(va_dyn, va_aux)
+        model_args = join_static(ma_dyn, ma_aux)
         keys = jax.random.split(key, num_samples)
         b0 = combine(bdyn, bstatic)
         with override_params(_overrides(fns, b0)):
@@ -125,6 +131,12 @@ def _score_estimator(var_model, model, num_samples):
 
         grads = jax.grad(obj)(bdyn)
         return elbo, var_traces, grads
+
+    def est(key, var_args, model_args, observations, bdyn, bstatic):
+        va_dyn, va_aux = split_static(var_args)
+        ma_dyn, ma_aux = split_static(model_args)
+        return est_inner(key, va_dyn, va_aux, ma_dyn, ma_aux, observations,
+                         bdyn, bstatic)
 
     _EST_CACHE[cache_key] = (fns, est)
     return fns, est
@@ -152,8 +164,11 @@ def _vimco_estimator(var_model, model, num_samples, geometric):
         return _EST_CACHE[cache_key]
     fns = collect_params_targets(var_model)
 
-    @jax.jit
-    def est(key, var_args, model_args, observations, bdyn, bstatic):
+    @functools.partial(jax.jit, static_argnames=("va_aux", "ma_aux"))
+    def est_inner(key, va_dyn, va_aux, ma_dyn, ma_aux, observations, bdyn,
+                  bstatic):
+        var_args = join_static(va_dyn, va_aux)
+        model_args = join_static(ma_dyn, ma_aux)
         keys = jax.random.split(key, num_samples)
         b0 = combine(bdyn, bstatic)
         with override_params(_overrides(fns, b0)):
@@ -184,6 +199,12 @@ def _vimco_estimator(var_model, model, num_samples, geometric):
 
         grads = jax.grad(obj)(bdyn)
         return L, var_traces, w_norm, grads
+
+    def est(key, var_args, model_args, observations, bdyn, bstatic):
+        va_dyn, va_aux = split_static(var_args)
+        ma_dyn, ma_aux = split_static(model_args)
+        return est_inner(key, va_dyn, va_aux, ma_dyn, ma_aux, observations,
+                         bdyn, bstatic)
 
     _EST_CACHE[cache_key] = (fns, est)
     return fns, est
