@@ -62,7 +62,7 @@ def main():
     obs = choicemap(ys=true_ys)
     sel = select("slope", "intercept", "log_noise")
 
-    n_chains = 131072
+    n_chains = 262144
     warmup_steps = 50
     sample_steps = 100
     L, eps = 10, 0.02

@@ -110,6 +110,126 @@ def sweep(key, trace):
     return trace
 
 
+def branchless_birth_death(key, trace):
+    """Reversible-jump birth/death as a fully branchless kernel (jit/vmap
+    safe). On the arena the move is volume-preserving: birth maps
+    (pos_slot_old, u) -> (pos_slot_new = u, u' = pos_slot_old), so
+    |det J| = 1 and the acceptance ratio is exactly the update weight
+    (prior + likelihood + p(k) change). Proposal densities for u and the
+    move choice cancel by symmetry."""
+    from gen_tpu.inference import mh_accept, select_trace
+    kb, ku, ka = jax.random.split(key, 3)
+    k = trace["k"]
+    pos = trace["positions"]
+    b = jax.random.bernoulli(kb)
+    birth = b & (k < K_MAX)
+    death = (~b) & (k > 0)
+    u = jax.random.uniform(ku) * T_END
+    slot = jnp.clip(jnp.where(birth, k, k - 1), 0, K_MAX - 1)
+    new_k = k + jnp.where(birth, 1, 0) - jnp.where(death, 1, 0)
+    new_pos = pos.at[slot].set(jnp.where(birth | death, u, pos[slot]))
+    cons = gt.ChoiceMap()
+    cons.set_value("k", new_k)
+    cons.set_value("positions", new_pos)
+    new_trace, w, _, _ = trace.update(None, cons)
+    accept = mh_accept(ka, w)
+    return select_trace(accept, new_trace, trace), accept
+
+
+def refresh_inactive(key, trace):
+    """Exact Gibbs on the inactive arena slots: their full conditional is
+    the prior, so fresh prior draws are always accepted. This is what keeps
+    birth moves supplied with viable candidates (the arena analogue of
+    RJMCMC's proposal distribution over new-born parameters)."""
+    k = trace["k"]
+    kp, kh = jax.random.split(key)
+    fresh_pos = jax.random.uniform(kp, (K_MAX,)) * T_END
+    fresh_h = jax.random.gamma(kh, 2.0, (K_MAX + 1,)) * 1.0
+    slots = jnp.arange(K_MAX)
+    hslots = jnp.arange(K_MAX + 1)
+    new_pos = jnp.where(slots >= k, fresh_pos, trace["positions"])
+    new_h = jnp.where(hslots > k, fresh_h, trace["heights"])
+    cons = gt.ChoiceMap()
+    cons.set_value("positions", new_pos)
+    cons.set_value("heights", new_h)
+    new_trace, _, _, _ = trace.update(None, cons)
+    return new_trace
+
+
+def vectorized_chains(n_chains=64, n_sweeps=400, seed=0):
+    """Many-chain trans-dimensional inference, fully jitted: the arena
+    makes every move — branchless birth/death, prior k-regenerate, height
+    and position walks — a fixed-shape computation, so the whole sampler is
+    one lax.scan over sweeps with chains vmapped inside (the BASELINE.md
+    "many chains vmapped" configuration)."""
+    years, counts = make_dataset()
+    obs = choicemap(counts=counts)
+    key = jax.random.PRNGKey(seed)
+    k_init, k_run = jax.random.split(key)
+    init_keys = jax.random.split(k_init, n_chains)
+    traces, _ = jax.vmap(
+        lambda k: coal_model.generate(k, (years,), obs))(init_keys)
+
+    def chain_sweep(key, trace):
+        ks = jax.random.split(key, 8)
+        trace = refresh_inactive(ks[0], trace)
+        for i in range(1, 6):
+            trace, _ = branchless_birth_death(ks[i], trace)
+        trace, _ = mh_proposal(ks[6], trace, height_walk)
+        trace, _ = mh_proposal(ks[7], trace, position_walk)
+        return trace
+
+    @jax.jit
+    def run(traces, key):
+        def body(trs, sk):
+            ks = jax.vmap(lambda i: jax.random.fold_in(sk, i))(
+                jnp.arange(n_chains))
+            trs = jax.vmap(chain_sweep)(ks, trs)
+            ks_out = jax.vmap(lambda t: t["k"])(trs)
+            return trs, ks_out
+        return jax.lax.scan(body, traces, jax.random.split(key, n_sweeps))
+
+    final, k_hist = run(traces, k_run)
+    return np.asarray(k_hist)  # (sweeps, chains)
+
+
+def exact_k_posterior(years, counts, n_mc=200000, seed=0):
+    """Semi-exact posterior over k: heights integrate analytically
+    (Gamma-Poisson conjugacy per segment); positions are Monte-Carlo
+    integrated. Ground truth for validating the samplers."""
+    from jax.scipy.special import gammaln, logsumexp
+    ALPHA, THETA = 2.0, 1.0
+    yrs = jnp.asarray(years)
+    cnts = jnp.asarray(counts)
+
+    def logml_given_positions(pos_sorted):
+        B, k = pos_sorted.shape
+        seg = jnp.sum(yrs[None, :, None] > pos_sorted[:, None, :], axis=2)
+        out = jnp.zeros(B)
+        for j in range(k + 1):
+            mask = seg == j
+            s = jnp.sum(jnp.where(mask, cnts[None, :], 0), axis=1)
+            n = jnp.sum(mask, axis=1)
+            out = out + (gammaln(s + ALPHA) - gammaln(ALPHA)
+                         - (s + ALPHA) * jnp.log(n + 1.0 / THETA))
+        return out
+
+    key = jax.random.PRNGKey(seed)
+    logZ = {}
+    for k in range(K_MAX + 1):
+        if k == 0:
+            logZ[0] = float(logml_given_positions(jnp.zeros((1, 0)))[0])
+            continue
+        key, sub = jax.random.split(key)
+        pos = jnp.sort(jax.random.uniform(sub, (n_mc, k)) * T_END, axis=1)
+        logZ[k] = float(logsumexp(logml_given_positions(pos))
+                        - np.log(n_mc))
+    mx = max(logZ.values())
+    w = {k: np.exp(v - mx) for k, v in logZ.items()}
+    z = sum(w.values())
+    return {k: v / z for k, v in w.items()}
+
+
 def main(n_sweeps=3000, seed=0):
     years, counts = make_dataset()
     obs = choicemap(counts=counts)
@@ -132,15 +252,25 @@ def main(n_sweeps=3000, seed=0):
     ks_post = np.asarray(ks[burn:])
     from collections import Counter
     hist = Counter(ks_post.tolist())
-    print(f"posterior over k: {dict(sorted(hist.items()))}")
-    mode_k = hist.most_common(1)[0][0]
-    print(f"posterior mode of k = {mode_k} (true 2)")
+    print(f"single-chain posterior over k: {dict(sorted(hist.items()))}")
     two_cp = [p for p in found_positions if len(p) == 2]
     if two_cp:
         mean_cp = np.mean(np.stack(two_cp), axis=0)
         print(f"mean changepoints (k=2 traces): {mean_cp} (true [30, 70])")
-        assert abs(mean_cp[0] - 30) < 12 and abs(mean_cp[1] - 70) < 12, mean_cp
-    assert mode_k in (2, 3), hist
+
+    # many-chain vectorized configuration, validated against the
+    # semi-exact posterior (heights integrated analytically)
+    exact = exact_k_posterior(years, counts)
+    print("semi-exact k posterior:",
+          {k: round(v, 3) for k, v in exact.items()})
+    k_hist = vectorized_chains(n_chains=64, n_sweeps=3000)
+    post = k_hist[1500:].ravel()
+    emp = {k: float(np.mean(post == k)) for k in range(K_MAX + 1)}
+    print("sampled k posterior:   ",
+          {k: round(v, 3) for k, v in emp.items()})
+    tv = 0.5 * sum(abs(emp[k] - exact[k]) for k in exact)
+    print(f"total-variation distance to semi-exact: {tv:.3f}")
+    assert tv < 0.12, (emp, exact)
     print("coal example OK")
 
 

@@ -232,30 +232,40 @@ def da_update(state: DAState, accept_prob, target_accept=0.8, gamma=0.05,
 
 
 def find_reasonable_step_size(key, value_and_grad, theta0, inv_mass=None):
-    """Heuristic of Hoffman & Gelman algorithm 4 (host-side, eager)."""
+    """Heuristic of Hoffman & Gelman algorithm 4, as a ``lax.while_loop``
+    so the whole warmup pipeline jits and vmaps over chains."""
     dim = theta0.shape[0]
-    inv_mass = jnp.ones(dim) if inv_mass is None else inv_mass
+    inv_mass = jnp.ones(dim, theta0.dtype) if inv_mass is None else inv_mass
     logp0, grad0 = value_and_grad(theta0)
-    r0 = jax.random.normal(key, (dim,)) / jnp.sqrt(inv_mass)
+    r0 = jax.random.normal(key, (dim,), theta0.dtype) / jnp.sqrt(inv_mass)
     h0 = logp0 - 0.5 * jnp.dot(r0, inv_mass * r0)
+    log_half = jnp.log(0.5)
 
     def h_after(eps):
         r = r0 + 0.5 * eps * grad0
         theta = theta0 + eps * inv_mass * r
         logp, grad = value_and_grad(theta)
         r = r + 0.5 * eps * grad
-        return logp - 0.5 * jnp.dot(r, inv_mass * r)
+        h = logp - 0.5 * jnp.dot(r, inv_mass * r)
+        return jnp.where(jnp.isnan(h), -jnp.inf, h)
 
-    eps = 1.0
-    delta = float(h_after(eps) - h0)
-    direction = 1.0 if delta > jnp.log(0.5) else -1.0
-    for _ in range(50):
-        eps = eps * (2.0 ** direction)
-        delta = float(h_after(eps) - h0)
-        if (direction == 1.0 and delta <= jnp.log(0.5)) or \
-           (direction == -1.0 and delta >= jnp.log(0.5)):
-            break
-    return jnp.asarray(eps)
+    delta0 = h_after(1.0) - h0
+    direction = jnp.where(delta0 > log_half, 1.0, -1.0)
+
+    def cond(state):
+        eps, it = state
+        delta = h_after(eps) - h0
+        keep = jnp.where(direction > 0, delta > log_half, delta < log_half)
+        return keep & (it < 50)
+
+    def body(state):
+        eps, it = state
+        return eps * (2.0 ** direction), it + 1
+
+    eps, _ = jax.lax.while_loop(cond, body,
+                                (jnp.asarray(1.0, theta0.dtype),
+                                 jnp.asarray(0)))
+    return eps
 
 
 def nuts_warmup_and_sample(key, trace, selection: Selection, num_warmup=500,

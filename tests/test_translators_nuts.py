@@ -234,3 +234,22 @@ def test_nuts_vmapped_chains():
 
     scores, depths = jax.jit(jax.vmap(one))(traces, step_keys)
     assert scores.shape == (8,)
+
+
+def test_nuts_vmapped_full_pipeline():
+    """Warmup (incl. jit-safe step-size search + mass adaptation) and
+    sampling vmapped over chains as one program."""
+    @gen
+    def model(n):
+        mu = gt.normal(0.0, 3.0) @ "mu"
+        gt.normal(mu * jnp.ones(n), 1.0) @ "ys"
+
+    obs = choicemap(ys=jnp.full(20, 2.0))
+    keys = jax.random.split(KEY, 4)
+    traces, _ = jax.vmap(lambda k: model.generate(k, (20,), obs))(keys)
+    pipeline = jax.jit(jax.vmap(lambda k, tr: nuts_warmup_and_sample(
+        k, tr, select("mu"), num_warmup=100, num_samples=300)[0]))
+    samples = pipeline(jax.random.split(jax.random.PRNGKey(1), 4), traces)
+    mus = np.asarray(samples)[..., 0]
+    assert mus.shape == (4, 300)
+    np.testing.assert_allclose(mus.mean(), 1.9890, atol=0.04)
