@@ -65,7 +65,7 @@ def main():
     n_chains = 262144
     warmup_steps = 50
     sample_steps = 100
-    L, eps = 10, 0.02
+    L, eps = 10, 0.035
 
     key = jax.random.PRNGKey(0)
     k_init, k_run = jax.random.split(key)

@@ -27,7 +27,9 @@ from .dynamic import (GenFn, gen, param, trace_at, init_param, get_param,
 from .combinators import (Map, MapCombinator, Unfold, UnfoldCombinator,
                           choice_at, call_at, VectorChoiceMap,
                           vector_choicemap, Switch, SwitchCombinator, Recurse,
-                          CustomDetermGF, CustomUpdateGF, CustomGradientGF)
+                          CustomDetermGF, CustomUpdateGF, CustomGradientGF,
+                          UnfoldArena, smc_run)
+from .masked import MaskedValue, mask
 from . import inference
 from . import learning
 from . import static_ir
@@ -49,6 +51,6 @@ __all__ = [
     "Map", "MapCombinator", "Unfold", "UnfoldCombinator", "choice_at",
     "call_at", "VectorChoiceMap", "vector_choicemap", "inference",
     "Switch", "SwitchCombinator", "Recurse", "CustomDetermGF", "CustomUpdateGF",
-    "CustomGradientGF",
+    "CustomGradientGF", "UnfoldArena", "smc_run", "MaskedValue", "mask",
     "learning", "static_ir",
 ] + _dists_all

@@ -16,6 +16,7 @@ from .trace_translators import (transform, TraceTransform, TransformContext,
                                 involutive_mcmc)
 from .kernel_dsl import (primitive_kernel, reversal, seq, repeat, mixture,
                          cond_kernel, check_observations, checked)
+from ..combinators.arena import smc_run  # noqa: F401 (SMC convenience)
 from .particle_filter import (ParticleFilterState, initialize_particle_filter,
                               particle_filter_step, maybe_resample,
                               log_ml_estimate, effective_sample_size,
@@ -28,7 +29,7 @@ __all__ = [
     "hmc", "mala", "map_optimize", "elliptical_slice",
     "ParticleFilterState", "initialize_particle_filter",
     "particle_filter_step", "maybe_resample", "log_ml_estimate",
-    "effective_sample_size", "sample_unweighted_traces",
+    "effective_sample_size", "sample_unweighted_traces", "smc_run",
     "nuts", "nuts_flat", "nuts_warmup_and_sample", "da_init", "da_update",
     "find_reasonable_step_size", "NUTSStats", "FlatTarget",
     "transform", "TraceTransform", "TransformContext",
