@@ -62,3 +62,51 @@ def hmc(key, trace: Trace, selection: Selection, L: int = 10,
 
     new_trace = target.rebuild(values)
     return select_trace(accept, new_trace, trace), accept
+
+
+def hmc_chain(key, trace: Trace, selection: Selection, n_steps: int,
+              L: int = 10, eps: float = 0.1):
+    """Run a whole HMC chain on the flat selected-choice vector: the scan
+    carry is just (values, logp, grad) — no trace reconstruction or
+    whole-trace select per step (those cost more than the leapfrogs for
+    small models). Returns (final_trace, samples (n_steps, d), accepts).
+
+    vmap over (key, trace) for many chains — though note: on TPU at very
+    large chain counts, scan-of-vmap (a jitted per-step `hmc` inside your
+    own lax.scan, as bench.py does) measured ~4x faster than
+    vmap-of-this-scan; prefer hmc_chain for single/few chains or when the
+    flat dimension is large."""
+    target = FlatTarget(trace, selection)
+    values0 = target.flat0
+    logp0, grad0 = target.value_and_grad(values0)
+
+    def step(carry, i):
+        values, logp, grad = carry
+        # fold per-step keys from the chain key: O(1) key material even
+        # under vmap (pre-splitting n_steps keys per chain materializes a
+        # (chains, steps) key tensor in HBM)
+        k_mom, k_acc = jax.random.split(jax.random.fold_in(key, i))
+        momenta0 = jax.random.normal(k_mom, values.shape, dtype=values.dtype)
+
+        def leapfrog(c, _):
+            v, m, g = c
+            m = m + (eps / 2) * g
+            v = v + eps * m
+            lp, g = target.value_and_grad(v)
+            m = m + (eps / 2) * g
+            return (v, m, g), lp
+
+        (v_new, m_new, g_new), lps = jax.lax.scan(
+            leapfrog, (values, momenta0, grad), None, length=L)
+        alpha = (lps[-1] - logp + _momenta_score(-m_new)
+                 - _momenta_score(momenta0))
+        alpha = jnp.where(jnp.isnan(alpha), -jnp.inf, alpha)
+        accept = mh_accept(k_acc, alpha)
+        values = jnp.where(accept, v_new, values)
+        logp = jnp.where(accept, lps[-1], logp)
+        grad = jnp.where(accept, g_new, grad)
+        return (values, logp, grad), (values, accept)
+
+    (values, _, _), (samples, accepts) = jax.lax.scan(
+        step, (values0, logp0, grad0), jnp.arange(n_steps))
+    return target.rebuild(values), samples, accepts
