@@ -275,3 +275,54 @@ class TestMixture:
         expected = np.logaddexp(np.log(0.5) + N(x, 0, 1),
                                 np.log(0.5) + N(x, 5, 1))
         np.testing.assert_allclose(tr.get_score(), expected, rtol=1e-12)
+
+
+class TestEdgePaths:
+    def test_unfold_shrink(self):
+        obs = jnp.array([1.0, 2.0, 3.0])
+        tr, _ = chain.generate(KEY, (3, 0.0), vector_choicemap(3, x=obs))
+        new_tr, w, _, disc = chain.update(
+            KEY, tr, (2, 0.0), (gt.UnknownChange, gt.NoChange), choicemap())
+        np.testing.assert_allclose(float(w), -N(3.0, 2.0, 1.0), rtol=1e-12)
+        assert disc.has_value((2, "x"))
+        assert new_tr.length == 2
+
+    def test_unfold_regenerate_all(self):
+        obs = jnp.array([1.0, 2.0, 3.0])
+        tr, _ = chain.generate(KEY, (3, 0.0), vector_choicemap(3, x=obs))
+        new_tr, w, _ = chain.regenerate(
+            jax.random.PRNGKey(1), tr, (3, 0.0),
+            (gt.NoChange, gt.NoChange), gt.ALL)
+        np.testing.assert_allclose(float(w), 0.0, atol=1e-10)
+        assert not np.allclose(np.asarray(new_tr.get_retval()),
+                               np.asarray(tr.get_retval()))
+
+    def test_switch_traced_index_regenerate(self):
+        from gen_tpu import Switch
+
+        @gen
+        def c0():
+            return gt.normal(0.0, 1.0) @ "v"
+
+        @gen
+        def c1():
+            return gt.normal(5.0, 1.0) @ "v"
+
+        sw = Switch(c0, c1)
+
+        def run(key, idx):
+            tr = sw.simulate(key, (idx,))
+            new_tr, w, _ = sw.regenerate(key, tr, (idx,), (gt.NoChange,),
+                                         gt.select("v"))
+            return new_tr.get_score(), w
+
+        scores, ws = jax.jit(jax.vmap(run))(
+            jax.random.split(KEY, 8), jnp.array([0, 1] * 4))
+        assert np.isfinite(np.asarray(scores)).all()
+        np.testing.assert_allclose(np.asarray(ws), 0.0, atol=1e-12)
+
+    def test_map_project_single_element(self):
+        tr = mapped.simulate(KEY, (jnp.array([0.0, 1.0]),))
+        p = tr.project(select((0, "y")))
+        y0 = float(tr.get_choices()[(0, "y")])
+        np.testing.assert_allclose(float(p), N(y0, 0.0, 1.0), rtol=1e-10)
