@@ -40,7 +40,16 @@ class GenFn(GenerativeFunction):
         self.params_grad: Dict[str, Any] = {}
 
     def run_body(self, args):
-        return self.fn(*args)
+        try:
+            return self.fn(*args)
+        except jax.errors.TracerBoolConversionError as e:
+            raise RuntimeError(
+                f"model {self.name!r} branches on a traced value inside "
+                "jit/vmap/scan. Data-dependent control flow needs a "
+                "fixed-shape formulation: use the Switch combinator, "
+                "jnp.where on values, or a masked arena (see "
+                "examples/coal.py). Eager execution (outside jit) supports "
+                "arbitrary Python control flow.") from e
 
     def get_params(self):
         return tuple(self.params.keys())
