@@ -50,10 +50,18 @@ class ArenaTrace(Trace):
         return self.arena
 
     def last_state(self):
+        # one-hot reduction instead of a dynamic gather: under vmap the
+        # gather lowers to per-particle scatter/gather ops that are slow on
+        # TPU; the masked sum is a pure VPU reduction.
         idx = jnp.maximum(self.t_active - 1, 0)
-        return jax.tree_util.tree_map(
-            lambda x: jax.lax.dynamic_index_in_dim(x, idx, keepdims=False),
-            self.get_retval())
+
+        def pick(x):
+            onehot = (jnp.arange(x.shape[0]) == idx)
+            return jnp.sum(
+                jnp.where(onehot.reshape((-1,) + (1,) * (x.ndim - 1)), x, 0),
+                axis=0)
+
+        return jax.tree_util.tree_map(pick, self.get_retval())
 
     def get_choices(self):
         t = self.t_active
@@ -129,11 +137,15 @@ class UnfoldArena(GenerativeFunction):
         sub, w = self.kernel.generate(
             key, (t, state) + tuple(trace.params),
             constraints if constraints is not None else ChoiceMap())
-        new_arena = jax.tree_util.tree_map(
-            lambda arena_leaf, new_leaf: jax.lax.dynamic_update_index_in_dim(
-                arena_leaf, jnp.asarray(new_leaf,
-                                        arena_leaf.dtype), t, 0),
-            trace.subtraces, sub)
+        # branchless slot write: where-mask over the slot axis instead of
+        # dynamic_update_slice (which lowers to slow scatters under vmap)
+        def write_slot(arena_leaf, new_leaf):
+            mask = (jnp.arange(arena_leaf.shape[0]) == t)
+            mask = mask.reshape((-1,) + (1,) * (arena_leaf.ndim - 1))
+            newv = jnp.asarray(new_leaf, arena_leaf.dtype)
+            return jnp.where(mask, newv[None, ...], arena_leaf)
+
+        new_arena = jax.tree_util.tree_map(write_slot, trace.subtraces, sub)
         return ArenaTrace(self, new_arena, t + 1, trace.init_state,
                           trace.params), w
 
