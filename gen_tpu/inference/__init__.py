@@ -17,6 +17,7 @@ from .trace_translators import (transform, TraceTransform, TransformContext,
 from .kernel_dsl import (primitive_kernel, reversal, seq, repeat, mixture,
                          cond_kernel, check_observations, checked)
 from ..combinators.arena import smc_run  # noqa: F401 (SMC convenience)
+from .smc import smc_genealogy, reconstruct_trajectories
 from .particle_filter import (ParticleFilterState, initialize_particle_filter,
                               particle_filter_step, maybe_resample,
                               log_ml_estimate, effective_sample_size,
@@ -30,6 +31,7 @@ __all__ = [
     "ParticleFilterState", "initialize_particle_filter",
     "particle_filter_step", "maybe_resample", "log_ml_estimate",
     "effective_sample_size", "sample_unweighted_traces", "smc_run",
+    "smc_genealogy", "reconstruct_trajectories",
     "nuts", "nuts_flat", "nuts_warmup_and_sample", "da_init", "da_update",
     "find_reasonable_step_size", "NUTSStats", "FlatTarget",
     "transform", "TraceTransform", "TransformContext",

@@ -114,6 +114,20 @@ def particle_filter_step(key, state: ParticleFilterState, new_args: Tuple,
 def _resample_parents(key, log_normalized_weights, method: str):
     n = log_normalized_weights.shape[0]
     if method == "multinomial":
+        if n > 32768:
+            # categorical with shape (n,) materializes an (n, n) gumbel
+            # matrix; use inverse-CDF with sorted uniforms (exponential-
+            # spacings) + rank merge instead — O(n log n), exact in
+            # distribution (parents come out sorted; particles are
+            # exchangeable so this is harmless)
+            from ..ops.resample import _rank_merge_parents
+            e = jax.random.exponential(key, (n + 1,))
+            c = jnp.cumsum(e)
+            us = c[:-1] / c[-1]
+            w = jnp.exp(log_normalized_weights
+                        - jnp.max(log_normalized_weights))
+            cdf = jnp.cumsum(w)
+            return jnp.clip(_rank_merge_parents(cdf / cdf[-1], us), 0, n - 1)
         return jax.random.categorical(key, log_normalized_weights, shape=(n,))
     if method == "systematic":
         # single uniform, stratified positions — O(N), deterministic layout,

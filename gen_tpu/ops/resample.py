@@ -59,13 +59,46 @@ def _pallas_kernel(n, cdf_ref, u_ref, out_ref):
     out_ref[0, :] = jnp.minimum(counts, n - 1)
 
 
+def _rank_merge_parents(cdf, positions):
+    """parents_i = #{j : cdf_j < positions_i} for sorted positions, via two
+    argsorts (rank = argsort∘argsort) — no scatter, no binary-search
+    gathers; XLA's bitonic sort is fast on TPU at any N."""
+    n = cdf.shape[0]
+    keys = jnp.concatenate([cdf, positions])
+    # stable ties: data sorts before queries at equal keys (side='left')
+    tags = jnp.concatenate([jnp.zeros(n, jnp.int32), jnp.ones(n, jnp.int32)])
+    order = jnp.lexsort((tags, keys))
+    rank = jnp.argsort(order)
+    # query i sits at sorted position rank[n+i]; the data elements before it
+    # number rank[n+i] - (queries before it) = rank[n+i] - i
+    return (rank[n:] - jnp.arange(n)).astype(jnp.int32)
+
+
+def _sorted_systematic(log_weights, u):
+    n = log_weights.shape[0]
+    m = jnp.max(log_weights)
+    w = jnp.exp(log_weights - m)
+    cdf = jnp.cumsum(w)
+    cdf = cdf / cdf[-1]
+    positions = (jnp.arange(n, dtype=cdf.dtype) + u) / n
+    return jnp.clip(_rank_merge_parents(cdf, positions), 0, n - 1)
+
+
+_SORT_THRESHOLD = 32768
+
+
 @functools.partial(jax.jit, static_argnames=("use_pallas",))
 def systematic_resample(log_weights, u, use_pallas: bool = False):
     """Parent indices for systematic resampling.
 
-    log_weights: (N,) unnormalized log weights; u: scalar in [0,1)."""
+    log_weights: (N,) unnormalized log weights; u: scalar in [0,1).
+    Three regimes: jnp searchsorted (small / CPU), fused Pallas rank search
+    (mid-size TPU), sort-based rank merge (large N — O(N log N), the
+    collective-friendly "sorted systematic" formulation)."""
     log_weights = jnp.asarray(log_weights)
     n = log_weights.shape[0]
+    if n > _SORT_THRESHOLD:
+        return _sorted_systematic(log_weights, u)
     if not use_pallas or n > _MAX_PALLAS_N or n % _TILE != 0:
         return _jnp_systematic(log_weights, u)
     from jax.experimental import pallas as pl

@@ -90,3 +90,33 @@ def test_timed_context():
     with timed("blk", results) as out:
         out["value"] = jnp.sum(jnp.ones(10))
     assert results["blk"] > 0
+
+
+def test_sorted_systematic_matches_searchsorted():
+    from gen_tpu.ops.resample import _jnp_systematic, _sorted_systematic
+    for n in (1000, 40000):
+        lw = jax.random.normal(jax.random.PRNGKey(0), (n,)) * 2.0
+        for u in (0.0, 0.37, 0.999):
+            a = np.asarray(_jnp_systematic(lw, u))
+            b = np.asarray(_sorted_systematic(lw, u))
+            assert np.array_equal(a, b), (n, u)
+
+
+def test_sorted_multinomial_distribution():
+    """Large-N multinomial path (sorted uniforms + rank merge): offspring
+    counts match expectations within Poisson noise (z < 4 per bucket)."""
+    from gen_tpu.inference.particle_filter import _resample_parents
+    n = 40000
+    lw = jnp.log(jnp.arange(1, n + 1, dtype=jnp.float64))
+    lnw = lw - jax.scipy.special.logsumexp(lw)
+    total = np.zeros(n)
+    reps = 20
+    for s in range(reps):
+        parents = _resample_parents(jax.random.PRNGKey(s), lnw,
+                                    "multinomial")
+        total += np.bincount(np.asarray(parents), minlength=n)
+    w = np.exp(np.asarray(lnw))
+    bc = total.reshape(100, -1).sum(axis=1)
+    bw = (reps * n * w).reshape(100, -1).sum(axis=1)
+    z = np.abs(bc - bw) / np.sqrt(bw)
+    assert z.max() < 4.5, z.max()
