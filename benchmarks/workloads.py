@@ -1,0 +1,202 @@
+"""BASELINE.md workload matrix: measured numbers for every benchmark family.
+
+Run on TPU: python benchmarks/workloads.py
+(CPU works too, slower; results print as JSON lines.)"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
+
+
+def _timeit(fn, *args, reps=5):
+    import jax
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.time()
+    for _ in range(reps):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.time() - t0) / reps, out
+
+
+def bench_nuts(n_chains=4096, n_warmup=100, n_samples=200):
+    """NUTS + dual averaging, many chains vmapped (regression model)."""
+    import jax
+    import jax.numpy as jnp
+    import gen_tpu as gt
+    from gen_tpu import gen, choicemap, select
+    from gen_tpu.inference import nuts_warmup_and_sample
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from bench import autocorr_ess
+
+    xs = jnp.linspace(-3.0, 3.0, 50)
+    rng = np.random.default_rng(0)
+    ys = 0.7 * xs - 0.4 + 0.5 * jnp.asarray(rng.standard_normal(50))
+
+    @gen
+    def model(x):
+        slope = gt.normal(0.0, 2.0) @ "slope"
+        intercept = gt.normal(0.0, 2.0) @ "intercept"
+        gt.normal(slope * x + intercept, 0.5) @ "ys"
+
+    obs = choicemap(ys=ys)
+    sel = select("slope", "intercept")
+    key = jax.random.PRNGKey(0)
+    init_keys = jax.random.split(key, n_chains)
+
+    @jax.jit
+    def run(init_keys, k):
+        traces, _ = jax.vmap(
+            lambda kk: model.generate(kk, (xs,), obs))(init_keys)
+        chain_keys = jax.vmap(lambda i: jax.random.fold_in(k, i))(
+            jnp.arange(n_chains))
+        samples, _, info = jax.vmap(
+            lambda ck, tr: nuts_warmup_and_sample(
+                ck, tr, sel, num_warmup=n_warmup, num_samples=n_samples,
+                max_depth=6))(chain_keys, traces)
+        return samples
+
+    el, samples = _timeit(run, init_keys, jax.random.PRNGKey(1), reps=3)
+    slopes = np.asarray(samples)[:, :, 0].T  # (samples, chains)
+    ess = autocorr_ess(slopes)
+    print(json.dumps({"workload": "nuts_regression",
+                      "chains": n_chains,
+                      "ess_per_sec": round(ess / el),
+                      "sec_per_run": round(el, 3)}))
+
+
+def bench_coal(n_chains=1024, n_sweeps=200):
+    """Trans-dimensional changepoint moves/sec, many chains vmapped."""
+    import jax
+    import jax.numpy as jnp
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "examples"))
+    import coal
+
+    years, counts = coal.make_dataset()
+    import gen_tpu as gt
+    obs = gt.choicemap(counts=counts)
+    key = jax.random.PRNGKey(0)
+    init_keys = jax.random.split(key, n_chains)
+    traces, _ = jax.vmap(
+        lambda k: coal.coal_model.generate(k, (years,), obs))(init_keys)
+
+    def chain_sweep(k, trace):
+        ks = jax.random.split(k, 8)
+        trace = coal.refresh_inactive(ks[0], trace)
+        for i in range(1, 6):
+            trace, _ = coal.branchless_birth_death(ks[i], trace)
+        from gen_tpu.inference import mh_proposal
+        trace, _ = mh_proposal(ks[6], trace, coal.height_walk)
+        trace, _ = mh_proposal(ks[7], trace, coal.position_walk)
+        return trace
+
+    @jax.jit
+    def run(traces, k):
+        def body(trs, sk):
+            ks = jax.vmap(lambda i: jax.random.fold_in(sk, i))(
+                jnp.arange(n_chains))
+            return jax.vmap(chain_sweep)(ks, trs), None
+        trs, _ = jax.lax.scan(body, traces,
+                              jax.random.split(k, n_sweeps))
+        return trs.get_score()
+
+    el, _ = _timeit(run, traces, jax.random.PRNGKey(1), reps=3)
+    moves = n_chains * n_sweeps * 8  # 8 MH moves per sweep
+    print(json.dumps({"workload": "coal_rjmcmc",
+                      "chains": n_chains,
+                      "moves_per_sec": round(moves / el),
+                      "sec_per_run": round(el, 3)}))
+
+
+def bench_bbvi(samples_per_iter=16384, iters=50):
+    """BBVI gradient steps/sec."""
+    import jax
+    import jax.numpy as jnp
+    import gen_tpu as gt
+    from gen_tpu import choicemap, gen, init_param, param
+    from gen_tpu.learning import (ADAM, ParamUpdate,
+                                  single_sample_gradient_estimate)
+
+    @gen
+    def model():
+        mu = gt.normal(0.0, 1.0) @ "mu"
+        gt.normal(mu, 1.0) @ "y"
+
+    @gen
+    def var_model():
+        loc = param("mu_loc")
+        log_std = param("mu_log_std")
+        gt.normal(loc, jnp.exp(log_std)) @ "mu"
+
+    init_param(var_model, "mu_loc", 0.0)
+    init_param(var_model, "mu_log_std", 0.0)
+    update = ParamUpdate(ADAM(0.02), var_model)
+    obs = choicemap(y=1.0)
+    key = jax.random.PRNGKey(0)
+
+    # warm the jitted estimator
+    single_sample_gradient_estimate(key, var_model, (), model, (), obs,
+                                    samples_per_iter)
+    update.apply()
+    t0 = time.time()
+    for i in range(iters):
+        key, sub = jax.random.split(key)
+        single_sample_gradient_estimate(sub, var_model, (), model, (), obs,
+                                        samples_per_iter)
+        update.apply()
+    el = (time.time() - t0) / iters
+    print(json.dumps({"workload": "bbvi",
+                      "samples_per_iter": samples_per_iter,
+                      "steps_per_sec": round(1.0 / el, 2),
+                      "sample_grads_per_sec": round(samples_per_iter / el)}))
+
+
+def bench_gp_structure(n_chains=256, n_sweeps=100):
+    """GP structure-learning moves/sec, many chains vmapped."""
+    import jax
+    import jax.numpy as jnp
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "examples"))
+    import gp_structure as g
+    import gen_tpu as gt
+
+    xs, ys = g.make_dataset(n=30)
+    obs = gt.choicemap(ys=ys)
+    key = jax.random.PRNGKey(0)
+    init_keys = jax.random.split(key, n_chains)
+    traces, _ = jax.vmap(
+        lambda k: g.gp_model.generate(k, (xs,), obs))(init_keys)
+
+    @jax.jit
+    def run(traces, k):
+        def body(trs, sk):
+            ks = jax.vmap(lambda i: jax.random.fold_in(sk, i))(
+                jnp.arange(n_chains))
+            return jax.vmap(g.sweep)(ks, trs), None
+        trs, _ = jax.lax.scan(body, traces,
+                              jax.random.split(k, n_sweeps))
+        return trs.get_score()
+
+    el, _ = _timeit(run, traces, jax.random.PRNGKey(1), reps=3)
+    moves = n_chains * n_sweeps * 3
+    print(json.dumps({"workload": "gp_structure",
+                      "chains": n_chains,
+                      "moves_per_sec": round(moves / el),
+                      "sec_per_run": round(el, 3)}))
+
+
+if __name__ == "__main__":
+    bench_bbvi()
+    bench_coal()
+    bench_gp_structure()
+    bench_nuts()
