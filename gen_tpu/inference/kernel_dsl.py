@@ -97,14 +97,29 @@ def repeat(n: int, kernel):
 def mixture(probs: Sequence[float], kernels: Sequence[Callable]):
     """Choose a kernel at random each step (stationary if each component
     is); self-reversal uses component reversals with the same probs
-    (reference kernel_dsl.jl mixture blocks)."""
+    (reference kernel_dsl.jl mixture blocks).
+
+    Under jit/vmap the component index is traced, so every component runs
+    and the result is selected branchlessly (valid MH: the selection is
+    independent of the outcomes); eagerly only the chosen component runs."""
     probs = jnp.asarray(probs)
 
     def _make(comps):
         def composite(key, trace, *args):
             k_sel, k_run = jax.random.split(key)
-            idx = int(jax.random.categorical(k_sel, jnp.log(probs)))
-            return comps[idx](k_run, trace, *args)
+            idx = jax.random.categorical(k_sel, jnp.log(probs))
+            if isinstance(idx, jax.core.Tracer):
+                outs = [c(jax.random.fold_in(k_run, i), trace, *args)
+                        for i, c in enumerate(comps)]
+                traces = [o[0] for o in outs]
+                picked = jax.tree_util.tree_map(
+                    lambda *xs: jnp.select(
+                        [idx == i for i in range(len(xs))],
+                        [jnp.asarray(x) for x in xs]), *traces)
+                aux = jnp.select([idx == i for i in range(len(outs))],
+                                 [jnp.asarray(o[1]) for o in outs])
+                return picked, aux
+            return comps[int(idx)](k_run, trace, *args)
         return composite
 
     fwd = _make(list(kernels))

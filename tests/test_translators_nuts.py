@@ -253,3 +253,100 @@ def test_nuts_vmapped_full_pipeline():
     mus = np.asarray(samples)[..., 0]
     assert mus.shape == (4, 300)
     np.testing.assert_allclose(mus.mean(), 1.9890, atol=0.04)
+
+
+def test_deterministic_translator_weight_exact():
+    from gen_tpu.inference import DeterministicTraceTranslator
+
+    @gen
+    def model_a():
+        gt.gamma(2.0, 1.0) @ "x"
+
+    @gen
+    def model_b():
+        gt.normal(0.0, 10.0) @ "y"
+
+    @transform
+    def log_map(ctx):
+        x = ctx.model_in["x"]
+        ctx.model_out["y"] = jnp.log(x)
+
+    tr_a = model_a.simulate(KEY, ())
+    trans = DeterministicTraceTranslator(model_b, (), gt.ChoiceMap(), log_map)
+    new_tr, w = trans(jax.random.PRNGKey(1), tr_a)
+    x = float(tr_a["x"])
+    expected = (stats.norm.logpdf(np.log(x), 0, 10)
+                - stats.gamma.logpdf(x, 2.0) + np.log(1.0 / x))
+    np.testing.assert_allclose(float(w), expected, rtol=1e-8)
+
+
+def test_general_translator_importance_identity():
+    """Translating prior samples importance-reweights onto the new model:
+    the self-normalized estimate of a target moment must match."""
+    from gen_tpu.inference import GeneralTraceTranslator
+
+    @gen
+    def radius_model():
+        gt.gamma(2.0, 1.0) @ "r"
+
+    @gen
+    def point_model():
+        gt.normal(0.0, 3.0) @ "px"
+        gt.normal(0.0, 3.0) @ "py"
+
+    @gen
+    def angle_fwd(tr):
+        gt.uniform(0.0, 2 * np.pi) @ "theta"
+
+    @gen
+    def null_bwd(tr):
+        pass
+
+    @transform
+    def polar_to_cart(ctx):
+        r = ctx.model_in["r"]
+        th = ctx.aux_in["theta"]
+        ctx.model_out["px"] = r * jnp.cos(th)
+        ctx.model_out["py"] = r * jnp.sin(th)
+
+    gtrans = GeneralTraceTranslator(point_model, (), gt.ChoiceMap(),
+                                    angle_fwd, (), null_bwd, (),
+                                    polar_to_cart)
+    keys = jax.random.split(jax.random.PRNGKey(2), 20000)
+
+    def one(k):
+        k1, k2 = jax.random.split(k)
+        tra = radius_model.simulate(k1, ())
+        ntr, w = gtrans(k2, tra)
+        return w, ntr["px"]
+
+    ws, pxs = jax.vmap(one)(keys)
+    ws, pxs = np.asarray(ws), np.asarray(pxs)
+    wn = np.exp(ws - ws.max())
+    wn /= wn.sum()
+    est = (wn * pxs ** 2).sum()
+    np.testing.assert_allclose(est, 9.0, atol=0.8)
+
+
+def test_mixture_kernel_under_jit():
+    from gen_tpu.inference import mala
+
+    @gen
+    def m():
+        a = gt.normal(0.0, 1.0) @ "a"
+        gt.normal(a, 0.5) @ "y"
+
+    obs = choicemap(y=1.0)
+    tr, _ = m.generate(KEY, (), obs)
+    mix = mixture([0.5, 0.5],
+                  [lambda k, t: mh_selection(k, t, select("a")),
+                   lambda k, t: mala(k, t, select("a"), 0.05)])
+
+    def step(t, k):
+        t, _ = mix(k, t)
+        return t, t["a"]
+
+    final, vals = jax.lax.scan(step, tr,
+                               jax.random.split(jax.random.PRNGKey(1), 2500))
+    vals = np.asarray(vals)[500:]
+    np.testing.assert_allclose(vals.mean(), 0.8, atol=0.06)
