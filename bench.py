@@ -62,7 +62,7 @@ def main():
     obs = choicemap(ys=true_ys)
     sel = select("slope", "intercept", "log_noise")
 
-    n_chains = 262144
+    n_chains = 524288
     warmup_steps = 50
     sample_steps = 100
     L, eps = 10, 0.035
