@@ -45,15 +45,19 @@ def main(n_steps=800, seed=0):
     # composite: 2x(HMC on mu) ; randomly HMC-or-MALA ; sigma move
     kernel = seq(repeat(2, mu_hmc), mixture([0.5, 0.5], [mu_hmc, mu_mala]),
                  sigma_mh)
-    kernel = checked(kernel, obs)        # observation-preservation checks
     rev = reversal(kernel)               # derived reversal (runs)
+    # observation-preservation check once, eagerly
+    checked(kernel, obs)(key, trace)
 
-    mus, sigmas = [], []
-    for i in range(n_steps):
-        key, sub = jax.random.split(key)
-        trace, _ = kernel(sub, trace)
-        mus.append(float(trace["mu"]))
-        sigmas.append(float(trace["sigma"]))
+    # composite kernels jit: one fused step, scanned
+    def step(tr, k):
+        tr, _ = kernel(k, tr)
+        return tr, (tr["mu"], tr["sigma"])
+
+    key, k_run = jax.random.split(key)
+    trace, (mus, sigmas) = jax.lax.scan(
+        step, trace, jax.random.split(k_run, n_steps))
+    mus, sigmas = np.asarray(mus), np.asarray(sigmas)
 
     burn = n_steps // 4
     mu_est = np.mean(mus[burn:])
