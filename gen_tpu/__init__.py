@@ -29,7 +29,7 @@ from .combinators import (Map, MapCombinator, Unfold, UnfoldCombinator,
                           vector_choicemap, Switch, SwitchCombinator, Recurse,
                           CustomDetermGF, CustomUpdateGF, CustomGradientGF,
                           UnfoldArena, smc_run)
-from .masked import MaskedValue, mask
+from .masked import MaskedValue, mask, MaskedSelection, masked_select
 from . import inference
 from . import learning
 from . import static_ir
@@ -52,5 +52,6 @@ __all__ = [
     "call_at", "VectorChoiceMap", "vector_choicemap", "inference",
     "Switch", "SwitchCombinator", "Recurse", "CustomDetermGF", "CustomUpdateGF",
     "CustomGradientGF", "UnfoldArena", "smc_run", "MaskedValue", "mask",
+    "MaskedSelection", "masked_select",
     "learning", "static_ir",
 ] + _dists_all

@@ -362,7 +362,25 @@ class RegenerateHandler(Handler):
         self.weight = jnp.asarray(0.0)
 
     def handle_dist(self, path, dist, args):
+        from ..masked import MaskedSelection
         has_prev = self.prev.has_choice(path)
+        if isinstance(self.selection, MaskedSelection):
+            # traced membership: resample where the flag is true, keep and
+            # re-score otherwise — one branchless pass (gen_tpu.masked)
+            flag = self.selection.flag_at(path)
+            if has_prev:
+                prev_rec = self.prev.get_choice(path)
+                sampled = dist.sample(self._next_key(), *args)
+                v = jnp.where(flag, sampled, prev_rec.value)
+                s = dist.logpdf(v, *args)
+                self.weight = self.weight + jnp.where(
+                    flag, 0.0, s - prev_rec.score)
+            else:
+                v = dist.sample(self._next_key(), *args)
+                s = dist.logpdf(v, *args)
+            self.records[path] = ChoiceRecord(v, s)
+            self.score = self.score + s
+            return v
         in_sel = path in self.selection
         if has_prev and not in_sel:
             prev_rec = self.prev.get_choice(path)

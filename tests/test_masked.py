@@ -11,6 +11,7 @@ import gen_tpu as gt
 from gen_tpu import ChoiceMap, Unfold, gen, vector_choicemap
 from gen_tpu.combinators import UnfoldArena, smc_run
 from gen_tpu.masked import MaskedValue, mask
+from gen_tpu import masked_select
 
 KEY = jax.random.PRNGKey(0)
 
@@ -106,3 +107,34 @@ def test_smc_with_missing_observations():
         else:
             mmean, v = pm, pv
     np.testing.assert_allclose(np.mean(lmls), lml, atol=0.05)
+
+
+def test_masked_selection_random_scan():
+    """Random-scan MH: one branchless regenerate pass per step with a
+    traced coordinate choice; matches the exact Gaussian posterior."""
+    from gen_tpu.inference import mh_accept, select_trace
+
+    @gen
+    def m2():
+        a = gt.normal(0.0, 1.0) @ "a"
+        b = gt.normal(0.0, 1.0) @ "b"
+        gt.normal(a + b, 0.5) @ "y"
+
+    obs = gt.choicemap(y=1.0)
+    tr, _ = m2.generate(KEY, (), obs)
+
+    def step(trace, k):
+        k_pick, k_reg, k_acc = jax.random.split(k, 3)
+        which = jax.random.bernoulli(k_pick)
+        sel = masked_select(a=which, b=~which)
+        new_tr, w, _ = trace.regenerate(k_reg, sel)
+        acc = mh_accept(k_acc, w)
+        out = select_trace(acc, new_tr, trace)
+        return out, out["a"]
+
+    final, as_ = jax.lax.scan(step, tr,
+                              jax.random.split(jax.random.PRNGKey(1), 6000))
+    as_ = np.asarray(as_)[1500:]
+    P = np.array([[5.0, 4.0], [4.0, 5.0]])
+    mean = np.linalg.solve(P, np.array([4.0, 4.0]))
+    np.testing.assert_allclose(as_.mean(), mean[0], atol=0.05)
