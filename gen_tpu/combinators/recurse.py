@@ -291,10 +291,49 @@ class RecurseCombinator(GenerativeFunction):
         return trace, sum(weights)
 
     def assess(self, args: Tuple, choices: ChoiceMap):
-        # assess requires a concrete tree: generate fully-constrained
-        raise NotImplementedError(
-            "Recurse.assess: the active tree depends on the choices; use "
-            "generate with full constraints and read the weight")
+        """Full-choices density. The active tree is statically determined by
+        WHICH node addresses appear in the choices (structure is static
+        even when values are traced), so assess is key-free and
+        differentiable — this is what powers choice/param gradients through
+        Recurse via the generic base-class implementation."""
+        (root_input,) = args
+        N, B = self.n_nodes, self.max_branch
+        active = [choices.has_submap((i, PROD)) for i in range(N)]
+        if not active[0]:
+            raise ValueError("Recurse.assess: missing root production")
+        inputs = [None] * N
+        inputs[0] = root_input
+        weight = jnp.asarray(0.0)
+        vs, nchilds = [None] * N, [None] * N
+        for i in range(N):
+            if not active[i]:
+                continue
+            w, retval = self.production.assess(
+                (inputs[i],), choices.get_submap((i, PROD)))
+            weight = weight + w
+            v, nchild, child_inputs = retval
+            vs[i], nchilds[i] = v, nchild
+            for j in range(B):
+                ci = child_index(i, j, B)
+                if ci < N:
+                    inputs[ci] = tree_index(child_inputs, j)
+        ws = [None] * N
+        for i in reversed(range(N)):
+            if not active[i]:
+                continue
+            child_ws = []
+            for j in range(B):
+                ci = child_index(i, j, B)
+                if ci < N and active[ci]:
+                    child_ws.append(ws[ci])
+                else:
+                    child_ws.append(self.w_zero)
+            w, retval = self.aggregation.assess(
+                (vs[i], tree_stack(child_ws), nchilds[i]),
+                choices.get_submap((i, AGG)))
+            weight = weight + w
+            ws[i] = retval
+        return weight, ws[0]
 
     def project(self, trace, selection: Selection):
         return trace.project(selection)

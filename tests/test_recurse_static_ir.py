@@ -122,6 +122,28 @@ class TestRecurse:
         np.testing.assert_allclose(float(w), expected, rtol=1e-8)
         assert discard.has_value((1, "production", "v"))
 
+    def test_assess_and_gradients(self):
+        """assess is key-free/differentiable (active structure static from
+        the choices); gradients flow through the tree."""
+        tr = tree_fn.simulate(jax.random.PRNGKey(3), (0.0,))
+        w, rv = tree_fn.assess((0.0,), tr.get_choices())
+        np.testing.assert_allclose(float(w), float(tr.get_score()),
+                                   rtol=1e-12)
+        sel = select((0, "production", "v"))
+        _, values, grads = tree_fn.choice_gradients(tr, sel)
+        g = float(np.asarray(grads[(0, "production", "v")]))
+        eps = 1e-6
+
+        def score_with_root(v):
+            c2 = gt.ChoiceMap()
+            for p, val in tr.get_choices().leaf_items():
+                c2.set_value(p, val if p != (0, "production", "v") else v)
+            return float(tree_fn.assess((0.0,), c2)[0])
+
+        v0 = float(values[(0, "production", "v")])
+        fd = (score_with_root(v0 + eps) - score_with_root(v0 - eps)) / (2 * eps)
+        np.testing.assert_allclose(g, fd, rtol=1e-4)
+
     def test_mcmc_over_tree_structure(self):
         """Structure-changing MH on the arena mixes over tree sizes."""
         tr = tree_fn.simulate(KEY, (0.0,))
