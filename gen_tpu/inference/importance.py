@@ -21,13 +21,15 @@ from ..utils import logsumexp
 def importance_sampling(key, model: GenerativeFunction, model_args: Tuple,
                         observations: ChoiceMap, num_samples: int,
                         proposal: Optional[GenerativeFunction] = None,
-                        proposal_args: Tuple = ()):
+                        proposal_args: Tuple = (), verbose: bool = False):
     """Returns (vmapped_traces, log_normalized_weights, log_ml_estimate).
 
     Default proposal: weights come straight from ``generate``
     (importance.jl:30-48). Custom proposal: propose → merge with
     observations → generate fully-constrained (importance.jl:66-96)."""
     keys = jax.random.split(key, num_samples)
+    if verbose:
+        print(f"importance sampling: {num_samples} particles")
 
     if proposal is None:
         def one(k):

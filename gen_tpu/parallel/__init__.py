@@ -1,10 +1,12 @@
 from .mesh import chain_mesh, shard_keys, device_count
+from .multihost import initialize_multihost, slice_mesh, hierarchical_mesh
 from .sharded import (sharded_importance_sampling, sharded_mcmc_step,
                       sharded_hmc_chains, sharded_particle_filter_init,
                       sharded_maybe_resample, sharded_vi_step)
 
 __all__ = [
     "chain_mesh", "shard_keys", "device_count",
+    "initialize_multihost", "slice_mesh", "hierarchical_mesh",
     "sharded_importance_sampling", "sharded_mcmc_step",
     "sharded_hmc_chains", "sharded_particle_filter_init",
     "sharded_maybe_resample", "sharded_vi_step",
