@@ -63,7 +63,7 @@ def main():
     sel = select("slope", "intercept", "log_noise")
 
     n_chains = 524288
-    warmup_steps = 50
+    warmup_steps = 100   # same step count as sampling: `run` compiles once
     sample_steps = 100
     L, eps = 10, 0.035
 
