@@ -31,21 +31,29 @@ def _momenta_score(m):
 
 
 def hmc(key, trace: Trace, selection: Selection, L: int = 10,
-        eps: float = 0.1):
-    """One HMC update on the selected addresses. Returns
-    (new_trace, accepted)."""
+        eps: float = 0.1, inv_mass_diag=None):
+    """One HMC update on the selected addresses (optionally with a diagonal
+    mass matrix — a TPU-side extension; the reference uses identity mass,
+    hmc.jl:1-9). Returns (new_trace, accepted)."""
     target = FlatTarget(trace, selection)
     values0 = target.flat0
     logp0, grad0 = target.value_and_grad(values0)
+    inv_mass = (jnp.ones_like(values0) if inv_mass_diag is None
+                else jnp.asarray(inv_mass_diag))
+    sqrt_mass = 1.0 / jnp.sqrt(inv_mass)
+
+    def kinetic(m):
+        return 0.5 * jnp.dot(m, inv_mass * m)
 
     k_mom, k_acc = jax.random.split(key)
-    momenta0 = jax.random.normal(k_mom, values0.shape, dtype=values0.dtype)
-    prev_momenta_score = _momenta_score(momenta0)
+    momenta0 = sqrt_mass * jax.random.normal(k_mom, values0.shape,
+                                             dtype=values0.dtype)
+    prev_kinetic = kinetic(momenta0)
 
     def leapfrog(carry, _):
         values, momenta, grad = carry
         momenta = momenta + (eps / 2) * grad
-        values = values + eps * momenta
+        values = values + eps * (inv_mass * momenta)
         logp, grad = target.value_and_grad(values)
         momenta = momenta + (eps / 2) * grad
         return (values, momenta, grad), logp
@@ -53,10 +61,7 @@ def hmc(key, trace: Trace, selection: Selection, L: int = 10,
     (values, momenta, _), logps = jax.lax.scan(
         leapfrog, (values0, momenta0, grad0), None, length=L)
 
-    new_model_score = logps[-1]
-    new_momenta_score = _momenta_score(-momenta)
-    alpha = (new_model_score - logp0
-             + new_momenta_score - prev_momenta_score)
+    alpha = (logps[-1] - logp0 - kinetic(momenta) + prev_kinetic)
     alpha = jnp.where(jnp.isnan(alpha), -jnp.inf, alpha)
     accept = mh_accept(k_acc, alpha)
 

@@ -124,3 +124,23 @@ def test_vector_param_gradients():
     pgrads = all_pg[vmodel]
     expected = (1.0 - 0.6) * np.ones(3)
     np.testing.assert_allclose(pgrads["w"], expected, rtol=1e-8)
+
+
+def test_param_gradients_through_map_kernel():
+    """Gradients reach trainable params of combinator kernels via the trace
+    walk (reference recursion: backprop.jl:336-370)."""
+    from gen_tpu import Map, vector_choicemap
+
+    @gen
+    def pk(x):
+        theta = param("theta")
+        gt.normal(theta * x, 1.0) @ "y"
+
+    init_param(pk, "theta", 0.5)
+    mp = Map(pk)
+    xs = jnp.array([1.0, 2.0])
+    trm, _ = mp.generate(KEY, (xs,),
+                         vector_choicemap(2, y=jnp.array([1.0, 2.0])))
+    _, pgr = mp.param_gradients(trm)
+    np.testing.assert_allclose(float(np.asarray(pgr[pk]["theta"])), 2.5,
+                               rtol=1e-10)

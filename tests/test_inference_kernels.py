@@ -162,3 +162,16 @@ def test_elliptical_slice_posterior():
     fs = _run_chain(step, tr, 4000)[500:]
     # exact posterior mean: (1/0.25)/(1 + 1/0.25) = 0.8 per coordinate
     np.testing.assert_allclose(fs.mean(axis=0), 0.8, atol=0.05)
+
+
+def test_hmc_with_mass_matrix():
+    tr, _ = conj_model.generate(KEY, (N_OBS,), OBS)
+
+    def step(tr, k):
+        tr, _ = hmc(k, tr, select("mu"), L=5, eps=0.3,
+                    inv_mass_diag=jnp.array([0.05]))
+        return tr, tr["mu"]
+
+    mus = _run_chain(step, tr, 3000)[500:]
+    np.testing.assert_allclose(mus.mean(), POST_MU, atol=0.05)
+    np.testing.assert_allclose(mus.std(), np.sqrt(POST_VAR), atol=0.04)
