@@ -8,6 +8,7 @@ from .elliptical_slice import elliptical_slice
 from .nuts import (nuts, nuts_flat, nuts_warmup_and_sample, da_init,
                    da_update, find_reasonable_step_size, NUTSStats)
 from .target import FlatTarget
+from .chees import chees_hmc_warmup_and_sample
 from .trace_translators import (transform, TraceTransform, TransformContext,
                                 DeterministicTraceTranslator,
                                 GeneralTraceTranslator,
@@ -34,6 +35,7 @@ __all__ = [
     "smc_genealogy", "reconstruct_trajectories",
     "nuts", "nuts_flat", "nuts_warmup_and_sample", "da_init", "da_update",
     "find_reasonable_step_size", "NUTSStats", "FlatTarget",
+    "chees_hmc_warmup_and_sample",
     "transform", "TraceTransform", "TransformContext",
     "DeterministicTraceTranslator", "GeneralTraceTranslator",
     "SimpleExtendingTraceTranslator", "SymmetricTraceTranslator",

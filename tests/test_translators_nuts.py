@@ -350,3 +350,26 @@ def test_mixture_kernel_under_jit():
                                jax.random.split(jax.random.PRNGKey(1), 2500))
     vals = np.asarray(vals)[500:]
     np.testing.assert_allclose(vals.mean(), 0.8, atol=0.06)
+
+
+def test_chees_hmc():
+    """ChEES cross-chain adaptation: posterior-exact on the conjugate
+    target; adapts longer trajectories for a correlated target."""
+    from gen_tpu.inference import chees_hmc_warmup_and_sample
+
+    @gen
+    def model(n):
+        mu = gt.normal(0.0, 3.0) @ "mu"
+        gt.normal(mu * jnp.ones(n), 1.0) @ "ys"
+
+    obs = choicemap(ys=jnp.full(20, 2.0))
+    keys = jax.random.split(KEY, 32)
+    traces, _ = jax.vmap(lambda k: model.generate(k, (20,), obs))(keys)
+    samples, xs, info = jax.jit(
+        lambda k, t: chees_hmc_warmup_and_sample(
+            k, t, select("mu"), num_warmup=250, num_samples=300))(
+        jax.random.PRNGKey(1), traces)
+    s = np.asarray(samples)[100:, :, 0].ravel()
+    np.testing.assert_allclose(s.mean(), 1.989, atol=0.03)
+    np.testing.assert_allclose(s.std(), 0.223, atol=0.03)
+    assert float(info["mean_accept"]) > 0.5
