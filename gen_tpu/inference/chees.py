@@ -77,15 +77,17 @@ def chees_hmc_warmup_and_sample(key, traces, selection: Selection,
     logps0, grads0 = jax.vmap(vag)(xs0)
 
     def one_iteration(carry, inp):
-        xs, logps, grads, da, chees = carry
+        xs, logps, grads, da, chees, streak = carry
         m, k = inp
-        eps = jnp.exp(da.log_eps)
+        eps = jnp.exp(jnp.clip(da.log_eps, -20.0, 10.0))
         traj = jnp.exp(chees.log_t)
         u = _halton(m)
-        n_leap = jnp.maximum(
-            1, jnp.round(u * traj / eps)).astype(jnp.int32)
+        # NaN-safe + capped: a diverged warmup iterate must never produce
+        # n_leap=0 (identity proposals -> accept=1 -> runaway step size).
+        ratio = jnp.nan_to_num(u * traj / eps, nan=1.0, posinf=1000.0)
+        n_leap = jnp.round(jnp.clip(ratio, 1.0, 1000.0)).astype(jnp.int32)
 
-        k_mom, k_acc = jax.random.split(k)
+        k_mom, k_acc, k_tel = jax.random.split(k, 3)
         momenta = jax.random.normal(k_mom, (n_chains, dim), xs.dtype)
 
         def leap_body(i, state):
@@ -100,10 +102,14 @@ def chees_hmc_warmup_and_sample(key, traces, selection: Selection,
             0, n_leap, leap_body, (xs, momenta, grads))
         lp_new = jax.vmap(lambda x: vag(x)[0])(x_new)
 
+        finite = (jnp.isfinite(lp_new)
+                  & jnp.all(jnp.isfinite(x_new), axis=1)
+                  & jnp.all(jnp.isfinite(mom_new), axis=1))
         log_alpha = (lp_new - logps
                      - 0.5 * jnp.sum(mom_new ** 2, axis=1)
                      + 0.5 * jnp.sum(momenta ** 2, axis=1))
-        log_alpha = jnp.where(jnp.isnan(log_alpha), -jnp.inf, log_alpha)
+        log_alpha = jnp.where(finite & ~jnp.isnan(log_alpha),
+                              log_alpha, -jnp.inf)
         alpha = jnp.minimum(1.0, jnp.exp(log_alpha))
         accept = (jnp.log(jax.random.uniform(k_acc, (n_chains,)))
                   < log_alpha)
@@ -115,16 +121,35 @@ def chees_hmc_warmup_and_sample(key, traces, selection: Selection,
         # dual averaging on eps
         da = da_update(da, jnp.mean(alpha), target_accept)
 
-        # ChEES gradient on log T
+        # ChEES gradient on log T.  Diverged chains (non-finite ends) are
+        # replaced by their start points so cross-chain means stay finite;
+        # their alpha is 0 so they contribute nothing — without this mask
+        # 0 * NaN = NaN poisons ghat and the whole adaptation.
+        x_stat = jnp.where(finite[:, None], x_new, xs)
+        mom_stat = jnp.where(finite[:, None], mom_new, 0.0)
         xbar = jnp.mean(xs, axis=0)
-        xbar_new = jnp.mean(x_new, axis=0)
+        xbar_new = jnp.mean(x_stat, axis=0)
         d_old = jnp.sum((xs - xbar) ** 2, axis=1)
-        d_new = jnp.sum((x_new - xbar_new) ** 2, axis=1)
+        d_new = jnp.sum((x_stat - xbar_new) ** 2, axis=1)
         delta = d_new - d_old
-        dot = jnp.sum((x_new - xbar_new) * mom_new, axis=1)
+        dot = jnp.sum((x_stat - xbar_new) * mom_stat, axis=1)
         per_chain = delta * dot * u
         ghat = (jnp.sum(alpha * per_chain)
                 / jnp.maximum(jnp.sum(alpha), 1e-6))
+        ghat = jnp.nan_to_num(ghat)
+
+        # Warmup-only teleport: a chain initialized in a region whose
+        # curvature exceeds the adapted step size rejects forever (classic
+        # fixed-eps HMC failure).  After 10 consecutive rejections, jump it
+        # to a uniformly random other chain's position.  Warmup need not
+        # preserve the target; the sampling phase below is pure MH.
+        streak = jnp.where(accept, 0, streak + 1)
+        stuck = streak >= 10
+        idx = jax.random.randint(k_tel, (n_chains,), 0, n_chains)
+        xs_out = jnp.where(stuck[:, None], xs_out[idx], xs_out)
+        logps_out = jnp.where(stuck, logps_out[idx], logps_out)
+        grads_out = jnp.where(stuck[:, None], grads_out[idx], grads_out)
+        streak = jnp.where(stuck, 0, streak)
         # normalized-gradient Adam ascent on log T
         g_norm = ghat / (jnp.abs(ghat) + 1e-12) * jnp.minimum(
             jnp.abs(ghat), 1e3)
@@ -137,7 +162,7 @@ def chees_hmc_warmup_and_sample(key, traces, selection: Selection,
         # keep trajectories sane: between eps and 1000*eps
         log_t = jnp.clip(log_t, da.log_eps, da.log_eps + jnp.log(1000.0))
         chees = CheesState(log_t, am, av, t + 1)
-        return (xs_out, logps_out, grads_out, da, chees), None
+        return (xs_out, logps_out, grads_out, da, chees, streak), None
 
     def sample_iteration(carry, inp):
         (xs, logps, grads, eps, n_leap), k = carry, inp
@@ -155,10 +180,13 @@ def chees_hmc_warmup_and_sample(key, traces, selection: Selection,
         x_new, mom_new, g_new = jax.lax.fori_loop(
             0, n_leap, leap_body, (xs, momenta, grads))
         lp_new = jax.vmap(lambda x: vag(x)[0])(x_new)
+        finite = (jnp.isfinite(lp_new)
+                  & jnp.all(jnp.isfinite(x_new), axis=1))
         log_alpha = (lp_new - logps
                      - 0.5 * jnp.sum(mom_new ** 2, axis=1)
                      + 0.5 * jnp.sum(momenta ** 2, axis=1))
-        log_alpha = jnp.where(jnp.isnan(log_alpha), -jnp.inf, log_alpha)
+        log_alpha = jnp.where(finite & ~jnp.isnan(log_alpha),
+                              log_alpha, -jnp.inf)
         accept = (jnp.log(jax.random.uniform(k_acc, (n_chains,)))
                   < log_alpha)
         xs = jnp.where(accept[:, None], x_new, xs)
@@ -170,14 +198,17 @@ def chees_hmc_warmup_and_sample(key, traces, selection: Selection,
     da = da_init(init_step_size)
     chees = CheesState(jnp.log(jnp.asarray(init_traj_length)),
                        jnp.asarray(0.0), jnp.asarray(0.0), jnp.asarray(1.0))
-    (xs, logps, grads, da, chees), _ = jax.lax.scan(
-        one_iteration, (xs0, logps0, grads0, da, chees),
+    streak0 = jnp.zeros(n_chains, jnp.int32)
+    (xs, logps, grads, da, chees, _), _ = jax.lax.scan(
+        one_iteration, (xs0, logps0, grads0, da, chees, streak0),
         (jnp.arange(num_warmup), jax.random.split(k_warm, num_warmup)))
 
-    eps_final = jnp.exp(da.log_eps_bar)
+    eps_final = jnp.exp(jnp.clip(da.log_eps_bar, -20.0, 10.0))
     traj_final = jnp.exp(chees.log_t)
-    n_leap_final = jnp.maximum(
-        1, jnp.round(0.7 * traj_final / eps_final)).astype(jnp.int32)
+    ratio_final = jnp.nan_to_num(0.7 * traj_final / eps_final,
+                                 nan=1.0, posinf=1000.0)
+    n_leap_final = jnp.round(
+        jnp.clip(ratio_final, 1.0, 1000.0)).astype(jnp.int32)
 
     (xs, logps, grads, _, _), (samples, accepts) = jax.lax.scan(
         sample_iteration, (xs, logps, grads, eps_final, n_leap_final),

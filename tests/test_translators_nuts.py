@@ -373,3 +373,47 @@ def test_chees_hmc():
     np.testing.assert_allclose(s.mean(), 1.989, atol=0.03)
     np.testing.assert_allclose(s.std(), 0.223, atol=0.03)
     assert float(info["mean_accept"]) > 0.5
+
+
+def test_chees_hmc_divergence_safe():
+    """Regression test: prior-initialized chains on a heteroscedastic
+    regression target diverge during warmup.  Before the NaN-masking fix,
+    alpha=0 times a NaN ChEES statistic poisoned the trajectory adaptation
+    (log_t=NaN -> n_leap=0 -> identity moves -> accept=1 -> dual averaging
+    inflated eps to ~5e15).  Chains stuck in high-curvature prior regions
+    are teleported during warmup.  All chains must move and hit the
+    least-squares posterior."""
+    from gen_tpu.inference import chees_hmc_warmup_and_sample
+
+    n_points = 50
+    xvals = jnp.linspace(-3.0, 3.0, n_points)
+    rng = np.random.default_rng(0)
+    yvals = 0.7 * xvals - 0.4 + 0.5 * jnp.asarray(
+        rng.standard_normal(n_points))
+
+    @gen
+    def model(x):
+        slope = gt.normal(0.0, 2.0) @ "slope"
+        intercept = gt.normal(0.0, 2.0) @ "intercept"
+        log_noise = gt.normal(0.0, 1.0) @ "log_noise"
+        gt.normal(slope * x + intercept, jnp.exp(log_noise)) @ "ys"
+
+    obs = choicemap(ys=yvals)
+    sel = select("slope", "intercept", "log_noise")
+    keys = jax.random.split(jax.random.PRNGKey(0), 128)
+    traces, _ = jax.vmap(lambda k: model.generate(k, (xvals,), obs))(keys)
+    samples, _, info = jax.jit(
+        lambda k, t: chees_hmc_warmup_and_sample(
+            k, t, sel, num_warmup=300, num_samples=200))(
+        jax.random.PRNGKey(2), traces)
+    eps = float(info["step_size"])
+    assert np.isfinite(eps) and 1e-4 < eps < 1.0, eps
+    assert int(info["num_leapfrogs"]) >= 1
+    s = np.asarray(samples)  # sorted addrs: intercept, log_noise, slope
+    assert np.isfinite(s).all()
+    moved = s[:, :, 2].std(axis=0) > 0.01
+    assert moved.all(), f"{(~moved).sum()} chains never moved"
+    A = np.stack([np.asarray(xvals), np.ones(n_points)], 1)
+    coef, *_ = np.linalg.lstsq(A, np.asarray(yvals), rcond=None)
+    np.testing.assert_allclose(s[50:, :, 2].mean(), coef[0], atol=0.03)
+    np.testing.assert_allclose(s[50:, :, 0].mean(), coef[1], atol=0.05)
