@@ -1,0 +1,139 @@
+"""Distributed genealogy SMC: particles sharded over a device mesh with
+explicit ICI collectives for resampling.
+
+The reference has no distributed runtime (SURVEY.md §5.8); this is the
+TPU-native design for SURVEY.md §7.3 hard-part #3 ("distributed resampling
+that is deterministic and cheap over ICI"). The key observation is the one
+behind :func:`gen_tpu.inference.smc.smc_genealogy`: resampling only needs to
+permute the O(N · state_dim) carried state plus an ancestry row — per-step
+kernel traces stay PUT on the device that produced them, and coherent
+trajectories are reconstructed once at the end from the ancestry.
+
+Collective pattern per step (all riding ICI, nothing touches the host):
+
+1. weight normalization — ``pmax`` + ``psum`` logsumexp over the particle
+   axis (the sharded analogue of inference/inference.jl:3-13),
+2. ESS — one more ``psum`` (particle_filter.jl:3-6),
+3. parent selection — ``all_gather`` of the (N,) normalized log weights
+   (4N bytes — negligible next to state), after which every device computes
+   the SAME global systematic-resampling parent vector from a shared
+   uniform; no scatter, deterministic across devices by construction,
+4. state exchange — ``all_gather`` of the carried state (N · state_dim),
+   then each device takes the slice its new parents name. The per-step
+   traffic is independent of both trace size and history length.
+
+Weight/log-ML bookkeeping is identical to the single-chip
+``smc_genealogy``; a 1-device mesh reproduces it exactly.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..combinators.vector import VectorChoiceMap
+from ..gfi import GenerativeFunction
+
+
+def _global_logsumexp(x_local, axis: str):
+    """logsumexp over a sharded axis: pmax for the shift, psum for the sum."""
+    m = jax.lax.pmax(jnp.max(x_local), axis)
+    s = jax.lax.psum(jnp.sum(jnp.exp(x_local - m)), axis)
+    return m + jnp.log(s)
+
+
+def sharded_smc_genealogy(key, kernel: GenerativeFunction, init_state,
+                          params: Tuple, observations: VectorChoiceMap,
+                          num_particles: int, mesh: Mesh,
+                          axis: str = "particles",
+                          ess_threshold: Optional[float] = None):
+    """Particle-sharded genealogy particle filter over an Unfold-style
+    kernel ``(t, state, *params) -> state``.
+
+    Returns ``(subtraces, ancestry, log_weights, log_ml_estimate)`` with the
+    same meaning as :func:`gen_tpu.inference.smc.smc_genealogy` — subtraces
+    time-major (T, N, ...) sharded over particles, ancestry (T, N) holding
+    GLOBAL parent indices, log_weights (N,).
+    """
+    n_dev = mesh.shape[axis]
+    if num_particles % n_dev != 0:
+        raise ValueError(
+            f"num_particles={num_particles} must divide over the "
+            f"{n_dev}-device '{axis}' mesh axis")
+    n = num_particles
+    n_local = n // n_dev
+    T = observations.length
+    if ess_threshold is None:
+        ess_threshold = n / 2
+    obs_inner = observations.inner
+
+    def run(key, obs_inner):
+        dev = jax.lax.axis_index(axis)
+        base = dev * n_local
+        local_ids = base + jnp.arange(n_local)
+        k_init, k_scan = jax.random.split(key)
+
+        def step(carry, inp):
+            states, log_w, log_ml = carry
+            t, k = inp
+            k_res, k_ext = jax.random.split(k)
+
+            # 1-2. global normalization + ESS (psum/pmax collectives)
+            log_total = _global_logsumexp(log_w, axis)
+            lnw = log_w - log_total
+            ess = 1.0 / jax.lax.psum(jnp.sum(jnp.exp(2.0 * lnw)), axis)
+            do = (ess < ess_threshold) & (t > 0)
+
+            # 3. parents: gather the (N,) weights, every device computes the
+            #    same global systematic parent vector (shared u ⇒ identical)
+            lnw_g = jax.lax.all_gather(lnw, axis, tiled=True)
+            from ..ops.resample import systematic_resample
+            u = jax.random.uniform(k_res)
+            parents_g = systematic_resample(lnw_g, u)
+            parents_g = jnp.where(do, parents_g, jnp.arange(n))
+            parents_local = jax.lax.dynamic_slice(parents_g, (base,),
+                                                  (n_local,))
+
+            # 4. state exchange: gather carried state, slice by new parents
+            states = jax.tree_util.tree_map(
+                lambda x: jax.lax.all_gather(x, axis,
+                                             tiled=True)[parents_local],
+                states)
+            log_w = jnp.where(do, jnp.zeros(n_local), log_w)
+            log_ml = jnp.where(do, log_ml + log_total - jnp.log(n), log_ml)
+
+            obs_t = jax.tree_util.tree_map(
+                lambda x: jax.lax.dynamic_index_in_dim(x, t, keepdims=False),
+                obs_inner)
+            ks = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(
+                k_ext, local_ids)
+            subs, ws = jax.vmap(
+                lambda kk, s: kernel.generate(kk, (t, s) + tuple(params),
+                                              obs_t))(ks, states)
+            return ((subs.get_retval(), log_w + ws, log_ml),
+                    (subs, parents_local))
+
+        # the carried state varies per device; mark the (replicated-valued)
+        # initial carry as varying over the particle axis so scan types check
+        varying = lambda x: jax.lax.pcast(x, (axis,), to="varying")
+        init_states = jax.tree_util.tree_map(
+            lambda x: varying(jnp.broadcast_to(
+                jnp.asarray(x), (n_local,) + jnp.shape(jnp.asarray(x)))),
+            init_state)
+        ts = jnp.arange(T)
+        keys = jax.random.split(k_scan, T)
+        (states, log_w, log_ml), (subtraces, ancestry) = jax.lax.scan(
+            step, (init_states, varying(jnp.zeros(n_local)),
+                   jnp.asarray(0.0)),
+            (ts, keys))
+        final_lml = log_ml + _global_logsumexp(log_w, axis) - jnp.log(n)
+        return subtraces, ancestry, log_w, final_lml
+
+    shard = jax.shard_map(
+        run, mesh=mesh,
+        in_specs=(P(), P()),
+        out_specs=(P(None, axis), P(None, axis), P(axis), P()))
+    return jax.jit(shard)(key, obs_inner)

@@ -1,0 +1,75 @@
+"""Distributed (particle-sharded) genealogy SMC: collective resampling over
+the mesh must be exact (HMM forward-algorithm check, the reference's PF test
+strategy at test/inference/particle_filter.jl:1-170) and device-count
+invariant (1-device and 8-device meshes produce the same numbers)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import gen_tpu as gt
+from gen_tpu import Unfold, gen
+from gen_tpu.combinators.vector import VectorChoiceMap
+from gen_tpu.inference import reconstruct_trajectories
+from gen_tpu.parallel import chain_mesh, sharded_smc_genealogy
+
+KEY = jax.random.PRNGKey(7)
+
+TRANS = np.array([[0.7, 0.3], [0.2, 0.8]])
+EMIT = np.array([[0.9, 0.1], [0.4, 0.6]])
+INIT = np.array([0.6, 0.4])
+OBS_SEQ = np.array([0, 0, 1, 1, 0, 1, 0, 0])
+
+
+@gen
+def hmm_kernel(t, prev_z):
+    probs = jnp.where(t == 0, jnp.asarray(INIT), jnp.asarray(TRANS)[prev_z])
+    z = gt.categorical(probs) @ "z"
+    gt.categorical(jnp.asarray(EMIT)[z]) @ "y"
+    return z
+
+
+HMM = Unfold(hmm_kernel)
+OBS = VectorChoiceMap(gt.ChoiceMap().set_value("y", jnp.asarray(OBS_SEQ)),
+                      len(OBS_SEQ))
+
+
+def exact_log_ml(obs):
+    alpha = INIT * EMIT[:, obs[0]]
+    log_ml = 0.0
+    for t in range(1, len(obs)):
+        s = alpha.sum()
+        log_ml += np.log(s)
+        alpha = (alpha / s) @ TRANS * EMIT[:, obs[t]]
+    return log_ml + np.log(alpha.sum())
+
+
+def test_sharded_smc_matches_forward_algorithm():
+    mesh = chain_mesh(8, axis="particles")
+    _, _, _, lml = sharded_smc_genealogy(
+        KEY, hmm_kernel, 0, (), OBS, 4096, mesh)
+    assert abs(float(lml) - exact_log_ml(OBS_SEQ)) < 0.05
+
+
+def test_sharded_smc_device_count_invariant():
+    out8 = sharded_smc_genealogy(
+        KEY, hmm_kernel, 0, (), OBS, 64, chain_mesh(8, axis="particles"))
+    out1 = sharded_smc_genealogy(
+        KEY, hmm_kernel, 0, (), OBS, 64, chain_mesh(1, axis="particles"))
+    for a, b in zip(jax.tree_util.tree_leaves(out8),
+                    jax.tree_util.tree_leaves(out1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=1e-9)
+
+
+def test_sharded_smc_trajectories_coherent():
+    mesh = chain_mesh(8, axis="particles")
+    subs, ancestry, log_w, _ = sharded_smc_genealogy(
+        KEY, hmm_kernel, 0, (), OBS, 64, mesh)
+    assert ancestry.shape == (len(OBS_SEQ), 64)
+    trajs = reconstruct_trajectories(subs, ancestry)
+    zs = trajs.get_choices().get_value("z")  # (T, N)
+    # coherence: re-scoring trajectory j step by step must reproduce a
+    # valid markov history — check the state threading matches retvals
+    retvals = trajs.get_retval()
+    np.testing.assert_array_equal(np.asarray(zs), np.asarray(retvals))
