@@ -143,6 +143,18 @@ class SwitchCombinator(GenerativeFunction):
     def has_argument_grads(self):
         return None
 
+    def _promote(self, key, trace: "SwitchTrace") -> "AllBranchesSwitchTrace":
+        """Lift a concrete-index trace into the all-branches universe (needed
+        when update/regenerate is called with a traced index). The fresh
+        sibling universes never contribute to selected outputs: every
+        prev-dependent quantity selects by the STATIC previous index."""
+        bargs = tuple(trace.args[1:])
+        keys = jax.random.split(key, len(self.branches))
+        subs = [trace.branch_trace if i == trace.index
+                else b.simulate(keys[i], bargs)
+                for i, b in enumerate(self.branches)]
+        return AllBranchesSwitchTrace(self, trace.index, subs, trace.args)
+
     # -- GFI --------------------------------------------------------------
 
     def simulate(self, key, args: Tuple):
@@ -206,23 +218,56 @@ class SwitchCombinator(GenerativeFunction):
             return (SwitchTrace(self, int(index), sub, args), weight,
                     UnknownChange, discard)
 
-        # traced-index mode: update every branch, select weight by index
+        if isinstance(trace, SwitchTrace):  # traced index, concrete prev
+            key, k_promote = jax.random.split(key)
+            trace = self._promote(k_promote, trace)
+
+        # traced-index mode (masked universe): run BOTH the same-index
+        # update and the changed-index generate-with-inherited-choices for
+        # every branch, then select per branch by (index == b) & ~same.
+        # Semantics per branch match the concrete-index path exactly
+        # (reference update_recurse_merge, switch/update.jl:13-60), with
+        # presence expressed as MaskedValue flags instead of host branching.
         if isinstance(trace, AllBranchesSwitchTrace):
-            keys = jax.random.split(key, len(self.branches)) \
-                if key is not None else [None] * len(self.branches)
+            from ..masked import MaskedValue
+            nb = len(self.branches)
+            prev_index = trace.index
+            prev_maps = [t.get_choices() for t in trace.branch_traces]
+            same = jnp.asarray(index == prev_index)
+            keys = jax.random.split(key, 2 * nb) if key is not None \
+                else [None] * (2 * nb)
             outs = [b.update(k, t, bargs, bdiffs, constraints)
                     for b, t, k in zip(self.branches, trace.branch_traces,
-                                       keys)]
-            subs = [o[0] for o in outs]
+                                       keys[:nb])]
             ws = jnp.stack([o[1] for o in outs])
-            same = index == trace.index if not _is_concrete_index(index) \
-                else jnp.asarray(index == trace.index)
-            # index changes with traced indexes: weight = new_score - prev
-            new_scores = jnp.stack([s.get_score() for s in subs])
-            changed_w = new_scores[index] - trace.get_score()
-            weight = jnp.where(same, ws[index], changed_w)
+
+            # changed-index: generate branch b constrained by the (traced)
+            # previous branch's compatible choices under explicit constraints
+            gens = []
+            for b_idx, branch in enumerate(self.branches):
+                merged = constraints.copy()
+                for path, tval in prev_maps[b_idx].leaf_items():
+                    if constraints.has_value(path):
+                        continue
+                    mv = _masked_prev_value(prev_maps, prev_index, path,
+                                            template=tval)
+                    if mv is not None:
+                        merged.set_value(path, MaskedValue(*mv))
+                gens.append(branch.generate(keys[nb + b_idx], bargs, merged))
+            gen_ws = jnp.stack([g[1] for g in gens])
+
+            subs = [jax.tree_util.tree_map(
+                        lambda g, u: jnp.where((index == b_idx) & ~same,
+                                               g, u),
+                        gens[b_idx][0], outs[b_idx][0])
+                    for b_idx in range(nb)]
+            weight = jnp.where(same, ws[index],
+                               gen_ws[index] - trace.get_score())
+            discard = _masked_switch_discard(
+                self.branches, prev_maps, prev_index, index, same,
+                constraints)
             return (AllBranchesSwitchTrace(self, index, subs, args), weight,
-                    UnknownChange, ChoiceMap())
+                    UnknownChange, discard)
         raise TypeError(f"unexpected trace type {type(trace).__name__}")
 
     def regenerate(self, key, trace, args: Tuple, argdiffs: Tuple,
@@ -236,26 +281,153 @@ class SwitchCombinator(GenerativeFunction):
                 sub, w, rd = self.branches[int(index)].regenerate(
                     key, trace.branch_trace, bargs, bdiffs, selection)
                 return SwitchTrace(self, int(index), sub, args), w, rd
-            # index change (reference switch/regenerate.jl:12-33):
-            # constrain the new branch with the retained (unselected) choices
+            # index change: constrain the new branch with the retained
+            # (unselected) choices; weight = gen_w − Σ prev scores of the
+            # retained choices the new branch actually consumed. This is
+            # the GFI contract weight log q(t;u',x) − log q(t';u,x')
+            # (gen_fn_interface.jl:292-334): selected and dropped terms
+            # cancel against the internal forward/backward proposals.
+            # DELIBERATE DEVIATION from reference switch/regenerate.jl:20-24,
+            # whose ±project(selection) / full-complement terms double-count
+            # the selected choices (verified biased by the mixture-posterior
+            # MH test in tests/test_switch_distdsl.py).
             retained = trace.get_choices().filter(selection.complement())
             sub, gen_w = self.branches[int(index)].generate(key, bargs,
                                                             retained)
-            weight = (gen_w - trace.project(selection.complement())
-                      + sub.project(selection) - trace.project(selection))
-            return (SwitchTrace(self, int(index), sub, args), weight,
+            from ..selection import select as select_addrs
+            new_choices = sub.get_choices()
+            consumed = [p for p, _ in retained.leaf_items()
+                        if new_choices.has_value(p)]
+            back = trace.project(select_addrs(*consumed)) if consumed \
+                else jnp.asarray(0.0)
+            return (SwitchTrace(self, int(index), sub, args), gen_w - back,
                     UnknownChange)
 
+        if isinstance(trace, SwitchTrace):  # traced index, concrete prev
+            key, k_promote = jax.random.split(key)
+            trace = self._promote(k_promote, trace)
+
         if isinstance(trace, AllBranchesSwitchTrace):
-            keys = jax.random.split(key, len(self.branches))
+            from ..masked import MaskedValue
+            nb = len(self.branches)
+            prev_index = trace.index
+            prev_maps = [t.get_choices() for t in trace.branch_traces]
+            same = jnp.asarray(index == prev_index)
+            keys = jax.random.split(key, 2 * nb)
             outs = [b.regenerate(k, t, bargs, bdiffs, selection)
                     for b, t, k in zip(self.branches, trace.branch_traces,
-                                       keys)]
-            subs = [o[0] for o in outs]
+                                       keys[:nb])]
             ws = jnp.stack([o[1] for o in outs])
+
+            # changed-index: generate branch b constrained with the prev
+            # branch's retained (unselected, shape-compatible) choices;
+            # weight = gen_w − Σ prev scores of the retained choices the new
+            # branch consumed (the GFI contract weight — see the concrete-
+            # index path above for why this deviates from the reference).
+            from ..selection import select as select_addrs
+            gens = []
+            back_terms = []
+            for b_idx, branch in enumerate(self.branches):
+                retained = ChoiceMap()
+                back = jnp.asarray(0.0)
+                for path, tval in prev_maps[b_idx].leaf_items():
+                    if path in selection:
+                        continue
+                    mv = _masked_prev_value(prev_maps, prev_index, path,
+                                            template=tval)
+                    if mv is not None:
+                        retained.set_value(path, MaskedValue(*mv))
+                        back = back + jnp.where(
+                            mv[1], trace.project(select_addrs(path)), 0.0)
+                gens.append(branch.generate(keys[nb + b_idx], bargs,
+                                            retained))
+                back_terms.append(back)
+            gen_ws = jnp.stack([g[1] for g in gens])
+            changed_w = gen_ws[index] - jnp.stack(back_terms)[index]
+
+            subs = [jax.tree_util.tree_map(
+                        lambda g, u: jnp.where((index == b_idx) & ~same,
+                                               g, u),
+                        gens[b_idx][0], outs[b_idx][0])
+                    for b_idx in range(nb)]
+            weight = jnp.where(same, ws[index], changed_w)
             return (AllBranchesSwitchTrace(self, index, subs, args),
-                    ws[index], UnknownChange)
+                    weight, UnknownChange)
         raise TypeError(f"unexpected trace type {type(trace).__name__}")
+
+
+def _aval(x):
+    x = jnp.asarray(x)
+    return (jnp.shape(x), x.dtype)
+
+
+def _masked_prev_value(prev_maps, prev_index, path, template=None):
+    """(value, flag) for ``path`` under the traced previous branch index.
+
+    Only branches storing a value shape/dtype-compatible with ``template``
+    can donate; ``flag`` is False when the prev branch has no compatible
+    value (so a MaskedValue constraint built from this samples fresh).
+    Returns None when no branch can donate at all."""
+    donors = [i for i, m in enumerate(prev_maps) if m.has_value(path)]
+    if template is not None:
+        t = _aval(template)
+        donors = [i for i in donors
+                  if _aval(prev_maps[i].get_value(path)) == t]
+    else:
+        avals = {_aval(prev_maps[i].get_value(path)) for i in donors}
+        if len(avals) > 1:
+            raise NotImplementedError(
+                f"Switch with a traced index: address {path!r} has "
+                f"different shapes/dtypes across branches ({avals}); the "
+                "discard cannot hold a single select-able value. Use a "
+                "concrete index, or pad the branches to a common shape.")
+    if not donors:
+        return None
+    vals = [jnp.asarray(prev_maps[i].get_value(path)) for i in donors]
+    conds = [prev_index == i for i in donors]
+    value = vals[0] if len(vals) == 1 else jnp.select(conds, vals, vals[0])
+    flag = conds[0]
+    for c in conds[1:]:
+        flag = flag | c
+    return value, flag
+
+
+def _masked_switch_discard(branches, prev_maps, prev_index, index, same,
+                           constraints: ChoiceMap) -> ChoiceMap:
+    """Traced-index discard: previous-branch choices overwritten by
+    constraints, or (on an index change) absent from the new branch —
+    presence expressed as MaskedValue flags (reference
+    switch/update.jl:59-79 marginalized over the traced indices)."""
+    from ..masked import MaskedValue
+    paths = []
+    seen = set()
+    for m in prev_maps:
+        for path, _ in m.leaf_items():
+            if path not in seen:
+                seen.add(path)
+                paths.append(path)
+    discard = ChoiceMap()
+    for path in paths:
+        value, has_prev = _masked_prev_value(prev_maps, prev_index, path)
+        if constraints.has_value(path):
+            cv = constraints.get_value(path)
+            const_flag = cv.flag if isinstance(cv, MaskedValue) \
+                else jnp.asarray(True)
+        else:
+            const_flag = jnp.asarray(False)
+        # which NEW branches lack a compatible slot for this path (static)
+        aval = _aval(value)
+        lacking = [b for b, m in enumerate(prev_maps)
+                   if not (m.has_value(path)
+                           and _aval(m.get_value(path)) == aval)]
+        lacks_new = jnp.asarray(False)
+        for b in lacking:
+            lacks_new = lacks_new | (index == b)
+        flag = has_prev & (const_flag | (~same & lacks_new))
+        if not isinstance(flag, jax.core.Tracer) and not bool(flag):
+            continue  # statically never discarded — keep the map empty
+        discard.set_value(path, MaskedValue(value, flag))
+    return discard
 
 
 def _switch_discard(prev_choices: ChoiceMap, constraints: ChoiceMap,

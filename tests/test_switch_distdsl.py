@@ -101,6 +101,120 @@ class TestSwitch:
         assert abs(vals[idxs == 0].mean()) < 0.5
         assert abs(vals[np.asarray(idxs) == 1].mean() - 5.0) < 0.5
 
+    def test_traced_index_update_change_exact_weight(self):
+        """Traced-index index-change update must match the concrete-index
+        semantics: inherit shared addresses, weight = gen_w - prev_score,
+        masked discard of dropped addresses."""
+        def run(key, prev_idx, new_idx):
+            k1, k2 = jax.random.split(key)
+            tr, _ = sw.generate(k1, (prev_idx, 1.0),
+                                choicemap(x=0.5, y=0.2))
+            new_tr, w, _, disc = sw.update(
+                k2, tr, (new_idx, 1.0), (gt.UnknownChange, gt.NoChange),
+                choicemap())
+            return new_tr, w, disc
+
+        new_tr, w, disc = jax.jit(run)(KEY, jnp.asarray(1), jnp.asarray(0))
+        # x inherited from branch b into branch a
+        np.testing.assert_allclose(new_tr["x"], 0.5)
+        expected = N(0.5, 1.0, 1.0) - (N(0.5, 1.0, 2.0) + N(0.2, 0.5, 0.5))
+        np.testing.assert_allclose(w, expected, rtol=1e-12)
+        # y dropped by branch a -> masked-discarded; x inherited -> flag off
+        dy = disc.get_value("y")
+        assert bool(dy.flag) and float(dy.value) == pytest.approx(0.2)
+        dx = disc.get_value("x")
+        assert not bool(dx.flag)
+
+        # same index under jit: no constraints, no arg change -> weight 0
+        _, w_same, disc_same = jax.jit(run)(KEY, jnp.asarray(1),
+                                            jnp.asarray(1))
+        np.testing.assert_allclose(w_same, 0.0, atol=1e-12)
+        for _, v in disc_same.leaf_items():
+            assert not bool(v.flag)
+
+    def test_traced_index_regenerate_change_exact_weight(self):
+        """Traced-index index-change regenerate: retained (unselected)
+        choices constrain the new branch; weight matches the concrete-index
+        formula."""
+        def run(key, prev_idx, new_idx):
+            k1, k2 = jax.random.split(key)
+            tr, _ = sw.generate(k1, (prev_idx, 1.0), choicemap(x=0.5))
+            new_tr, w, _ = sw.regenerate(
+                k2, tr, (new_idx, 1.0), (gt.UnknownChange, gt.NoChange),
+                select("x"))
+            return new_tr, w
+
+        new_tr, w = jax.jit(run)(KEY, jnp.asarray(0), jnp.asarray(1))
+        x_new = float(new_tr["x"])
+        # x selected (resampled from the new branch's prior -> cancels), y
+        # fresh in the new branch (cancels), nothing retained -> weight 0
+        # (GFI contract weight; NOT the reference's ±project(sel) formula,
+        # which the mixture-posterior test below shows is biased)
+        np.testing.assert_allclose(w, 0.0, atol=1e-12)
+        assert x_new != pytest.approx(0.5)  # x was resampled
+
+        # retained-choice case: select nothing, change the index; x carries
+        # over and is re-scored, y is fresh -> weight = lp_b(x) - lp_a(x)
+        def run2(key, prev_idx, new_idx):
+            k1, k2 = jax.random.split(key)
+            tr, _ = sw.generate(k1, (prev_idx, 1.0), choicemap(x=0.5))
+            new_tr, w, _ = sw.regenerate(
+                k2, tr, (new_idx, 1.0), (gt.UnknownChange, gt.NoChange),
+                select("nothing"))
+            return new_tr, w
+
+        new_tr2, w2 = jax.jit(run2)(KEY, jnp.asarray(0), jnp.asarray(1))
+        np.testing.assert_allclose(new_tr2["x"], 0.5)
+        np.testing.assert_allclose(
+            w2, N(0.5, 1.0, 2.0) - N(0.5, 1.0, 1.0), rtol=1e-12)
+
+    def test_traced_switch_mixture_mh_unbiased(self):
+        """End-to-end stationarity: selection-MH over a 2-component mixture
+        whose component is a traced-index Switch must recover the exact
+        posterior P(z=1|obs). This is the test that catches the reference's
+        biased index-change regenerate weight (switch/regenerate.jl:20-24)."""
+        @gen
+        def c0():
+            return gt.normal(-2.0, 1.0) @ "v"
+
+        @gen
+        def c1():
+            return gt.normal(2.0, 1.0) @ "v"
+
+        sw2 = Switch(c0, c1)
+
+        @gen
+        def mixture():
+            z = gt.bernoulli(0.5) @ "z"
+            v = sw2(jnp.int32(z)) @ "b"
+            gt.normal(v, 0.5) @ "obs"
+
+        obs = choicemap(obs=1.2)
+        sel = select("z", ("b", "v"))
+
+        def one_chain(key):
+            k0, k1 = jax.random.split(key)
+            tr, _ = mixture.generate(k0, (), obs)
+
+            def body(t, k):
+                ka, kb = jax.random.split(k)
+                new_t, w, _ = mixture.regenerate(ka, t, (), (), sel)
+                acc = jnp.log(jax.random.uniform(kb)) < w
+                t2 = jax.tree_util.tree_map(
+                    lambda a, b: jnp.where(acc, a, b), new_t, t)
+                return t2, t2["z"]
+
+            _, zs = jax.lax.scan(body, tr, jax.random.split(k1, 4000))
+            return jnp.mean(zs[500:])
+
+        means = jax.jit(jax.vmap(one_chain))(
+            jax.random.split(jax.random.PRNGKey(42), 8))
+        p1 = float(jnp.mean(means))
+        l1 = stats.norm.pdf(1.2, 2, np.sqrt(1.25))
+        l0 = stats.norm.pdf(1.2, -2, np.sqrt(1.25))
+        exact = l1 / (l0 + l1)
+        assert abs(p1 - exact) < 0.01, (p1, exact)
+
     def test_switch_inside_model(self):
         @gen
         def model():
