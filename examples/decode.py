@@ -104,7 +104,8 @@ def gibbs_enc(key, trace, cipher):
     counts = jnp.zeros((K, K)).at[plain, cipher].add(1.0)
     logits = counts * jnp.log((1 - EMIS_EPS) + EMIS_EPS / K) \
         + (counts.sum(axis=1, keepdims=True) - counts) * jnp.log(EMIS_EPS / K)
-    new_enc = jax.random.categorical(key, logits, axis=1)
+    from gen_tpu.ops import categorical_fast
+    new_enc = categorical_fast(key, logits)
     new_trace, _, _, _ = trace.update(None, choicemap(enc=new_enc))
     return new_trace
 
@@ -127,7 +128,8 @@ def gibbs_plain_block(key, trace, cipher, B, pi, parity):
                       0.0,
                       logB[:, plain[right_idx]].T)
     logits = left + right + emis
-    proposal = jax.random.categorical(key, logits, axis=1)
+    from gen_tpu.ops import categorical_fast
+    proposal = categorical_fast(key, logits)
     mask = (jnp.arange(T) % 2) == parity
     new_plain = jnp.where(mask, proposal, plain)
     new_trace, _, _, _ = trace.update(None, choicemap(plain=new_plain))

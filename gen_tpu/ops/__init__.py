@@ -2,5 +2,7 @@
 jnp fallbacks off-TPU (see ops/resample.py)."""
 
 from .resample import systematic_resample, on_tpu
+from .categorical import batched_categorical, categorical_fast
 
-__all__ = ["systematic_resample", "on_tpu"]
+__all__ = ["systematic_resample", "on_tpu",
+           "batched_categorical", "categorical_fast"]
