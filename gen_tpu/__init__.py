@@ -27,6 +27,7 @@ from .dynamic import (GenFn, gen, param, trace_at, init_param, get_param,
 from .combinators import (Map, MapCombinator, Unfold, UnfoldCombinator,
                           choice_at, call_at, VectorChoiceMap,
                           vector_choicemap, Switch, SwitchCombinator, Recurse,
+                          RecurseLeveled,
                           CustomDetermGF, CustomUpdateGF, CustomGradientGF,
                           UnfoldArena, smc_run)
 from .masked import MaskedValue, mask, MaskedSelection, masked_select
@@ -50,7 +51,7 @@ __all__ = [
     "DynamicTrace", "logsumexp",
     "Map", "MapCombinator", "Unfold", "UnfoldCombinator", "choice_at",
     "call_at", "VectorChoiceMap", "vector_choicemap", "inference",
-    "Switch", "SwitchCombinator", "Recurse", "CustomDetermGF", "CustomUpdateGF",
+    "Switch", "SwitchCombinator", "Recurse", "RecurseLeveled", "CustomDetermGF", "CustomUpdateGF",
     "CustomGradientGF", "UnfoldArena", "smc_run", "MaskedValue", "mask",
     "MaskedSelection", "masked_select",
     "learning", "static_ir",

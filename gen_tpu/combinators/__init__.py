@@ -5,6 +5,7 @@ from .unfold import Unfold, UnfoldCombinator, UnfoldTrace
 from .at import choice_at, call_at, ChoiceAtCombinator, CallAtCombinator
 from .switch import Switch, SwitchCombinator, SwitchTrace
 from .recurse import Recurse, RecurseCombinator, RecurseTrace
+from .recurse_leveled import RecurseLeveled, LeveledRecurseCombinator
 from .arena import UnfoldArena, ArenaTrace, smc_run
 from .custom_determ import (CustomDetermGF, CustomUpdateGF, CustomGradientGF,
                             CustomDetermGFTrace)
@@ -19,5 +20,6 @@ __all__ = [
     "CustomDetermGF", "CustomUpdateGF", "CustomGradientGF",
     "CustomDetermGFTrace",
     "Recurse", "RecurseCombinator", "RecurseTrace",
+    "RecurseLeveled", "LeveledRecurseCombinator",
     "UnfoldArena", "ArenaTrace", "smc_run",
 ]

@@ -1,0 +1,169 @@
+"""Leveled (per-level-vmap) Recurse: must agree exactly with the per-node
+arena implementation on every GFI weight, while compiling O(D) kernel bodies
+instead of O(B^D)."""
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import gen_tpu as gt
+from gen_tpu import Recurse, RecurseLeveled, choicemap, gen, select
+
+KEY = jax.random.PRNGKey(0)
+B, D = 2, 3
+
+
+@gen
+def production(u):
+    v = gt.normal(u, 1.0) @ "v"
+    branch = gt.bernoulli(0.4) @ "branch"
+    nchild = jnp.where(branch, 2, 0)
+    child_inputs = jnp.stack([v * 0.5, v * -0.5])
+    return (v, nchild, child_inputs)
+
+
+@gen
+def aggregation(v, child_ws, nchild):
+    mask = jnp.arange(B) < nchild
+    total = v + jnp.sum(jnp.where(mask, child_ws, 0.0))
+    return total
+
+
+tree_node = Recurse(production, aggregation, B, D, w_example=jnp.asarray(0.0))
+tree_lvl = RecurseLeveled(production, aggregation, B, D,
+                          w_example=jnp.asarray(0.0))
+
+
+def _active_choices(key):
+    """A concrete simulated tree's choices (via the per-node version)."""
+    return tree_node.simulate(key, (0.0,))
+
+
+class TestLeveledRecurse:
+    def test_simulate_score_is_active_joint(self):
+        tr = tree_lvl.simulate(KEY, (0.0,))
+        expected = 0.0
+        for d in range(D):
+            act = np.asarray(tr.active[d])
+            ps = np.asarray(tr.prod_levels[d].get_score())
+            as_ = np.asarray(tr.agg_levels[d].get_score())
+            expected += (np.where(act, ps + as_, 0.0)).sum()
+        np.testing.assert_allclose(float(tr.get_score()), expected,
+                                   rtol=1e-10)
+        assert np.asarray(tr.active[0])[0]
+
+    def test_assess_matches_per_node(self):
+        for seed in range(4):
+            ref_tr = _active_choices(jax.random.PRNGKey(seed))
+            choices = ref_tr.get_choices()
+            w_node, r_node = tree_node.assess((0.0,), choices)
+            w_lvl, r_lvl = tree_lvl.assess((0.0,), choices)
+            np.testing.assert_allclose(float(w_lvl), float(w_node),
+                                       rtol=1e-12)
+            np.testing.assert_allclose(float(r_lvl), float(r_node),
+                                       rtol=1e-12)
+
+    def test_generate_weight_matches_assess_structure(self):
+        ref_tr = _active_choices(jax.random.PRNGKey(3))
+        choices = ref_tr.get_choices()
+        tr, w = tree_lvl.generate(jax.random.PRNGKey(9), (0.0,), choices)
+        # fully-constrained generate: weight == full joint == score
+        w_assess, _ = tree_lvl.assess((0.0,), choices)
+        np.testing.assert_allclose(float(w), float(w_assess), rtol=1e-12)
+        np.testing.assert_allclose(float(tr.get_score()), float(w_assess),
+                                   rtol=1e-12)
+        np.testing.assert_allclose(float(tr.get_retval()),
+                                   float(ref_tr.get_retval()), rtol=1e-12)
+
+    def test_partial_generate_weight(self):
+        """Constrain only the root's production value."""
+        cons = gt.ChoiceMap().set_value((0, "production", "v"), 0.7)
+        tr, w = tree_lvl.generate(KEY, (0.0,), cons)
+        from scipy import stats
+        np.testing.assert_allclose(float(w),
+                                   stats.norm.logpdf(0.7, 0.0, 1.0),
+                                   rtol=1e-10)
+        assert float(tr[(0, "production", "v")]) == pytest.approx(0.7)
+
+    def test_update_grow_shrink(self):
+        # force a single-node tree, then grow it via the root's branch flag
+        cons = gt.ChoiceMap()
+        cons.set_value((0, "production", "v"), 0.3)
+        cons.set_value((0, "production", "branch"), False)
+        tr, _ = tree_lvl.generate(KEY, (0.0,), cons)
+        assert not np.asarray(tr.active[1]).any()
+
+        grow = gt.ChoiceMap().set_value((0, "production", "branch"), True)
+        new_tr, w, _, disc = tree_lvl.update(jax.random.PRNGKey(1), tr,
+                                             (0.0,), (gt.NoChange,), grow)
+        assert np.asarray(new_tr.active[1]).sum() == 2
+        # weight: branch flip rescored + newly-active children generated
+        # with no constraints contribute 0 each; verify against the score
+        # identity: w == new_score - old_score - (score of fresh choices)
+        from scipy import stats
+        lp_t = np.log(0.4)
+        lp_f = np.log(0.6)
+        fresh = 0.0
+        for d in range(1, D):
+            act = np.asarray(new_tr.active[d])
+            ps = np.asarray(new_tr.prod_levels[d].get_score())
+            as_ = np.asarray(new_tr.agg_levels[d].get_score())
+            fresh += np.where(act, ps + as_, 0.0).sum()
+        expected = (lp_t - lp_f)
+        got_minus_fresh = float(new_tr.get_score()) - float(
+            tr.get_score()) - fresh
+        np.testing.assert_allclose(float(w), expected, rtol=1e-10)
+        np.testing.assert_allclose(got_minus_fresh, expected, rtol=1e-10)
+        # the overwritten branch flag lands in the discard
+        assert not bool(disc.get_value((0, "production", "branch")))
+
+        # shrink back: discard holds the dropped subtree's choices
+        shrink = gt.ChoiceMap().set_value((0, "production", "branch"), False)
+        back_tr, w2, _, disc2 = tree_lvl.update(
+            jax.random.PRNGKey(2), new_tr, (0.0,), (gt.NoChange,), shrink)
+        assert not np.asarray(back_tr.active[1]).any()
+        assert disc2.has_submap((1, "production"))
+        np.testing.assert_allclose(
+            float(w2),
+            (lp_f - lp_t) - fresh, rtol=1e-10)
+
+    def test_regenerate_uniform_selection(self):
+        tr = tree_lvl.simulate(KEY, (0.0,))
+        sel = select(*[(i, "production", "v")
+                       for i in range(tree_lvl.n_nodes)])
+        new_tr, w, _ = tree_lvl.regenerate(jax.random.PRNGKey(5), tr,
+                                           (0.0,), (gt.NoChange,), sel)
+        assert np.isfinite(float(w))
+        # structure unchanged (branch flags unselected)
+        for d in range(D):
+            np.testing.assert_array_equal(np.asarray(new_tr.active[d]),
+                                          np.asarray(tr.active[d]))
+
+    def test_gradients_through_assess(self):
+        ref_tr = _active_choices(jax.random.PRNGKey(1))
+        choices = ref_tr.get_choices()
+
+        def logp(root):
+            w, _ = tree_lvl.assess((root,), choices)
+            return w
+
+        g = jax.grad(logp)(0.0)
+        eps = 1e-6
+        fd = (logp(eps) - logp(-eps)) / (2 * eps)
+        np.testing.assert_allclose(float(g), float(fd), rtol=1e-4)
+
+    def test_compile_scales_with_depth_not_nodes(self):
+        """The leveled jaxpr grows O(D); the per-node one O(B^D)."""
+        D_big = 6
+        lvl = RecurseLeveled(production, aggregation, B, D_big,
+                             w_example=jnp.asarray(0.0))
+        node = Recurse(production, aggregation, B, D_big,
+                       w_example=jnp.asarray(0.0))
+        jx_lvl = jax.make_jaxpr(lambda k: lvl.simulate(k, (0.0,)))(KEY)
+        jx_node = jax.make_jaxpr(lambda k: node.simulate(k, (0.0,)))(KEY)
+        n_lvl = len(jx_lvl.jaxpr.eqns)
+        n_node = len(jx_node.jaxpr.eqns)
+        assert n_lvl * 4 < n_node, (n_lvl, n_node)
