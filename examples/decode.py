@@ -105,7 +105,7 @@ def gibbs_enc(key, trace, cipher):
     logits = counts * jnp.log((1 - EMIS_EPS) + EMIS_EPS / K) \
         + (counts.sum(axis=1, keepdims=True) - counts) * jnp.log(EMIS_EPS / K)
     from gen_tpu.ops import categorical_fast
-    new_enc = categorical_fast(key, logits)
+    new_enc = categorical_fast(key, logits).astype(trace["enc"].dtype)
     new_trace, _, _, _ = trace.update(None, choicemap(enc=new_enc))
     return new_trace
 
@@ -129,7 +129,7 @@ def gibbs_plain_block(key, trace, cipher, B, pi, parity):
                       logB[:, plain[right_idx]].T)
     logits = left + right + emis
     from gen_tpu.ops import categorical_fast
-    proposal = categorical_fast(key, logits)
+    proposal = categorical_fast(key, logits).astype(plain.dtype)
     mask = (jnp.arange(T) % 2) == parity
     new_plain = jnp.where(mask, proposal, plain)
     new_trace, _, _, _ = trace.update(None, choicemap(plain=new_plain))

@@ -312,6 +312,11 @@ class RecurseCombinator(GenerativeFunction):
                 (inputs[i],), choices.get_submap((i, PROD)))
             weight = weight + w
             v, nchild, child_inputs = retval
+            if self._node_depth(i) >= self.max_depth - 1:
+                # depth cap: match _walk, which zeroes nchild at the last
+                # level — the aggregation density must see the same nchild
+                # the trace was built with
+                nchild = jnp.zeros_like(nchild)
             vs[i], nchilds[i] = v, nchild
             for j in range(B):
                 ci = child_index(i, j, B)

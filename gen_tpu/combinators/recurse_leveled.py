@@ -59,6 +59,38 @@ def _bcast(x, n):
     return jnp.broadcast_to(x, (n,) + x.shape)
 
 
+def _sel_signature(sel):
+    """Structural signature of a static selection (used to check per-level
+    uniformity — repr comparison is unsound: object-identity reprs would
+    spuriously differ, content-hiding reprs would spuriously match)."""
+    from ..selection import (AllSelection, ComplementSelection,
+                             EmptySelection, HierarchicalSelection)
+    if isinstance(sel, AllSelection):
+        return ("all",)
+    if isinstance(sel, EmptySelection):
+        return ("empty",)
+    if isinstance(sel, ComplementSelection):
+        return ("compl", _sel_signature(sel.inner))
+    if isinstance(sel, HierarchicalSelection):
+        return ("hier", tuple(sorted(
+            ((k, _sel_signature(v)) for k, v in sel.subs.items()),
+            key=lambda kv: repr(kv[0]))))
+    raise NotImplementedError(
+        f"RecurseLeveled does not support {type(sel).__name__} selections "
+        "(membership must be static); use the per-node Recurse combinator.")
+
+
+def _uniform_level_subsel(selection, offs, sizes, d):
+    """The level's shared subselection if every node of level d is selected
+    identically, else None."""
+    rep = selection.subselection(offs[d])
+    sig = _sel_signature(rep)
+    for j in range(1, sizes[d]):
+        if _sel_signature(selection.subselection(offs[d] + j)) != sig:
+            return None
+    return rep
+
+
 class LeveledRecurseTrace(Trace):
     __slots__ = ("gen_fn", "args", "prod_levels", "agg_levels", "active",
                  "retval", "score", "noise")
@@ -127,7 +159,17 @@ class LeveledRecurseTrace(Trace):
                                      self.gen_fn.max_depth)
         total = jnp.asarray(0.0)
         for d in range(len(offs)):
-            for local in range(sizes[d]):
+            sub = _uniform_level_subsel(selection, offs, sizes, d)
+            if sub is not None:
+                # fast path: one vmapped project per level (O(D) graph)
+                psel = sub.subselection(PROD)
+                asel = sub.subselection(AGG)
+                p = jax.vmap(lambda t: t.project(psel))(self.prod_levels[d])
+                a = jax.vmap(lambda t: t.project(asel))(self.agg_levels[d])
+                total = total + jnp.sum(
+                    jnp.where(self.active[d], p + a, 0.0))
+                continue
+            for local in range(sizes[d]):  # node-varying selection
                 i = offs[d] + local
                 psel = selection.subselection(i).subselection(PROD)
                 asel = selection.subselection(i).subselection(AGG)
@@ -367,6 +409,10 @@ class LeveledRecurseCombinator(GenerativeFunction):
                 lambda i, c: self.production.assess((i,), c))(inp, stacked)
             weight = weight + jnp.sum(w)
             v, nchild, child_inputs = retval
+            if d >= D - 1:
+                # depth cap: match _walk — the aggregation density must see
+                # the same nchild the trace was built with
+                nchild = jnp.zeros_like(nchild)
             vs.append(v)
             nchilds.append(nchild)
             if d < D - 1:
@@ -505,15 +551,13 @@ class LeveledRecurseCombinator(GenerativeFunction):
         level must be selected identically (e.g. ``all v's``)."""
         offs, sizes = _level_offsets(self.max_branch, self.max_depth)
         for d in range(self.max_depth):
-            rep = repr(selection.subselection(offs[d]))
-            for j in range(1, sizes[d]):
-                if repr(selection.subselection(offs[d] + j)) != rep:
-                    raise NotImplementedError(
-                        "RecurseLeveled.regenerate needs a per-level uniform "
-                        f"selection; nodes {offs[d]} and {offs[d] + j} "
-                        "(same level) are selected differently. Select the "
-                        "same sub-addresses at every node of a level, or "
-                        "use the per-node Recurse combinator.")
+            if _uniform_level_subsel(selection, offs, sizes, d) is None:
+                raise NotImplementedError(
+                    "RecurseLeveled.regenerate needs a per-level uniform "
+                    f"selection; the nodes of level {d} are selected "
+                    "differently. Select the same sub-addresses at every "
+                    "node of a level, or use the per-node Recurse "
+                    "combinator.")
 
     def regenerate(self, key, trace: LeveledRecurseTrace, args: Tuple,
                    argdiffs: Tuple, selection: Selection):

@@ -219,6 +219,12 @@ class SwitchCombinator(GenerativeFunction):
                     UnknownChange, discard)
 
         if isinstance(trace, SwitchTrace):  # traced index, concrete prev
+            if key is None:
+                raise ValueError(
+                    "Switch.update with a traced index on a concrete-index "
+                    "trace requires a key: promoting to the all-branches "
+                    "universe samples the sibling branches. Build the "
+                    "initial trace under jit (traced index) or pass a key.")
             key, k_promote = jax.random.split(key)
             trace = self._promote(k_promote, trace)
 
@@ -240,6 +246,23 @@ class SwitchCombinator(GenerativeFunction):
                     for b, t, k in zip(self.branches, trace.branch_traces,
                                        keys[:nb])]
             ws = jnp.stack([o[1] for o in outs])
+            discard = _masked_switch_discard(
+                self.branches, prev_maps, prev_index, index, same,
+                constraints)
+
+            if key is None:
+                # key-free fast path (Gibbs-style updates): no sampling is
+                # allowed, so the changed-index generate-with-inheritance
+                # leg cannot run. Each universe retains its OWN unconstrained
+                # values; the index-change weight new_score − prev_score is
+                # exact when constraints cover every changed address (the
+                # key=None contract).
+                new_scores = jnp.stack([o[0].get_score() for o in outs])
+                weight = jnp.where(same, ws[index],
+                                   new_scores[index] - trace.get_score())
+                return (AllBranchesSwitchTrace(self, index,
+                                               [o[0] for o in outs], args),
+                        weight, UnknownChange, discard)
 
             # changed-index: generate branch b constrained by the (traced)
             # previous branch's compatible choices under explicit constraints
@@ -263,9 +286,6 @@ class SwitchCombinator(GenerativeFunction):
                     for b_idx in range(nb)]
             weight = jnp.where(same, ws[index],
                                gen_ws[index] - trace.get_score())
-            discard = _masked_switch_discard(
-                self.branches, prev_maps, prev_index, index, same,
-                constraints)
             return (AllBranchesSwitchTrace(self, index, subs, args), weight,
                     UnknownChange, discard)
         raise TypeError(f"unexpected trace type {type(trace).__name__}")
@@ -331,14 +351,20 @@ class SwitchCombinator(GenerativeFunction):
                 retained = ChoiceMap()
                 back = jnp.asarray(0.0)
                 for path, tval in prev_maps[b_idx].leaf_items():
-                    if path in selection:
-                        continue
+                    sflag = _sel_membership(selection, path)
+                    if sflag is True:
+                        continue  # statically selected — never retained
                     mv = _masked_prev_value(prev_maps, prev_index, path,
                                             template=tval)
-                    if mv is not None:
-                        retained.set_value(path, MaskedValue(*mv))
-                        back = back + jnp.where(
-                            mv[1], trace.project(select_addrs(path)), 0.0)
+                    if mv is None:
+                        continue
+                    val, dflag = mv
+                    # MaskedSelection: membership is a traced flag — retain
+                    # exactly where the address is NOT selected
+                    flag = dflag if sflag is False else dflag & ~sflag
+                    retained.set_value(path, MaskedValue(val, flag))
+                    back = back + jnp.where(
+                        flag, trace.project(select_addrs(path)), 0.0)
                 gens.append(branch.generate(keys[nb + b_idx], bargs,
                                             retained))
                 back_terms.append(back)
@@ -356,9 +382,22 @@ class SwitchCombinator(GenerativeFunction):
         raise TypeError(f"unexpected trace type {type(trace).__name__}")
 
 
+class _MixedAvalError(NotImplementedError):
+    """A shared address stores different shapes/dtypes across branches."""
+
+
 def _aval(x):
     x = jnp.asarray(x)
     return (jnp.shape(x), x.dtype)
+
+
+def _sel_membership(selection, path):
+    """Membership of ``path`` in a selection: a Python bool for static
+    selections, a traced flag for MaskedSelection."""
+    from ..masked import MaskedSelection
+    if isinstance(selection, MaskedSelection):
+        return selection.flag_at(path)  # traced flag, or literal False
+    return path in selection
 
 
 def _masked_prev_value(prev_maps, prev_index, path, template=None):
@@ -376,11 +415,11 @@ def _masked_prev_value(prev_maps, prev_index, path, template=None):
     else:
         avals = {_aval(prev_maps[i].get_value(path)) for i in donors}
         if len(avals) > 1:
-            raise NotImplementedError(
+            raise _MixedAvalError(
                 f"Switch with a traced index: address {path!r} has "
-                f"different shapes/dtypes across branches ({avals}); the "
-                "discard cannot hold a single select-able value. Use a "
-                "concrete index, or pad the branches to a common shape.")
+                f"different shapes/dtypes across branches ({avals}); a "
+                "single select-able value cannot represent it. Pad the "
+                "branches to a common shape, or use a concrete index.")
     if not donors:
         return None
     vals = [jnp.asarray(prev_maps[i].get_value(path)) for i in donors]
@@ -408,7 +447,22 @@ def _masked_switch_discard(branches, prev_maps, prev_index, index, same,
                 paths.append(path)
     discard = ChoiceMap()
     for path in paths:
-        value, has_prev = _masked_prev_value(prev_maps, prev_index, path)
+        try:
+            value, has_prev = _masked_prev_value(prev_maps, prev_index, path)
+        except _MixedAvalError:
+            # unrepresentable: branches disagree on this address's
+            # shape/dtype. Degrade to omitting it (the discard is
+            # best-effort in traced mode, like the concrete path's
+            # try/except) rather than failing updates that never consume
+            # the discard.
+            import warnings
+            warnings.warn(
+                f"Switch traced-index discard omits address {path!r}: "
+                "branches store different shapes/dtypes there. "
+                "Custom-proposal MH over this address will mis-weight; pad "
+                "the branches to a common shape to fix.", RuntimeWarning,
+                stacklevel=2)
+            continue
         if constraints.has_value(path):
             cv = constraints.get_value(path)
             const_flag = cv.flag if isinstance(cv, MaskedValue) \

@@ -142,6 +142,51 @@ class TestLeveledRecurse:
             np.testing.assert_array_equal(np.asarray(new_tr.active[d]),
                                           np.asarray(tr.active[d]))
 
+    def test_assess_matches_score_at_depth_cap(self):
+        """A depth-capped production that requests children: the aggregation
+        density must see nchild=0 exactly as the trace was built (the
+        review-caught bug corrupted gradients through assess)."""
+        @gen
+        def prod2(u):
+            v = gt.normal(u, 1.0) @ "v"
+            branch = gt.bernoulli(0.95) @ "branch"  # almost always asks
+            return (v, jnp.where(branch, 2, 0),
+                    jnp.stack([v * 0.5, -v * 0.5]))
+
+        @gen
+        def agg2(v, child_ws, nchild):
+            mask = jnp.arange(B) < nchild
+            w = gt.normal(v + nchild, 1.0) @ "w"  # density depends on nchild
+            return w + jnp.sum(jnp.where(mask, child_ws, 0.0))
+
+        for fn in (Recurse(prod2, agg2, B, 2, w_example=jnp.asarray(0.0)),
+                   RecurseLeveled(prod2, agg2, B, 2,
+                                  w_example=jnp.asarray(0.0))):
+            tr = fn.simulate(jax.random.PRNGKey(4), (0.0,))
+            w, _ = fn.assess((0.0,), tr.get_choices())
+            np.testing.assert_allclose(float(w), float(tr.get_score()),
+                                       rtol=1e-10)
+
+    def test_project_uniform_selection_is_leveled(self):
+        from gen_tpu.combinators.vector import tree_index
+        tr = tree_lvl.simulate(KEY, (0.0,))
+        sel = select(*[(i, "production", "v")
+                       for i in range(tree_lvl.n_nodes)])
+        got = float(tr.project(sel))
+        # independent per-node sum of the selected choice scores
+        expected = 0.0
+        v_sel = select("v")
+        for d in range(D):
+            act = np.asarray(tr.active[d])
+            for j in range(act.shape[0]):
+                if act[j]:
+                    sub = tree_index(tr.prod_levels[d], j)
+                    expected += float(sub.project(v_sel))
+        np.testing.assert_allclose(got, expected, rtol=1e-10)
+        # project(ALL) == score
+        np.testing.assert_allclose(float(tr.project(gt.selectall())),
+                                   float(tr.get_score()), rtol=1e-10)
+
     def test_gradients_through_assess(self):
         ref_tr = _active_choices(jax.random.PRNGKey(1))
         choices = ref_tr.get_choices()

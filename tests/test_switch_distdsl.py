@@ -215,6 +215,69 @@ class TestSwitch:
         exact = l1 / (l0 + l1)
         assert abs(p1 - exact) < 0.01, (p1, exact)
 
+    def test_traced_index_keyfree_update(self):
+        """key=None Gibbs-style updates must work on all-branches traces
+        (no sampling: the changed-index inheritance leg is skipped)."""
+        def run(key, idx, x_new):
+            tr, _ = sw.generate(key, (idx, 1.0), choicemap(x=0.5, y=0.2))
+            new_tr, w, _, disc = sw.update(
+                None, tr, (idx, 1.0), (gt.NoChange, gt.NoChange),
+                choicemap(x=x_new))
+            return w, disc
+
+        w, disc = jax.jit(run)(KEY, jnp.asarray(1), 0.9)
+        expected = (N(0.9, 1.0, 2.0) + N(0.2, 0.9, 0.5)
+                    - N(0.5, 1.0, 2.0) - N(0.2, 0.5, 0.5))
+        np.testing.assert_allclose(w, expected, rtol=1e-12)
+        dx = disc.get_value("x")
+        assert bool(dx.flag) and float(dx.value) == pytest.approx(0.5)
+
+    def test_traced_index_mixed_shape_update_warns_not_raises(self):
+        """Branches disagreeing on an address's shape degrade the discard
+        (with a warning) instead of failing the whole update."""
+        @gen
+        def s0():
+            return gt.normal(0.0, 1.0) @ "x"
+
+        @gen
+        def s1():
+            return jnp.sum(gt.normal(jnp.zeros(2), 1.0) @ "x")
+
+        swm = Switch(s0, s1)
+
+        def run(key, idx):
+            tr = swm.simulate(key, (idx,))
+            new_tr, w, _, _ = swm.update(
+                jax.random.fold_in(key, 1), tr, (idx,), (gt.NoChange,),
+                choicemap())
+            return w
+
+        import warnings
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)
+            w = jax.jit(run)(KEY, jnp.asarray(0))
+        np.testing.assert_allclose(w, 0.0, atol=1e-12)
+
+    def test_traced_index_masked_selection_regenerate(self):
+        """Branchless random-scan moves over a traced-index Switch."""
+        from gen_tpu.masked import masked_select
+
+        def run(key, idx, flag):
+            k1, k2 = jax.random.split(key)
+            tr, _ = sw.generate(k1, (idx, 1.0), choicemap(x=0.5))
+            new_tr, w, _ = sw.regenerate(
+                k2, tr, (idx, 1.0), (gt.NoChange, gt.NoChange),
+                masked_select(x=flag))
+            return new_tr["x"] if False else (w, new_tr.branch_traces)
+
+        w, _ = jax.jit(lambda k, i, f: run(k, i, f)[0:2])(
+            KEY, jnp.asarray(0), jnp.asarray(True))
+        assert np.isfinite(float(w))
+        # flag off -> nothing resampled -> weight 0
+        w0, _ = jax.jit(lambda k, i, f: run(k, i, f)[0:2])(
+            KEY, jnp.asarray(0), jnp.asarray(False))
+        np.testing.assert_allclose(w0, 0.0, atol=1e-12)
+
     def test_switch_inside_model(self):
         @gen
         def model():
