@@ -92,17 +92,22 @@ def main():
             trs, out = jax.vmap(one)(trs, ks)
             return trs, out
 
-        return jax.lax.scan(body, traces, jax.random.split(key, n_steps))
+        trs, (slopes, accs) = jax.lax.scan(
+            body, traces, jax.random.split(key, n_steps))
+        # in-graph checksum: fetching this scalar is the completion barrier
+        # (the tunneled backend's block_until_ready can return before remote
+        # execution finishes; a host fetch cannot)
+        return trs, (slopes, accs), jnp.sum(slopes)
 
     traces = init(init_keys)
     # warmup (also compiles)
-    traces, _ = run(traces, jax.random.fold_in(k_run, 0), warmup_steps)
-    jax.block_until_ready(traces)
+    traces, _, csum = run(traces, jax.random.fold_in(k_run, 0), warmup_steps)
+    float(csum)
 
     t0 = time.time()
-    traces, (slopes, accs) = run(traces, jax.random.fold_in(k_run, 1),
-                                 sample_steps)
-    jax.block_until_ready(slopes)
+    traces, (slopes, accs), csum = run(traces, jax.random.fold_in(k_run, 1),
+                                       sample_steps)
+    float(csum)
     elapsed = time.time() - t0
 
     slopes = np.asarray(slopes)          # (steps, chains)

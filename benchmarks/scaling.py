@@ -7,7 +7,12 @@ Run with a virtual mesh (no TPU pod needed):
 On a real pod slice the same code shards over ICI. Weak scaling: the
 per-device workload is constant (chains/particles per device fixed), so
 ideal efficiency keeps time flat as devices grow. Reports one JSON line per
-configuration."""
+configuration.
+
+CAVEAT: on a virtual CPU mesh the "devices" share one host's cores, so the
+efficiency column measures partitioning overhead only — it cannot approach
+1.0 and must not be read as an ICI weak-scaling claim (those need a real
+pod slice). The output marks such runs with "virtual_mesh": true."""
 
 import json
 import time
@@ -81,7 +86,8 @@ def main(chains_per_device=512, steps=10):
                             seconds=round(elapsed, 4),
                             chain_steps_per_sec=round(
                                 steps * n_chains / elapsed),
-                            weak_scaling_efficiency=round(eff, 3)))
+                            weak_scaling_efficiency=round(eff, 3),
+                            virtual_mesh=jax.default_backend() == "cpu"))
         print(json.dumps(results[-1]))
     return results
 

@@ -15,13 +15,26 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 
 def _timeit(fn, *args, reps=5):
+    """Times fn(*args[:-1], key_r) with a DIFFERENT key per rep AND a host
+    fetch per rep. Two measured hazards of the remote TPU tunnel: it
+    memoizes identical (executable, args) calls (same-arg repeat of a
+    27-GFLOP program returns in 51 µs), and ``block_until_ready`` can
+    return before remote execution completes (2 ms "block", 5 s actual).
+    Fresh keys defeat the cache; fetching a value is the only reliable
+    completion barrier. The last argument must be a PRNG key."""
     import jax
-    out = fn(*args)
-    jax.block_until_ready(out)
+    import numpy as _np
+
+    def force(o):
+        for leaf in jax.tree_util.tree_leaves(o):
+            _np.asarray(leaf)
+        return o
+
+    base_key = args[-1]
+    out = force(fn(*args[:-1], jax.random.fold_in(base_key, 1000)))
     t0 = time.time()
-    for _ in range(reps):
-        out = fn(*args)
-    jax.block_until_ready(out)
+    for r in range(reps):
+        force(fn(*args[:-1], jax.random.fold_in(base_key, r)))
     return (time.time() - t0) / reps, out
 
 
