@@ -38,6 +38,41 @@ class GenFn(GenerativeFunction):
         self.name = name or getattr(fn, "__name__", "gen_fn")
         self.params: Dict[str, Any] = {}
         self.params_grad: Dict[str, Any] = {}
+        # trailing default arguments (reference: optional args, test/
+        # optional_args.jl; src/dsl/dsl.jl argument parsing with defaults).
+        # Omitted trailing args are filled with the declared defaults so the
+        # trace stores canonical full args — and, per the reference's
+        # update/regenerate contract (gen_fn_interface.jl:310-318 note),
+        # omitting an optional arg in update overwrites the old value with
+        # the DEFAULT.
+        import inspect
+        try:
+            sig = inspect.signature(fn)
+            ps = list(sig.parameters.values())
+            self._variadic = any(
+                p.kind is inspect.Parameter.VAR_POSITIONAL for p in ps)
+            self._n_positional = sum(
+                p.kind in (inspect.Parameter.POSITIONAL_ONLY,
+                           inspect.Parameter.POSITIONAL_OR_KEYWORD)
+                for p in ps)
+            self._defaults = tuple(
+                p.default for p in ps
+                if p.kind in (inspect.Parameter.POSITIONAL_ONLY,
+                              inspect.Parameter.POSITIONAL_OR_KEYWORD)
+                and p.default is not inspect.Parameter.empty)
+        except (ValueError, TypeError):
+            self._variadic, self._n_positional, self._defaults = True, 0, ()
+
+    def fill_args(self, args: Tuple) -> Tuple:
+        """Append declared defaults for omitted trailing arguments."""
+        args = tuple(args)
+        if self._variadic or not self._defaults \
+                or len(args) >= self._n_positional:
+            return args
+        missing = self._n_positional - len(args)
+        if missing > len(self._defaults):
+            return args  # too few args — let Python raise naturally
+        return args + self._defaults[len(self._defaults) - missing:]
 
     def run_body(self, args):
         try:
@@ -68,6 +103,7 @@ class GenFn(GenerativeFunction):
     # -- GFI --------------------------------------------------------------
 
     def simulate(self, key, args: Tuple) -> DynamicTrace:
+        args = self.fill_args(args)
         with SimulateHandler(key, current_params(self)) as h:
             retval = self.run_body(args)
         return DynamicTrace(self, args, retval, h.score, h.noise, h.records)
@@ -75,12 +111,14 @@ class GenFn(GenerativeFunction):
     def generate(self, key, args: Tuple,
                  constraints: Optional[ChoiceMap] = None):
         constraints = constraints if constraints is not None else ChoiceMap()
+        args = self.fill_args(args)
         with GenerateHandler(key, constraints, current_params(self)) as h:
             retval = self.run_body(args)
         trace = DynamicTrace(self, args, retval, h.score, h.noise, h.records)
         return trace, h.weight
 
     def assess(self, args: Tuple, choices: ChoiceMap, params=None):
+        args = self.fill_args(args)
         with AssessHandler(choices, current_params(self) if params is None else params) as h:
             retval = self.run_body(args)
             unconsumed = [a for a in choices.addresses()
@@ -96,6 +134,7 @@ class GenFn(GenerativeFunction):
 
     def update(self, key, trace: DynamicTrace, args: Tuple, argdiffs: Tuple,
                constraints: ChoiceMap):
+        args = self.fill_args(args)
         with UpdateHandler(key, trace, constraints, current_params(self)) as h:
             retval = self.run_body(args)
         weight = h.weight
@@ -124,6 +163,7 @@ class GenFn(GenerativeFunction):
 
     def regenerate(self, key, trace: DynamicTrace, args: Tuple,
                    argdiffs: Tuple, selection: Selection):
+        args = self.fill_args(args)
         with RegenerateHandler(key, trace, selection, current_params(self)) as h:
             retval = self.run_body(args)
         weight = h.weight
