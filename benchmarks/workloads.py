@@ -208,8 +208,65 @@ def bench_gp_structure(n_chains=256, n_sweeps=100):
                       "sec_per_run": round(el, 3)}))
 
 
+def bench_pmmh(n_iters=100, n_particles=4096, T=40):
+    """Particle-marginal MH fully on-device: the whole chain is ONE program
+    (scan over MH iterations, each running the arena particle filter — scan
+    over time, vmap over particles). Reports PF particle-steps/sec, the
+    BASELINE.md PMMH matrix row."""
+    import jax
+    import jax.numpy as jnp
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "examples"))
+    import pmmh as ex
+    import gen_tpu as gt
+    from gen_tpu.combinators import UnfoldArena, smc_run
+    from gen_tpu.combinators.vector import VectorChoiceMap
+
+    ys = ex.simulate_data(T)
+    arena = UnfoldArena(ex.ssm_kernel, max_length=T)
+    obs_inner = gt.ChoiceMap().set_value("y", jnp.asarray(ys))
+
+    @jax.jit
+    def chain(key):
+        obs = VectorChoiceMap(obs_inner, T)
+
+        def pf(k, phi):
+            _, _, lml = smc_run(k, arena, 0.0, (phi, 0.5, 0.4), obs,
+                                n_particles)
+            return lml
+
+        def mh_step(carry, k):
+            phi, lml = carry
+            k1, k2, k3 = jax.random.split(k, 3)
+            phi_new = phi + 0.12 * jax.random.normal(k1)
+            lml_new = pf(k2, phi_new)
+            logp = lambda p: gt.normal.logpdf(p, 0.0, 1.0)
+            alpha = lml_new + logp(phi_new) - lml - logp(phi)
+            acc = jnp.log(jax.random.uniform(k3)) < alpha
+            return (jnp.where(acc, phi_new, phi),
+                    jnp.where(acc, lml_new, lml)), (phi, acc)
+
+        k0, krest = jax.random.split(key)
+        lml0 = pf(k0, jnp.asarray(0.3))
+        (_, _), (phis, accs) = jax.lax.scan(
+            mh_step, (jnp.asarray(0.3), lml0),
+            jax.random.split(krest, n_iters))
+        return jnp.mean(phis), jnp.mean(accs)
+
+    el, out = _timeit(chain, jax.random.PRNGKey(0), reps=3)
+    psteps = n_iters * n_particles * T
+    print(json.dumps({"workload": "pmmh",
+                      "particles": n_particles, "T": T,
+                      "mh_iters_per_sec": round(n_iters / el, 1),
+                      "pf_particle_steps_per_sec": round(psteps / el),
+                      "accept_rate": round(float(out[1]), 3),
+                      "sec_per_chain": round(el, 3)}))
+
+
 if __name__ == "__main__":
     bench_bbvi()
     bench_coal()
     bench_gp_structure()
     bench_nuts()
+    bench_pmmh()
