@@ -50,3 +50,12 @@ def test_pmmh_example_smoke():
     ys = pmmh.simulate_data(6)
     lml = pmmh.pf_log_ml(jax.random.PRNGKey(0), ys, 0.8, 0.5, 0.4, 50)
     assert np.isfinite(float(lml))
+
+
+def test_train_amortized_example():
+    import train_amortized as ta
+    theta, sigma = ta.train_proposal(jax.random.PRNGKey(0), n_steps=150,
+                                     batch=2048)
+    # closed form: z - x ~ N(-2, 0.3^2)
+    assert abs(theta - (-2.0)) < 0.1
+    assert abs(sigma - 0.3) < 0.1
