@@ -183,20 +183,26 @@ def smc_run(key, arena: UnfoldArena, init_state, params: Tuple,
         traces, log_weights, log_ml = carry
         t, k = inp
         k_res, k_ext = jax.random.split(k)
-        # maybe resample (branchless)
+        # maybe resample: lax.cond skips the sort + whole-trace gather when
+        # ESS is high (dominant step cost at large N)
         log_total = logsumexp(log_weights)
         lnw = log_weights - log_total
         ess = jnp.exp(-logsumexp(2.0 * lnw))
         do = ess < ess_threshold
-        parents = _resample_parents(k_res, lnw, resample_method)
-        res_traces = jax.tree_util.tree_map(lambda x: x[parents], traces)
-        traces = jax.tree_util.tree_map(
-            lambda a, b: jnp.where(
-                jnp.reshape(do, (1,) * jnp.ndim(a)), a, b),
-            res_traces, traces)
-        log_weights = jnp.where(do, jnp.zeros_like(log_weights), log_weights)
-        log_ml = jnp.where(do, log_ml + log_total - jnp.log(num_particles),
-                           log_ml)
+
+        lm_dtype = jnp.result_type(log_ml, log_total)
+
+        def resample(_):
+            parents = _resample_parents(k_res, lnw, resample_method)
+            res = jax.tree_util.tree_map(lambda x: x[parents], traces)
+            return (res, jnp.zeros_like(log_weights),
+                    (log_ml + log_total
+                     - jnp.log(num_particles)).astype(lm_dtype))
+
+        def keep(_):
+            return traces, log_weights, jnp.asarray(log_ml, lm_dtype)
+
+        traces, log_weights, log_ml = jax.lax.cond(do, resample, keep, None)
         # extend every particle with this step's observation
         obs_t = jax.tree_util.tree_map(
             lambda x: jax.lax.dynamic_index_in_dim(x, t, keepdims=False),

@@ -165,21 +165,26 @@ def maybe_resample(key, state: ParticleFilterState,
     ess = effective_sample_size(lnw)
     do = ess < ess_threshold
 
-    parents = _resample_parents(key, lnw, method)
-    resampled_traces = jax.tree_util.tree_map(
-        lambda x: x[parents], state.traces)
-    new_log_ml = state.log_ml_est + log_total - jnp.log(n)
+    # lax.cond: skip the resampling sort and the whole-trace gather when
+    # ESS is high (they dominate at large N); under vmap this lowers to
+    # the same select-of-both as before
+    lm_dtype = jnp.result_type(state.log_ml_est, log_total)
 
-    traces = jax.tree_util.tree_map(
-        lambda a, b: jnp.where(
-            jnp.reshape(do, (1,) * jnp.ndim(a)), a, b) if jnp.ndim(a) > 0
-        else jnp.where(do, a, b),
-        resampled_traces, state.traces)
-    log_weights = jnp.where(do, jnp.zeros(n), state.log_weights)
-    log_ml_est = jnp.where(do, new_log_ml, state.log_ml_est)
-    return (ParticleFilterState(traces, log_weights, log_ml_est,
-                                jnp.where(do, parents, jnp.arange(n))),
-            do)
+    def resample(_):
+        parents = _resample_parents(key, lnw, method).astype(jnp.int32)
+        traces = jax.tree_util.tree_map(lambda x: x[parents], state.traces)
+        return ParticleFilterState(
+            traces, jnp.zeros_like(state.log_weights),
+            (state.log_ml_est + log_total - jnp.log(n)).astype(lm_dtype),
+            parents)
+
+    def keep(_):
+        return ParticleFilterState(
+            state.traces, state.log_weights,
+            jnp.asarray(state.log_ml_est, lm_dtype),
+            jnp.arange(n, dtype=jnp.int32))
+
+    return jax.lax.cond(do, resample, keep, None), do
 
 
 def log_ml_estimate(state: ParticleFilterState):

@@ -61,12 +61,26 @@ def smc_genealogy(key, kernel: GenerativeFunction, init_state, params: Tuple,
         lnw = log_w - log_total
         ess = jnp.exp(-logsumexp(2.0 * lnw))
         do = (ess < ess_threshold) & (t > 0)
-        parents = jnp.where(do, _resample_parents(k_res, lnw,
-                                                  resample_method),
-                            jnp.arange(n))
-        states = jax.tree_util.tree_map(lambda x: x[parents], states)
-        log_w = jnp.where(do, jnp.zeros(n), log_w)
-        log_ml = jnp.where(do, log_ml + log_total - jnp.log(n), log_ml)
+
+        # lax.cond so steps that keep their weights skip the resampling
+        # sort and the state gather entirely (they dominate the step cost
+        # at large N); under vmap this degrades gracefully to a select
+        lm_dtype = jnp.result_type(log_ml, log_total)
+
+        def resample(_):
+            parents = _resample_parents(k_res, lnw,
+                                        resample_method).astype(jnp.int32)
+            permuted = jax.tree_util.tree_map(lambda x: x[parents], states)
+            return (permuted, jnp.zeros_like(log_w),
+                    (log_ml + log_total - jnp.log(n)).astype(lm_dtype),
+                    parents)
+
+        def keep(_):
+            return (states, log_w, jnp.asarray(log_ml, lm_dtype),
+                    jnp.arange(n, dtype=jnp.int32))
+
+        states, log_w, log_ml, parents = jax.lax.cond(do, resample, keep,
+                                                      None)
 
         obs_t = jax.tree_util.tree_map(
             lambda x: jax.lax.dynamic_index_in_dim(x, t, keepdims=False),
