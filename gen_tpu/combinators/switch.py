@@ -242,9 +242,16 @@ class SwitchCombinator(GenerativeFunction):
             same = jnp.asarray(index == prev_index)
             keys = jax.random.split(key, 2 * nb) if key is not None \
                 else [None] * (2 * nb)
-            outs = [b.update(k, t, bargs, bdiffs, constraints)
-                    for b, t, k in zip(self.branches, trace.branch_traces,
-                                       keys[:nb])]
+            # branches consume only the constraints they can address (a
+            # masked discard legitimately holds other branches' addresses);
+            # a path no branch can consume is still an error
+            per_branch_cons = [
+                _filter_for_branch(constraints, prev_maps[i])
+                for i in range(nb)]
+            _check_some_branch_consumes(constraints, prev_maps)
+            outs = [b.update(k, t, bargs, bdiffs, c)
+                    for b, t, k, c in zip(self.branches, trace.branch_traces,
+                                          keys[:nb], per_branch_cons)]
             ws = jnp.stack([o[1] for o in outs])
             discard = _masked_switch_discard(
                 self.branches, prev_maps, prev_index, index, same,
@@ -268,14 +275,24 @@ class SwitchCombinator(GenerativeFunction):
             # previous branch's compatible choices under explicit constraints
             gens = []
             for b_idx, branch in enumerate(self.branches):
-                merged = constraints.copy()
+                merged = per_branch_cons[b_idx].copy()
                 for path, tval in prev_maps[b_idx].leaf_items():
-                    if constraints.has_value(path):
-                        continue
+                    cv = merged.get_value(path) \
+                        if merged.has_value(path) else None
+                    if cv is not None and not isinstance(cv, MaskedValue):
+                        continue  # hard constraint wins outright
                     mv = _masked_prev_value(prev_maps, prev_index, path,
                                             template=tval)
-                    if mv is not None:
+                    if mv is None:
+                        continue
+                    if cv is None:
                         merged.set_value(path, MaskedValue(*mv))
+                    else:
+                        # masked constraint: constrain where its flag is on,
+                        # inherit the prev branch's value where it is off
+                        merged.set_value(path, MaskedValue(
+                            jnp.where(cv.flag, jnp.asarray(cv.value), mv[0]),
+                            cv.flag | mv[1]))
                 gens.append(branch.generate(keys[nb + b_idx], bargs, merged))
             gen_ws = jnp.stack([g[1] for g in gens])
 
@@ -389,6 +406,24 @@ class _MixedAvalError(NotImplementedError):
 def _aval(x):
     x = jnp.asarray(x)
     return (jnp.shape(x), x.dtype)
+
+
+def _filter_for_branch(constraints: ChoiceMap, template: ChoiceMap):
+    """Constraints restricted to addresses the branch actually has."""
+    out = ChoiceMap()
+    for path, v in constraints.leaf_items():
+        if template.has_value(path):
+            out.set_value(path, v)
+    return out
+
+
+def _check_some_branch_consumes(constraints: ChoiceMap, prev_maps):
+    orphans = [p for p, _ in constraints.leaf_items()
+               if not any(m.has_value(p) for m in prev_maps)]
+    if orphans:
+        raise ValueError(
+            f"Switch.update: no branch has addresses {orphans!r} "
+            "(reference: src/dynamic/update.jl:191-193)")
 
 
 def _sel_membership(selection, path):

@@ -136,3 +136,93 @@ class TestProjectPartition:
                  + float(trace.project(sel.complement())))
         np.testing.assert_allclose(total, float(trace.get_score()),
                                    rtol=1e-12)
+
+
+class TestNewCombinatorLaws:
+    def test_traced_switch_update_roundtrip(self):
+        """Law 1 for the traced-index masked-universe Switch: updating with
+        the (masked) discard undoes an index change exactly."""
+        @gen
+        def ba(mu):
+            return gt.normal(mu, 1.0) @ "x"
+
+        @gen
+        def bb(mu):
+            x = gt.normal(mu, 2.0) @ "x"
+            gt.normal(x, 0.5) @ "y"
+
+        sw = gt.Switch(ba, bb)
+
+        def run(key, prev_idx, new_idx):
+            k1, k2, k3 = jax.random.split(key, 3)
+            tr, _ = sw.generate(k1, (prev_idx, 1.0),
+                                choicemap(x=0.5, y=0.2))
+            t1, w1, _, d1 = sw.update(k2, tr, (new_idx, 1.0),
+                                      (gt.UnknownChange, gt.NoChange),
+                                      choicemap())
+            t2, w2, _, d2 = sw.update(k3, t1, (prev_idx, 1.0),
+                                      (gt.UnknownChange, gt.NoChange), d1)
+            return (w1, w2, t2.get_score(), tr.get_score())
+
+        w1, w2, s2, s0 = jax.jit(run)(KEY, jnp.asarray(1), jnp.asarray(0))
+        np.testing.assert_allclose(float(w1 + w2), 0.0, atol=1e-10)
+        np.testing.assert_allclose(float(s2), float(s0), atol=1e-10)
+
+    def test_recurse_leveled_update_roundtrip(self):
+        from gen_tpu import RecurseLeveled
+
+        B = 2
+
+        @gen
+        def production(u):
+            v = gt.normal(u, 1.0) @ "v"
+            branch = gt.bernoulli(0.4) @ "branch"
+            return (v, jnp.where(branch, 2, 0),
+                    jnp.stack([v * 0.5, -v * 0.5]))
+
+        @gen
+        def aggregation(v, child_ws, nchild):
+            mask = jnp.arange(B) < nchild
+            return v + jnp.sum(jnp.where(mask, child_ws, 0.0))
+
+        fn = RecurseLeveled(production, aggregation, B, 3,
+                            w_example=jnp.asarray(0.0))
+        cons = gt.ChoiceMap()
+        cons.set_value((0, "production", "v"), 0.3)
+        cons.set_value((0, "production", "branch"), True)
+        trace, _ = fn.generate(KEY, (0.0,), cons)
+
+        shrink = gt.ChoiceMap().set_value((0, "production", "branch"),
+                                          False)
+        t1, w1, _, d1 = fn.update(jax.random.PRNGKey(1), trace, (0.0,),
+                                  (gt.NoChange,), shrink)
+        t2, w2, _, d2 = fn.update(jax.random.PRNGKey(2), t1, (0.0,),
+                                  (gt.NoChange,), d1)
+        np.testing.assert_allclose(float(w1 + w2), 0.0, atol=1e-10)
+        assert t2.get_choices().allclose(trace.get_choices(), atol=1e-12)
+
+    def test_recurse_leveled_project_partition(self):
+        from gen_tpu import RecurseLeveled
+
+        B = 2
+
+        @gen
+        def production(u):
+            v = gt.normal(u, 1.0) @ "v"
+            branch = gt.bernoulli(0.4) @ "branch"
+            return (v, jnp.where(branch, 2, 0),
+                    jnp.stack([v * 0.5, -v * 0.5]))
+
+        @gen
+        def aggregation(v, child_ws, nchild):
+            mask = jnp.arange(B) < nchild
+            return v + jnp.sum(jnp.where(mask, child_ws, 0.0))
+
+        fn = RecurseLeveled(production, aggregation, B, 3,
+                            w_example=jnp.asarray(0.0))
+        trace = fn.simulate(KEY, (0.0,))
+        sel = select(*[(i, "production", "v") for i in range(fn.n_nodes)])
+        total = (float(trace.project(sel))
+                 + float(trace.project(sel.complement())))
+        np.testing.assert_allclose(total, float(trace.get_score()),
+                                   rtol=1e-10)
