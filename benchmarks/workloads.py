@@ -264,9 +264,134 @@ def bench_pmmh(n_iters=100, n_particles=4096, T=40):
                       "sec_per_chain": round(el, 3)}))
 
 
+def bench_mvn_mxu(n=262144, d=128, reps=5):
+    """Batched shared-covariance MVN logpdf (the SMC/collapsed-model weight
+    kernel): per-row cho_solve vs the MXU Linv-matmul path (ops/mvn.py) in
+    f32 and bf16. FLOPs counted as the 2*N*D^2 of the residual matmul."""
+    import jax
+    import jax.numpy as jnp
+    from gen_tpu.dists import mvnormal
+    from gen_tpu.ops.mvn import mvn_precompute, mvn_logpdf_rows
+
+    rng = np.random.default_rng(0)
+    cov_half = rng.standard_normal((d, d)).astype(np.float32)
+    cov = jnp.asarray(cov_half @ cov_half.T + d * np.eye(d, dtype=np.float32))
+    mu = jnp.zeros(d, jnp.float32)
+    prec = mvn_precompute(cov)
+    steps = 32  # amortize the one-time RNG so the weight kernel dominates
+
+    def scan_weights(weight_fn):
+        @jax.jit
+        def run(key):
+            xs = jax.random.normal(key, (n, d), jnp.float32)
+
+            def body(acc, t):
+                # shift the target mean per step (cheap (d,) update) so
+                # every iteration is fresh work on the same particle block
+                mu_t = mu + 0.01 * t
+                return acc + jnp.sum(weight_fn(xs, mu_t)), None
+
+            acc, _ = jax.lax.scan(body, jnp.float32(0.0),
+                                  jnp.arange(steps, dtype=jnp.float32))
+            return acc
+        return run
+
+    solve_path = scan_weights(
+        lambda xs, m: jax.vmap(lambda x: mvnormal.logpdf(x, m, cov))(xs))
+    mxu_f32 = scan_weights(lambda xs, m: mvn_logpdf_rows(xs, m, prec))
+    mxu_bf16 = scan_weights(
+        lambda xs, m: mvn_logpdf_rows(xs, m, prec, dtype=jnp.bfloat16))
+
+    # bf16-RESIDENT: the particle block is *stored* bf16 — the whole chain
+    # (subtract, matmul, square-sum) is HBM-bound at d=128, so halving the
+    # stored bytes is where bf16 actually pays (casting f32 inputs doesn't)
+    @jax.jit
+    def mxu_bf16_resident(key):
+        xs = jax.random.normal(key, (n, d), jnp.float32).astype(jnp.bfloat16)
+
+        def body(acc, t):
+            mu_t = mu + 0.01 * t
+            lp = mvn_logpdf_rows(xs, mu_t.astype(jnp.bfloat16), prec,
+                                 dtype=jnp.bfloat16)
+            return acc + jnp.sum(lp), None
+
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0),
+                              jnp.arange(steps, dtype=jnp.float32))
+        return acc
+
+    flops = 2.0 * n * d * d * steps
+    out = {}
+    for name, fn in [("cho_solve_per_row", solve_path),
+                     ("mxu_f32", mxu_f32), ("mxu_bf16", mxu_bf16),
+                     ("mxu_bf16_resident", mxu_bf16_resident)]:
+        el, _ = _timeit(fn, jax.random.PRNGKey(0), reps=reps)
+        out[name] = {"sec": round(el, 5),
+                     "rows_per_sec": round(n * steps / el),
+                     "gflops": round(flops / el / 1e9, 1)}
+    print(json.dumps({"workload": "mvn_mxu_weights", "n": n, "d": d,
+                      "steps": steps, **out}))
+
+
+def bench_lgssm_collapsed_hmc(n_chains=8192, T=64, d=4, p=4,
+                              n_steps=20, L=5):
+    """HMC over transition-parameter posterior of a COLLAPSED LGSSM (score
+    = exact Kalman log-ML; Rao-Blackwellized PMMH). Each leapfrog gradient
+    differentiates through the whole Kalman scan — a (T x D x D)-matmul
+    pipeline on the MXU, vmapped over chains."""
+    import jax
+    import jax.numpy as jnp
+    import gen_tpu as gt
+    from gen_tpu.models import LGSSMParams, lgssm
+    from gen_tpu.inference import hmc
+
+    rng = np.random.default_rng(1)
+    a_true = jnp.asarray((0.7 * np.eye(d) +
+                          0.1 * rng.standard_normal((d, d))).astype(np.float32))
+    q = jnp.asarray((0.3 * np.eye(d)).astype(np.float32))
+    c = jnp.asarray(rng.standard_normal((p, d)).astype(np.float32))
+    r = jnp.asarray((0.2 * np.eye(p)).astype(np.float32))
+    mu0 = jnp.zeros(d, jnp.float32)
+    p0 = jnp.asarray(np.eye(d, dtype=np.float32))
+    dist = lgssm(T)
+    ys = dist.sample(jax.random.PRNGKey(2), a_true, q, c, r, mu0, p0)
+
+    @gt.gen
+    def model():
+        a_flat = gt.normal(jnp.zeros(d * d), 1.0) @ "a"
+        dist(a_flat.reshape(d, d), q, c, r, mu0, p0) @ "ys"
+
+    obs = gt.choicemap(ys=ys)
+    sel = gt.select("a")
+
+    @jax.jit
+    def run(key):
+        k_init, k_chain = jax.random.split(key)
+        trs, _ = jax.vmap(lambda k: model.generate(k, (), obs))(
+            jax.random.split(k_init, n_chains))
+
+        def step(trs, ks):
+            new, acc = jax.vmap(lambda t, k: hmc(k, t, sel, L=L, eps=0.01))(
+                trs, jax.random.split(ks, n_chains))
+            return new, jnp.mean(acc)
+
+        keys = jax.random.split(k_chain, n_steps)
+        trs, accs = jax.lax.scan(step, trs, keys)
+        return trs.get_score().sum(), jnp.mean(accs)
+
+    el, out = _timeit(run, jax.random.PRNGKey(0), reps=3)
+    grad_evals = n_chains * n_steps * (L + 1)
+    print(json.dumps({"workload": "lgssm_collapsed_hmc",
+                      "chains": n_chains, "T": T, "d": d,
+                      "kalman_grad_evals_per_sec": round(grad_evals / el),
+                      "accept_rate": round(float(out[1]), 3),
+                      "sec_per_run": round(el, 3)}))
+
+
 if __name__ == "__main__":
     bench_bbvi()
     bench_coal()
     bench_gp_structure()
     bench_nuts()
     bench_pmmh()
+    bench_mvn_mxu()
+    bench_lgssm_collapsed_hmc()

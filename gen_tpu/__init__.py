@@ -34,6 +34,7 @@ from .masked import MaskedValue, mask, MaskedSelection, masked_select
 from . import inference
 from . import learning
 from . import static_ir
+from . import models
 from .utils import logsumexp
 
 __version__ = "0.1.0"

@@ -1,0 +1,16 @@
+"""Model families with TPU-native fast paths.
+
+The reference ships model families as examples (examples/regression,
+examples/pmmh's state-space model, ...). This package hosts the ones whose
+TPU-native formulation is a reusable library component in its own right:
+linear-Gaussian state-space models with exact Kalman inference and an
+MXU-path batched-weight formulation.
+"""
+
+from .lgssm import (LGSSMParams, KalmanResult, kalman_filter, kalman_smoother,
+                    lgssm_kernel, LinearGaussianSSM, lgssm,
+                    lgssm_batch_weights)
+
+__all__ = ["LGSSMParams", "KalmanResult", "kalman_filter", "kalman_smoother",
+           "lgssm_kernel", "LinearGaussianSSM", "lgssm",
+           "lgssm_batch_weights"]

@@ -52,6 +52,14 @@ def test_pmmh_example_smoke():
     assert np.isfinite(float(lml))
 
 
+def test_lgssm_example_smoke():
+    import lgssm
+    ys = lgssm.make_dataset(T=20)
+    a_post, acc = lgssm.run_collapsed_hmc(jax.random.PRNGKey(0), ys,
+                                          n_chains=8, n_steps=10)
+    assert np.all(np.isfinite(a_post)) and 0.0 <= acc <= 1.0
+
+
 def test_train_amortized_example():
     import train_amortized as ta
     theta, sigma = ta.train_proposal(jax.random.PRNGKey(0), n_steps=150,
