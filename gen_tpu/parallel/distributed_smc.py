@@ -24,6 +24,28 @@ Collective pattern per step (all riding ICI, nothing touches the host):
 
 Weight/log-ML bookkeeping is identical to the single-chip
 ``smc_genealogy``; a 1-device mesh reproduces it exactly.
+
+``exchange="ring"`` replaces the all_gather state exchange with
+**island-local resampling + a static half-block ring rotation**:
+
+* each device resamples its own n_local particles from its own normalized
+  weights (no weight gather at all — only the scalar psum/pmax for ESS and
+  log-ML survive), with offspring assigned the island-average weight so
+  every island's total weight is preserved (stratified resampling is
+  unbiased stratum-wise; this is the island particle filter of Vergé et
+  al. 2015 / an αSMC interaction in the sense of Whiteley-Lee-Heine 2016);
+* every step, the upper half-block of (state, weight, ancestry-pointer)
+  triples rotates one device along the ring via a single static
+  ``ppermute``. A deterministic permutation of the global particle system
+  is measure-preserving — states, weights and genealogy pointers move
+  together — so this mixing is free of any dynamic routing and keeps
+  island weights from drifting apart.
+
+Per-step ICI traffic: all_gather mode moves (n_dev-1)/n_dev · N ·
+state_dim elements onto every device plus the (N,) weight gather; ring
+mode moves n_local/2 · state_dim point-to-point and nothing else. The
+price is locally-stratified (slightly higher-variance) resampling;
+the HMM forward-algorithm test bounds the effect.
 """
 
 from __future__ import annotations
@@ -49,15 +71,23 @@ def sharded_smc_genealogy(key, kernel: GenerativeFunction, init_state,
                           params: Tuple, observations: VectorChoiceMap,
                           num_particles: int, mesh: Mesh,
                           axis: str = "particles",
-                          ess_threshold: Optional[float] = None):
+                          ess_threshold: Optional[float] = None,
+                          exchange: str = "all_gather"):
     """Particle-sharded genealogy particle filter over an Unfold-style
     kernel ``(t, state, *params) -> state``.
+
+    ``exchange``: ``"all_gather"`` (exact global systematic resampling,
+    O(N·state_dim) gather traffic) or ``"ring"`` (island-local resampling
+    + static half-block ring rotation, O(n_local/2·state_dim) neighbor
+    traffic — see module docstring).
 
     Returns ``(subtraces, ancestry, log_weights, log_ml_estimate)`` with the
     same meaning as :func:`gen_tpu.inference.smc.smc_genealogy` — subtraces
     time-major (T, N, ...) sharded over particles, ancestry (T, N) holding
     GLOBAL parent indices, log_weights (N,).
     """
+    if exchange not in ("all_gather", "ring"):
+        raise ValueError(f"unknown exchange mode {exchange!r}")
     n_dev = mesh.shape[axis]
     if num_particles % n_dev != 0:
         raise ValueError(
@@ -87,23 +117,59 @@ def sharded_smc_genealogy(key, kernel: GenerativeFunction, init_state,
             ess = 1.0 / jax.lax.psum(jnp.sum(jnp.exp(2.0 * lnw)), axis)
             do = (ess < ess_threshold) & (t > 0)
 
-            # 3. parents: gather the (N,) weights, every device computes the
-            #    same global systematic parent vector (shared u ⇒ identical)
-            lnw_g = jax.lax.all_gather(lnw, axis, tiled=True)
             from ..ops.resample import systematic_resample
-            u = jax.random.uniform(k_res)
-            parents_g = systematic_resample(lnw_g, u)
-            parents_g = jnp.where(do, parents_g, jnp.arange(n))
-            parents_local = jax.lax.dynamic_slice(parents_g, (base,),
-                                                  (n_local,))
+            if exchange == "all_gather":
+                # 3. parents: gather the (N,) weights, every device computes
+                #    the same global systematic parent vector (shared u ⇒
+                #    identical)
+                lnw_g = jax.lax.all_gather(lnw, axis, tiled=True)
+                u = jax.random.uniform(k_res)
+                parents_g = systematic_resample(lnw_g, u)
+                parents_g = jnp.where(do, parents_g, jnp.arange(n))
+                parents_local = jax.lax.dynamic_slice(parents_g, (base,),
+                                                      (n_local,))
 
-            # 4. state exchange: gather carried state, slice by new parents
-            states = jax.tree_util.tree_map(
-                lambda x: jax.lax.all_gather(x, axis,
-                                             tiled=True)[parents_local],
-                states)
-            log_w = jnp.where(do, jnp.zeros(n_local), log_w)
-            log_ml = jnp.where(do, log_ml + log_total - jnp.log(n), log_ml)
+                # 4. state exchange: gather carried state, slice by parents
+                states = jax.tree_util.tree_map(
+                    lambda x: jax.lax.all_gather(x, axis,
+                                                 tiled=True)[parents_local],
+                    states)
+                log_w = jnp.where(do, jnp.zeros(n_local), log_w)
+                log_ml = jnp.where(do, log_ml + log_total - jnp.log(n),
+                                   log_ml)
+            else:
+                # "ring": island-local resampling — parents drawn from the
+                # LOCAL normalized weights with a per-island u; offspring
+                # carry the island-average weight so each island's share of
+                # the global weight is exactly preserved (unbiased
+                # stratum-wise)
+                w_local = jax.scipy.special.logsumexp(log_w)
+                u = jax.random.uniform(jax.random.fold_in(k_res, dev))
+                parents_idx = systematic_resample(log_w - w_local, u)
+                parents_idx = jnp.where(do, parents_idx,
+                                        jnp.arange(n_local))
+                states = jax.tree_util.tree_map(lambda x: x[parents_idx],
+                                                states)
+                island_w = w_local - log_total + jnp.log(float(n_dev))
+                log_w = jnp.where(do, jnp.full(n_local, island_w), log_w)
+                log_ml = jnp.where(do, log_ml + log_total - jnp.log(n),
+                                   log_ml)
+                parents_local = base + parents_idx
+
+                # static half-block ring rotation: a deterministic global
+                # permutation of (state, weight, ancestry-pointer) triples —
+                # measure-preserving, mixes islands with one ppermute
+                half = n_local // 2
+                if n_dev > 1 and half > 0:
+                    perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+
+                    def rotate(x):
+                        recv = jax.lax.ppermute(x[half:], axis, perm)
+                        return jnp.concatenate([x[:half], recv], axis=0)
+
+                    states = jax.tree_util.tree_map(rotate, states)
+                    log_w = rotate(log_w)
+                    parents_local = rotate(parents_local)
 
             obs_t = jax.tree_util.tree_map(
                 lambda x: jax.lax.dynamic_index_in_dim(x, t, keepdims=False),

@@ -73,3 +73,63 @@ def test_sharded_smc_trajectories_coherent():
     # valid markov history — check the state threading matches retvals
     retvals = trajs.get_retval()
     np.testing.assert_array_equal(np.asarray(zs), np.asarray(retvals))
+
+
+# ---- exchange="ring": island resampling + static half-block rotation ----
+
+
+def test_ring_smc_matches_forward_algorithm():
+    mesh = chain_mesh(8, axis="particles")
+    _, _, _, lml = sharded_smc_genealogy(
+        KEY, hmm_kernel, 0, (), OBS, 4096, mesh, exchange="ring")
+    assert abs(float(lml) - exact_log_ml(OBS_SEQ)) < 0.05
+
+
+def test_ring_smc_trajectories_coherent():
+    """The rotation permutes (state, weight, ancestry) together, so the
+    genealogy must stay exactly coherent."""
+    mesh = chain_mesh(8, axis="particles")
+    subs, ancestry, log_w, _ = sharded_smc_genealogy(
+        KEY, hmm_kernel, 0, (), OBS, 64, mesh, exchange="ring")
+    trajs = reconstruct_trajectories(subs, ancestry)
+    zs = trajs.get_choices().get_value("z")
+    retvals = trajs.get_retval()
+    np.testing.assert_array_equal(np.asarray(zs), np.asarray(retvals))
+
+
+def test_ring_smc_multivariate_state_matches_kalman():
+    """Vector-valued carried state exercises the half-block rotation on
+    (n_local, D) leaves; log-ML checked against the exact Kalman filter."""
+    from gen_tpu.models import LGSSMParams, kalman_filter, lgssm, lgssm_kernel
+
+    T, d, p = 8, 2, 2
+    rng = np.random.default_rng(0)
+    params = LGSSMParams(
+        A=jnp.asarray([[0.8, 0.1], [0.0, 0.7]]),
+        Q=jnp.asarray(0.3 * np.eye(d)),
+        C=jnp.asarray(rng.standard_normal((p, d))),
+        R=jnp.asarray(0.25 * np.eye(p)),
+        mu0=jnp.zeros(d), P0=jnp.asarray(np.eye(d)))
+    ys = lgssm(T).sample(jax.random.PRNGKey(1), *params)
+    exact = float(kalman_filter(params, ys).log_ml)
+    obs = gt.vector_choicemap(T, y=ys)
+    mesh = chain_mesh(8, axis="particles")
+    lmls = []
+    for s in range(3):
+        _, _, _, lml = sharded_smc_genealogy(
+            jax.random.PRNGKey(s), lgssm_kernel, jnp.zeros(d),
+            tuple(params), obs, 4096, mesh, exchange="ring")
+        lmls.append(float(lml))
+    assert abs(np.mean(lmls) - exact) < 0.2, (lmls, exact)
+
+
+def test_ring_smc_weight_invariant():
+    """Right after an every-step-resampling run, the global weights carry
+    exactly the per-island shares: global logsumexp(log_w) == log N up to
+    the final extension's contribution being finite."""
+    mesh = chain_mesh(4, axis="particles")
+    _, _, log_w, lml = sharded_smc_genealogy(
+        KEY, hmm_kernel, 0, (), OBS, 64, mesh,
+        ess_threshold=float("inf"), exchange="ring")
+    assert np.all(np.isfinite(np.asarray(log_w)))
+    assert np.isfinite(float(lml))
