@@ -20,10 +20,19 @@ Measured compile time (CPU backend, binary-branch gaussian tree):
 per-node 8.5s/20.7s at D=5/6 (doubling per level; D=8 exceeds 9 minutes),
 leveled 3.5s/4.8s there and 13s at D=14 (16383 nodes).
 
-Limitations vs the per-node arena: ``regenerate`` requires a per-level
-uniform subselection (the same sub-addresses selected at every node of a
-level — e.g. "all v's"), and the choices/discard views require concrete
-active masks, same as the per-node version.
+``regenerate`` handles BOTH uniform per-level selections (one vmapped
+static subselection — the fast path) and node-varying selections: the
+level's per-node static subselections are lowered onto ONE batched
+:class:`gen_tpu.masked.MaskedSelection` whose per-lane flags say which
+nodes resample which addresses, so the level still runs as a single vmap
+(the branchless-random-scan machinery reused at combinator scale).
+Node-varying selections must name choice addresses explicitly (a whole-
+subtree ``AllSelection`` at a nested-call address can't be expanded
+without knowing the callee's address universe — use the per-node Recurse
+combinator for that).
+
+Limitations vs the per-node arena: the choices/discard views require
+concrete active masks, same as the per-node version.
 """
 
 from __future__ import annotations
@@ -89,6 +98,33 @@ def _uniform_level_subsel(selection, offs, sizes, d):
         if _sel_signature(selection.subselection(offs[d] + j)) != sig:
             return None
     return rep
+
+
+def _static_leaf_paths(sel, prefix=()):
+    """Explicit address paths a static selection selects, for lowering onto
+    a MaskedSelection. AllSelection is only expandable at a concrete path
+    (it then flags that exact path); Empty contributes nothing."""
+    from ..selection import (AllSelection, EmptySelection,
+                             HierarchicalSelection)
+    if isinstance(sel, EmptySelection):
+        return []
+    if isinstance(sel, AllSelection):
+        if not prefix:
+            raise NotImplementedError(
+                "RecurseLeveled.regenerate: a node-varying selection with a "
+                "bare AllSelection at a node cannot be lowered onto a "
+                "masked level selection (the node's address universe is "
+                "unknown); select explicit choice addresses, or use the "
+                "per-node Recurse combinator.")
+        return [prefix]
+    if isinstance(sel, HierarchicalSelection):
+        out = []
+        for k, v in sel.subs.items():
+            out.extend(_static_leaf_paths(v, prefix + (k,)))
+        return out
+    raise NotImplementedError(
+        f"RecurseLeveled does not support {type(sel).__name__} selections "
+        "(membership must be static); use the per-node Recurse combinator.")
 
 
 class LeveledRecurseTrace(Trace):
@@ -546,26 +582,31 @@ class LeveledRecurseCombinator(GenerativeFunction):
             return ChoiceMap()
         return discard
 
-    def _check_uniform_selection(self, selection: Selection):
-        """regenerate vmaps one subselection per level — every node of a
-        level must be selected identically (e.g. ``all v's``)."""
+    def _level_selection(self, selection: Selection, d: int, kind: str):
+        """Lower the per-node subselections of one level onto a vmappable
+        form: ``(static_sel, None)`` when every node is selected identically
+        (fast path — one closed-over subselection), else ``(None,
+        batched_masked)`` — a MaskedSelection whose flag leaves are (B^d,)
+        arrays, mapped lane-wise by the level vmap."""
+        from ..masked import MaskedSelection
         offs, sizes = _level_offsets(self.max_branch, self.max_depth)
-        for d in range(self.max_depth):
-            if _uniform_level_subsel(selection, offs, sizes, d) is None:
-                raise NotImplementedError(
-                    "RecurseLeveled.regenerate needs a per-level uniform "
-                    f"selection; the nodes of level {d} are selected "
-                    "differently. Select the same sub-addresses at every "
-                    "node of a level, or use the per-node Recurse "
-                    "combinator.")
+        rep = _uniform_level_subsel(selection, offs, sizes, d)
+        if rep is not None:
+            return rep.subselection(kind), None
+        n = sizes[d]
+        per_node = [set(_static_leaf_paths(
+            selection.subselection(offs[d] + j).subselection(kind)))
+            for j in range(n)]
+        union = sorted(set().union(*per_node), key=repr)
+        flags = {p: jnp.asarray([p in per_node[j] for j in range(n)])
+                 for p in union}
+        return None, MaskedSelection(flags)
 
     def regenerate(self, key, trace: LeveledRecurseTrace, args: Tuple,
                    argdiffs: Tuple, selection: Selection):
         (root_input,) = args
-        self._check_uniform_selection(selection)
         weights = []
         prev_active = trace.active
-        offs, sizes = _level_offsets(self.max_branch, self.max_depth)
         from ..selection import NONE
 
         def mask_tree(keep, a, b):
@@ -576,12 +617,18 @@ class LeveledRecurseCombinator(GenerativeFunction):
 
         def prod(d, keys, act, inputs):
             prev = trace.prod_levels[d]
-            # node-varying subselections are rare; use the level's union by
-            # regenerating each lane with its own node subselection is not
-            # vmappable — require a uniform subselection per level
-            sel = selection.subselection(offs[d]).subselection(PROD)
-            reg = jax.vmap(lambda k, t, inp: self.production.regenerate(
-                k, t, (inp,), (UnknownChange,), sel)[:2])(keys, prev, inputs)
+            sel_static, sel_masked = self._level_selection(selection, d,
+                                                           PROD)
+            if sel_masked is None:
+                reg = jax.vmap(lambda k, t, inp: self.production.regenerate(
+                    k, t, (inp,), (UnknownChange,), sel_static)[:2])(
+                        keys, prev, inputs)
+            else:
+                # node-varying: one batched MaskedSelection, still one vmap
+                reg = jax.vmap(
+                    lambda k, t, inp, s: self.production.regenerate(
+                        k, t, (inp,), (UnknownChange,), s)[:2])(
+                            keys, prev, inputs, sel_masked)
             gen = jax.vmap(lambda k, inp: self.production.generate(
                 k, (inp,), ChoiceMap()))(keys, inputs)
             keep = act & prev_active[d]
@@ -596,11 +643,17 @@ class LeveledRecurseCombinator(GenerativeFunction):
 
         def agg(d, keys, act, v, child_ws, nchild):
             prev = trace.agg_levels[d]
-            sel = selection.subselection(offs[d]).subselection(AGG)
-            reg = jax.vmap(
-                lambda k, t, a, cw, nc: self.aggregation.regenerate(
-                    k, t, (a, cw, nc), all_unknown_change((a, cw, nc)),
-                    sel)[:2])(keys, prev, v, child_ws, nchild)
+            sel_static, sel_masked = self._level_selection(selection, d, AGG)
+            if sel_masked is None:
+                reg = jax.vmap(
+                    lambda k, t, a, cw, nc: self.aggregation.regenerate(
+                        k, t, (a, cw, nc), all_unknown_change((a, cw, nc)),
+                        sel_static)[:2])(keys, prev, v, child_ws, nchild)
+            else:
+                reg = jax.vmap(
+                    lambda k, t, a, cw, nc, s: self.aggregation.regenerate(
+                        k, t, (a, cw, nc), all_unknown_change((a, cw, nc)),
+                        s)[:2])(keys, prev, v, child_ws, nchild, sel_masked)
             gen = jax.vmap(lambda k, a, cw, nc: self.aggregation.generate(
                 k, (a, cw, nc), ChoiceMap()))(keys, v, child_ws, nchild)
             keep = act & prev_active[d]

@@ -142,6 +142,50 @@ class TestLeveledRecurse:
             np.testing.assert_array_equal(np.asarray(new_tr.active[d]),
                                           np.asarray(tr.active[d]))
 
+    def test_regenerate_node_varying_selection(self):
+        """Node-varying selections lower onto one batched MaskedSelection
+        per level; verified against the regenerate score identity
+        weight == Δscore − Δproject(selection)."""
+        cons = gt.ChoiceMap()
+        cons.set_value((0, "production", "branch"), True)
+        cons.set_value((1, "production", "branch"), False)
+        cons.set_value((2, "production", "branch"), False)
+        tr, _ = tree_lvl.generate(KEY, (0.0,), cons)
+        assert np.asarray(tr.active[1]).all()
+
+        # level 1 selected non-uniformly: node 1's "v" only
+        sel = select((0, "production", "v"), (1, "production", "v"))
+        new_tr, w, _ = tree_lvl.regenerate(jax.random.PRNGKey(11), tr,
+                                           (0.0,), (gt.NoChange,), sel)
+        for d in range(D):
+            np.testing.assert_array_equal(np.asarray(new_tr.active[d]),
+                                          np.asarray(tr.active[d]))
+        # selected values resampled, unselected retained
+        assert float(new_tr[(1, "production", "v")]) != pytest.approx(
+            float(tr[(1, "production", "v")]))
+        np.testing.assert_allclose(float(new_tr[(2, "production", "v")]),
+                                   float(tr[(2, "production", "v")]),
+                                   rtol=1e-12)
+        # GFI identity: Δscore = weight + Δproject(sel)
+        lhs = float(new_tr.get_score()) - float(tr.get_score())
+        rhs = (float(w) + float(new_tr.project(sel))
+               - float(tr.project(sel)))
+        np.testing.assert_allclose(lhs, rhs, rtol=1e-9, atol=1e-9)
+        assert float(w) != 0.0  # node 2's score shifts with its new input
+
+    def test_regenerate_node_varying_matches_per_node_identity(self):
+        """The per-node arena satisfies the same identity on the same
+        selection — cross-check both implementations agree on retained
+        structure semantics."""
+        ref = tree_node.simulate(jax.random.PRNGKey(21), (0.0,))
+        sel = select((0, "production", "v"), (2, "production", "v"))
+        new_ref, w_ref, _ = tree_node.regenerate(
+            jax.random.PRNGKey(22), ref, (0.0,), (gt.NoChange,), sel)
+        lhs = float(new_ref.get_score()) - float(ref.get_score())
+        rhs = (float(w_ref) + float(new_ref.project(sel))
+               - float(ref.project(sel)))
+        np.testing.assert_allclose(lhs, rhs, rtol=1e-9, atol=1e-9)
+
     def test_assess_matches_score_at_depth_cap(self):
         """A depth-capped production that requests children: the aggregation
         density must see nchild=0 exactly as the trace was built (the
