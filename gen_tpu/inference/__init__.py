@@ -19,6 +19,8 @@ from .kernel_dsl import (primitive_kernel, reversal, seq, repeat, mixture,
                          cond_kernel, check_observations, checked)
 from ..combinators.arena import smc_run  # noqa: F401 (SMC convenience)
 from .smc import smc_genealogy, reconstruct_trajectories
+from .tempering import (TemperedTarget, ais, smc_sampler,
+                        parallel_tempering)
 from .particle_filter import (ParticleFilterState, initialize_particle_filter,
                               particle_filter_step, maybe_resample,
                               log_ml_estimate, effective_sample_size,
@@ -33,6 +35,7 @@ __all__ = [
     "particle_filter_step", "maybe_resample", "log_ml_estimate",
     "effective_sample_size", "sample_unweighted_traces", "smc_run",
     "smc_genealogy", "reconstruct_trajectories",
+    "TemperedTarget", "ais", "smc_sampler", "parallel_tempering",
     "nuts", "nuts_flat", "nuts_warmup_and_sample", "da_init", "da_update",
     "find_reasonable_step_size", "NUTSStats", "FlatTarget",
     "chees_hmc_warmup_and_sample",
