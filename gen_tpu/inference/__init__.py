@@ -20,7 +20,7 @@ from .kernel_dsl import (primitive_kernel, reversal, seq, repeat, mixture,
 from ..combinators.arena import smc_run  # noqa: F401 (SMC convenience)
 from .smc import smc_genealogy, reconstruct_trajectories
 from .tempering import (TemperedTarget, ais, smc_sampler,
-                        parallel_tempering)
+                        smc_sampler_adaptive, parallel_tempering)
 from .particle_filter import (ParticleFilterState, initialize_particle_filter,
                               particle_filter_step, maybe_resample,
                               log_ml_estimate, effective_sample_size,
@@ -35,7 +35,8 @@ __all__ = [
     "particle_filter_step", "maybe_resample", "log_ml_estimate",
     "effective_sample_size", "sample_unweighted_traces", "smc_run",
     "smc_genealogy", "reconstruct_trajectories",
-    "TemperedTarget", "ais", "smc_sampler", "parallel_tempering",
+    "TemperedTarget", "ais", "smc_sampler", "smc_sampler_adaptive",
+    "parallel_tempering",
     "nuts", "nuts_flat", "nuts_warmup_and_sample", "da_init", "da_update",
     "find_reasonable_step_size", "NUTSStats", "FlatTarget",
     "chees_hmc_warmup_and_sample",

@@ -229,6 +229,81 @@ def smc_sampler(key, trace: Trace, selection: Selection, betas,
     return flats, log_w, log_ml
 
 
+def smc_sampler_adaptive(key, trace: Trace, selection: Selection,
+                         n_particles: int, target_ess: float = 0.5,
+                         max_stages: int = 64, L: int = 10,
+                         eps: float = 0.1, moves_per_rung: int = 1,
+                         resample_method: str = "systematic"):
+    """Tempered SMC with an ESS-ADAPTIVE ladder (Del Moral et al. 2012,
+    §3.3): each stage bisects the next beta so the incremental weights'
+    ESS hits ``target_ess * N``, then resamples and moves. The whole
+    sampler is ONE ``lax.while_loop`` program — the number of stages is
+    data-dependent (bounded by ``max_stages``), with no host round-trips.
+
+    Returns ``(flats, log_ml, n_stages, betas)``: equally-weighted
+    posterior particles, the evidence estimate, the number of stages used,
+    and the (max_stages,) ladder actually taken (NaN-padded).
+    """
+    n = n_particles
+    k_init, k_loop = jax.random.split(key)
+    flats0, _ = _init_particles(k_init, trace, selection, n)
+    target = TemperedTarget(trace, selection)
+    tgt = target_ess * n
+
+    def ess_of(log_w):
+        lnw = log_w - logsumexp(log_w)
+        return jnp.exp(-logsumexp(2.0 * lnw))
+
+    def body(carry):
+        flats, log_ml, beta, stage, betas_hist, k = carry
+        k, k_res, k_mov = jax.random.split(k, 3)
+        lik = jax.vmap(lambda f: target.prior_lik(f)[1])(flats)
+
+        # bisect the largest next beta whose incremental ESS >= target
+        # (log_w is uniform here — we resample every stage)
+        def bisect(_, lohi):
+            lo, hi = lohi
+            mid = 0.5 * (lo + hi)
+            ok = ess_of((mid - beta) * lik) >= tgt
+            return (jnp.where(ok, mid, lo), jnp.where(ok, hi, mid))
+
+        full_ok = ess_of((1.0 - beta) * lik) >= tgt
+        lo, _ = jax.lax.fori_loop(0, 50, bisect,
+                                  (beta, jnp.asarray(1.0, beta.dtype)))
+        new_beta = jnp.where(full_ok, 1.0, lo)
+
+        log_w = (new_beta - beta) * lik
+        log_total = logsumexp(log_w)
+        log_ml = log_ml + log_total - jnp.log(n)
+        parents = _resample_parents(k_res, log_w - log_total,
+                                    resample_method)
+        flats = flats[parents]
+
+        def one_move(f, kk, b):
+            new, _ = _tempered_hmc_step(kk, f, target, b, L, eps)
+            return new
+
+        def sweep(i, fl):
+            ks = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(
+                jax.random.fold_in(k_mov, i), jnp.arange(n))
+            return jax.vmap(one_move, in_axes=(0, 0, None))(fl, ks, new_beta)
+
+        flats = jax.lax.fori_loop(0, moves_per_rung, sweep, flats)
+        betas_hist = betas_hist.at[stage].set(new_beta)
+        return (flats, log_ml, new_beta, stage + 1, betas_hist, k)
+
+    def cond(carry):
+        _, _, beta, stage, _, _ = carry
+        return (beta < 1.0) & (stage < max_stages)
+
+    betas_hist0 = jnp.full((max_stages,), jnp.nan)
+    flats, log_ml, _, n_stages, betas_hist, _ = jax.lax.while_loop(
+        cond, body,
+        (flats0, jnp.asarray(0.0), jnp.asarray(0.0), jnp.asarray(0),
+         betas_hist0, k_loop))
+    return flats, log_ml, n_stages, betas_hist
+
+
 def parallel_tempering(key, trace: Trace, selection: Selection, betas,
                        n_sweeps: int, L: int = 10, eps: float = 0.1,
                        thin: int = 1):

@@ -203,3 +203,93 @@ def sharded_smc_genealogy(key, kernel: GenerativeFunction, init_state,
         in_specs=(P(), P()),
         out_specs=(P(None, axis), P(None, axis), P(axis), P()))
     return jax.jit(shard)(key, obs_inner)
+
+
+def sharded_smc_sampler(key, trace, selection, betas, n_particles: int,
+                        mesh: Mesh, axis: str = "particles",
+                        L: int = 10, eps: float = 0.1,
+                        moves_per_rung: int = 1,
+                        ess_threshold: Optional[float] = None):
+    """Particle-sharded tempered SMC (the distributed form of
+    :func:`gen_tpu.inference.tempering.smc_sampler`).
+
+    Latent flats are (dim,) vectors, so the resampling exchange is cheap:
+    per rung, one scalar psum/pmax pair for the global weight
+    normalization + ESS, and (only when ESS triggers) an all_gather of the
+    (N,) weights and the (N, dim) flats followed by the shared-u global
+    systematic parent slice. Tempered-HMC moves are embarrassingly local.
+
+    Returns ``(flats, log_w, log_ml)`` — flats (N, dim) sharded over the
+    particle axis.
+    """
+    from ..inference.tempering import (TemperedTarget, _init_particles,
+                                       _tempered_hmc_step)
+    from ..ops.resample import systematic_resample
+
+    n_dev = mesh.shape[axis]
+    n = n_particles
+    if n % n_dev != 0:
+        raise ValueError(f"num_particles={n} must divide over the "
+                         f"{n_dev}-device '{axis}' mesh axis")
+    n_local = n // n_dev
+    if ess_threshold is None:
+        ess_threshold = n / 2
+    betas = jnp.asarray(betas)
+    beta_prevs = jnp.concatenate([jnp.zeros(1, betas.dtype), betas[:-1]])
+    target = TemperedTarget(trace, selection)
+
+    def run(key):
+        dev = jax.lax.axis_index(axis)
+        base = dev * n_local
+        k_init, k_scan = jax.random.split(jax.random.fold_in(key, dev))
+        k_scan = jax.random.split(key)[1]  # rung keys shared across devices
+        # flats are already device-varying (per-device init key); the
+        # zero-initialized weights are replicated-valued and need the cast
+        flats, _ = _init_particles(k_init, trace, selection, n_local)
+        varying = lambda x: jax.lax.pcast(x, (axis,), to="varying")
+
+        def rung(carry, inp):
+            flats, log_w, log_ml = carry
+            beta, beta_prev, k = inp
+            k_res, k_mov = jax.random.split(k)
+
+            lik = jax.vmap(lambda f: target.prior_lik(f)[1])(flats)
+            log_w = log_w + (beta - beta_prev) * lik
+
+            log_total = _global_logsumexp(log_w, axis)
+            lnw = log_w - log_total
+            ess = 1.0 / jax.lax.psum(jnp.sum(jnp.exp(2.0 * lnw)), axis)
+            do = ess < ess_threshold
+
+            lnw_g = jax.lax.all_gather(lnw, axis, tiled=True)
+            flats_g = jax.lax.all_gather(flats, axis, tiled=True)
+            u = jax.random.uniform(k_res)
+            parents_g = systematic_resample(lnw_g, u)
+            parents_local = jax.lax.dynamic_slice(parents_g, (base,),
+                                                  (n_local,))
+            flats = jnp.where(do, flats_g[parents_local], flats)
+            log_w = jnp.where(do, jnp.zeros(n_local), log_w)
+            log_ml = jnp.where(do, log_ml + log_total - jnp.log(n), log_ml)
+
+            def one_move(f, kk):
+                new, _ = _tempered_hmc_step(kk, f, target, beta, L, eps)
+                return new
+
+            def sweep(i, fl):
+                ks = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(
+                    jax.random.fold_in(k_mov, i), base + jnp.arange(n_local))
+                return jax.vmap(one_move)(fl, ks)
+
+            flats = jax.lax.fori_loop(0, moves_per_rung, sweep, flats)
+            return (flats, log_w, log_ml), None
+
+        keys = jax.random.split(k_scan, betas.shape[0])
+        (flats, log_w, log_ml), _ = jax.lax.scan(
+            rung, (flats, varying(jnp.zeros(n_local)), jnp.asarray(0.0)),
+            (betas, beta_prevs, keys))
+        log_ml = log_ml + _global_logsumexp(log_w, axis) - jnp.log(n)
+        return flats, log_w, log_ml
+
+    shard = jax.shard_map(run, mesh=mesh, in_specs=(P(),),
+                          out_specs=(P(axis), P(axis), P()))
+    return jax.jit(shard)(key)

@@ -130,3 +130,47 @@ def test_ais_prior_only_ladder_gives_zero_lik_weight():
     _, _, lml_is = importance_sampling(jax.random.PRNGKey(8), gauss_model,
                                        (), OBS, 20000)
     assert abs(float(lml) - float(lml_is)) < 0.2
+
+
+def test_adaptive_smc_sampler():
+    """ESS-adaptive ladder: evidence matches exact, ladder is monotone
+    increasing and terminates at beta=1."""
+    from gen_tpu.inference import smc_sampler_adaptive
+    tr = _template_trace()
+    flats, lml, n_stages, betas = jax.jit(
+        lambda k: smc_sampler_adaptive(k, tr, SEL, n_particles=1024,
+                                       target_ess=0.6, L=5, eps=0.1,
+                                       moves_per_rung=2))(
+        jax.random.PRNGKey(9))
+    exact = exact_log_evidence()
+    assert abs(float(lml) - exact) < 0.15, (float(lml), exact)
+    ns = int(n_stages)
+    assert 1 <= ns < 64
+    bs = np.asarray(betas)[:ns]
+    assert np.all(np.diff(bs) > 0) if ns > 1 else True
+    assert bs[-1] == pytest.approx(1.0)
+    # equally-weighted particles estimate the exact posterior moments
+    mean, std = exact_posterior()
+    mus = np.asarray(flats)[:, 0]
+    assert abs(mus.mean() - mean) < 0.05
+    assert abs(mus.std() - std) < 0.05
+
+
+def test_sharded_smc_sampler_matches_exact_evidence():
+    """Particle-sharded tempered SMC on the 8-device mesh recovers the
+    exact conjugate evidence."""
+    from gen_tpu.parallel import chain_mesh, sharded_smc_sampler
+    tr = _template_trace()
+    betas = jnp.linspace(0.0, 1.0, 21)[1:]
+    mesh = chain_mesh(8, axis="particles")
+    flats, log_w, lml = sharded_smc_sampler(
+        jax.random.PRNGKey(11), tr, SEL, betas, 1024, mesh,
+        L=5, eps=0.1, moves_per_rung=2)
+    exact = exact_log_evidence()
+    assert abs(float(lml) - exact) < 0.15, (float(lml), exact)
+    assert flats.shape == (1024, 1)
+    mean, std = exact_posterior()
+    w = np.exp(np.asarray(log_w) - np.max(np.asarray(log_w)))
+    w = w / w.sum()
+    mus = np.asarray(flats)[:, 0]
+    assert abs(np.sum(w * mus) - mean) < 0.06
