@@ -387,6 +387,47 @@ def bench_lgssm_collapsed_hmc(n_chains=8192, T=64, d=4, p=4,
                       "sec_per_run": round(el, 3)}))
 
 
+def bench_hmm_forward_mxu(n=8192, k=128, v=128, t=64, reps=5):
+    """Batched HMM forward: log-space (vmapped logsumexp recursion, VPU)
+    vs the scaled prob-space recursion (one (N,K)x(K,K) matmul per step —
+    MXU) in f32 and bf16. FLOPs = 2*N*K^2*T (the transition contraction)."""
+    import jax
+    import jax.numpy as jnp
+    from gen_tpu.models import HMMParams, hmm_forward, hmm_forward_batched
+
+    rng = np.random.default_rng(0)
+    params = HMMParams(
+        jnp.asarray(rng.dirichlet(np.ones(k)).astype(np.float32)),
+        jnp.asarray(rng.dirichlet(np.ones(k), size=k).astype(np.float32)),
+        jnp.asarray(rng.dirichlet(np.ones(v), size=k).astype(np.float32)))
+
+    def make(fn, n_seq):
+        @jax.jit
+        def run(key):
+            ys = jax.random.randint(key, (n_seq, t), 0, v)
+            return fn(ys)
+        return run
+
+    n_log = min(n, 2048)  # the (N,K,K) logsumexp intermediate caps N here
+    log_space = make(lambda ys: jnp.sum(
+        jax.vmap(lambda y: hmm_forward(params, y)[0])(ys)), n_log)
+    mxu_f32 = make(lambda ys: jnp.sum(hmm_forward_batched(params, ys)[0]), n)
+    mxu_bf16 = make(lambda ys: jnp.sum(
+        hmm_forward_batched(params, ys, dtype=jnp.bfloat16)[0]), n)
+
+    out = {}
+    for name, fn, n_seq in [("log_space_vpu", log_space, n_log),
+                            ("mxu_f32", mxu_f32, n),
+                            ("mxu_bf16", mxu_bf16, n)]:
+        el, _ = _timeit(fn, jax.random.PRNGKey(0), reps=reps)
+        flops = 2.0 * n_seq * k * k * t
+        out[name] = {"sec": round(el, 5),
+                     "seqs_per_sec": round(n_seq / el),
+                     "gflops": round(flops / el / 1e9, 1)}
+    print(json.dumps({"workload": "hmm_forward_mxu", "n": n, "k": k,
+                      "t": t, **out}))
+
+
 if __name__ == "__main__":
     bench_bbvi()
     bench_coal()
@@ -395,3 +436,4 @@ if __name__ == "__main__":
     bench_pmmh()
     bench_mvn_mxu()
     bench_lgssm_collapsed_hmc()
+    bench_hmm_forward_mxu()

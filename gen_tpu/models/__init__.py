@@ -10,11 +10,12 @@ MXU-path batched-weight formulation.
 from .lgssm import (LGSSMParams, KalmanResult, kalman_filter, kalman_smoother,
                     lgssm_kernel, LinearGaussianSSM, lgssm,
                     lgssm_batch_weights)
-from .hmm import (HMMParams, hmm_forward, hmm_smoother, hmm_ffbs,
-                  hmm_kernel, HiddenMarkovModel, hmm)
+from .hmm import (HMMParams, hmm_forward, hmm_forward_batched, hmm_smoother,
+                  hmm_ffbs, hmm_kernel, HiddenMarkovModel, hmm)
 
 __all__ = ["LGSSMParams", "KalmanResult", "kalman_filter", "kalman_smoother",
            "lgssm_kernel", "LinearGaussianSSM", "lgssm",
            "lgssm_batch_weights",
-           "HMMParams", "hmm_forward", "hmm_smoother", "hmm_ffbs",
+           "HMMParams", "hmm_forward", "hmm_forward_batched", "hmm_smoother",
+           "hmm_ffbs",
            "hmm_kernel", "HiddenMarkovModel", "hmm"]

@@ -81,6 +81,50 @@ def hmm_forward(params: HMMParams, ys):
     return logsumexp(log_alpha[-1]), log_alpha
 
 
+def hmm_forward_batched(params: HMMParams, ys_batch, dtype=None):
+    """Scaled (prob-space) forward algorithm batched over sequences: the
+    MXU formulation. ``ys_batch``: (N, T) int. Per step the whole batch
+    advances with ONE (N, K) x (K, K) matmul — for K >= 64ish this runs on
+    the systolic array, where the log-space einsum/logsumexp form is
+    VPU-bound. Per-step renormalization (the classical scaled forward
+    recursion) keeps everything in range; log-ML accumulates the log
+    normalizers.
+
+    ``dtype=jnp.bfloat16`` runs the transition matmul in the MXU's native
+    bf16 mode (f32 accumulation) — appropriate for SMC-style weights and
+    EM responsibilities, not for exact MH accept ratios.
+
+    Returns ``(log_mls (N,), filtered (T, N, K))`` — filtered posteriors
+    p(z_t | y_{0:t}) per sequence.
+    """
+    init, trans, emit = (jnp.asarray(_f(p)) for p in params)
+    ys_batch = jnp.asarray(ys_batch)
+    trans_m = trans.astype(dtype) if dtype is not None else trans
+    n = ys_batch.shape[0]
+
+    def step(carry, y_t):
+        alpha, log_ml, first = carry  # alpha: (N, K) normalized
+        if dtype is not None:
+            pred = jax.lax.dot_general(
+                alpha.astype(dtype), trans_m,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        else:
+            pred = alpha @ trans
+        pred = jnp.where(first, init[None, :], pred)
+        un = pred * emit[:, y_t].T          # (N, K): emit gathered per seq
+        norm = jnp.sum(un, axis=1)
+        alpha = un / norm[:, None]
+        return ((alpha, log_ml + jnp.log(norm), jnp.zeros_like(first)),
+                alpha)
+
+    k = init.shape[0]
+    (_, log_mls, _), filtered = jax.lax.scan(
+        step, (jnp.zeros((n, k)), jnp.zeros(n), jnp.asarray(True)),
+        ys_batch.T)
+    return log_mls, filtered
+
+
 def hmm_smoother(params: HMMParams, ys):
     """Forward-backward: (T, K) posterior marginals p(z_t | y_{0:T-1})."""
     init, trans, emit = (jnp.asarray(_f(p)) for p in params)

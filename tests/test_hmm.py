@@ -133,3 +133,28 @@ def test_smc_over_hmm_kernel_matches_forward():
                                      4096)
         lmls.append(float(lml))
     assert abs(np.mean(lmls) - EXACT_LML) < 0.05, (lmls, EXACT_LML)
+
+
+def test_batched_scaled_forward_matches_log_space():
+    from gen_tpu.models import hmm_forward_batched
+    n = 8
+    ys_batch = jnp.asarray(RNG.integers(0, V, (n, T)))
+    lmls, filtered = hmm_forward_batched(PARAMS, ys_batch)
+    for i in range(n):
+        lml_i, log_alpha = hmm_forward(PARAMS, ys_batch[i])
+        np.testing.assert_allclose(float(lmls[i]), float(lml_i), rtol=1e-9)
+        # filtered posteriors match the normalized log-space potentials
+        filt = np.exp(np.asarray(log_alpha)
+                      - np.asarray(jax.scipy.special.logsumexp(
+                          log_alpha, axis=1, keepdims=True)))
+        np.testing.assert_allclose(np.asarray(filtered[:, i]), filt,
+                                   rtol=1e-7, atol=1e-10)
+
+
+def test_batched_forward_bf16_close():
+    from gen_tpu.models import hmm_forward_batched
+    n = 16
+    ys_batch = jnp.asarray(RNG.integers(0, V, (n, T)))
+    f32, _ = hmm_forward_batched(PARAMS, ys_batch)
+    bf16, _ = hmm_forward_batched(PARAMS, ys_batch, dtype=jnp.bfloat16)
+    np.testing.assert_allclose(np.asarray(f32), np.asarray(bf16), atol=0.1)
