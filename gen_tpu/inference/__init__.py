@@ -20,6 +20,7 @@ from .kernel_dsl import (primitive_kernel, reversal, seq, repeat, mixture,
 from ..combinators.arena import smc_run  # noqa: F401 (SMC convenience)
 from .smc import smc_genealogy, reconstruct_trajectories
 from .enumerate import enumerate_posterior, enumerate_marginals
+from .sgmcmc import MinibatchTarget, sgld_step, sghmc_step, sgld_chain
 from .tempering import (TemperedTarget, ais, smc_sampler,
                         smc_sampler_adaptive, parallel_tempering)
 from .particle_filter import (ParticleFilterState, initialize_particle_filter,
@@ -37,6 +38,7 @@ __all__ = [
     "effective_sample_size", "sample_unweighted_traces", "smc_run",
     "smc_genealogy", "reconstruct_trajectories",
     "enumerate_posterior", "enumerate_marginals",
+    "MinibatchTarget", "sgld_step", "sghmc_step", "sgld_chain",
     "TemperedTarget", "ais", "smc_sampler", "smc_sampler_adaptive",
     "parallel_tempering",
     "nuts", "nuts_flat", "nuts_warmup_and_sample", "da_init", "da_update",
