@@ -237,13 +237,35 @@ class MapCombinator(GenerativeFunction):
                 "Map.regenerate with length change: use update")
         keys = jax.random.split(key, n)
         if isinstance(selection, (AllSelection, EmptySelection)):
+            shared, masked = selection, None
+        else:
+            # lower per-element subselections onto one vmappable form:
+            # a shared closed-over subselection when uniform, a batched
+            # MaskedSelection when element-varying (gen_tpu.selection)
+            from ..selection import batch_selections
+            try:
+                shared, masked = batch_selections(
+                    [selection.subselection(i) for i in range(n)])
+            except NotImplementedError:
+                shared = masked = None
+        if shared is not None:
             def one(k, prev, a):
                 new_sub, w, _ = self.kernel.regenerate(
-                    k, prev, a, all_unknown_change(a), selection)
+                    k, prev, a, all_unknown_change(a), shared)
                 return new_sub, w
             new_subs, weights = jax.vmap(one)(keys, trace.subtraces, args)
             return (self._make_trace(args, new_subs, n), jnp.sum(weights),
                     UnknownChange)
+        if masked is not None:
+            def one_m(k, prev, a, s):
+                new_sub, w, _ = self.kernel.regenerate(
+                    k, prev, a, all_unknown_change(a), s)
+                return new_sub, w
+            new_subs, weights = jax.vmap(one_m)(keys, trace.subtraces, args,
+                                                masked)
+            return (self._make_trace(args, new_subs, n), jnp.sum(weights),
+                    UnknownChange)
+        # dynamic-membership selections: per-element fallback
         new_subs, weight = [], jnp.asarray(0.0)
         for i in range(n):
             sub, w, _ = self.kernel.regenerate(

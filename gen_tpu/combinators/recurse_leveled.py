@@ -69,24 +69,11 @@ def _bcast(x, n):
 
 
 def _sel_signature(sel):
-    """Structural signature of a static selection (used to check per-level
-    uniformity — repr comparison is unsound: object-identity reprs would
-    spuriously differ, content-hiding reprs would spuriously match)."""
-    from ..selection import (AllSelection, ComplementSelection,
-                             EmptySelection, HierarchicalSelection)
-    if isinstance(sel, AllSelection):
-        return ("all",)
-    if isinstance(sel, EmptySelection):
-        return ("empty",)
-    if isinstance(sel, ComplementSelection):
-        return ("compl", _sel_signature(sel.inner))
-    if isinstance(sel, HierarchicalSelection):
-        return ("hier", tuple(sorted(
-            ((k, _sel_signature(v)) for k, v in sel.subs.items()),
-            key=lambda kv: repr(kv[0]))))
-    raise NotImplementedError(
-        f"RecurseLeveled does not support {type(sel).__name__} selections "
-        "(membership must be static); use the per-node Recurse combinator.")
+    """Structural signature of a static selection (shared helper in
+    gen_tpu.selection; raises NotImplementedError for traced-membership
+    selection types — use the per-node Recurse combinator there)."""
+    from ..selection import selection_signature
+    return selection_signature(sel)
 
 
 def _uniform_level_subsel(selection, offs, sizes, d):
@@ -101,30 +88,10 @@ def _uniform_level_subsel(selection, offs, sizes, d):
 
 
 def _static_leaf_paths(sel, prefix=()):
-    """Explicit address paths a static selection selects, for lowering onto
-    a MaskedSelection. AllSelection is only expandable at a concrete path
-    (it then flags that exact path); Empty contributes nothing."""
-    from ..selection import (AllSelection, EmptySelection,
-                             HierarchicalSelection)
-    if isinstance(sel, EmptySelection):
-        return []
-    if isinstance(sel, AllSelection):
-        if not prefix:
-            raise NotImplementedError(
-                "RecurseLeveled.regenerate: a node-varying selection with a "
-                "bare AllSelection at a node cannot be lowered onto a "
-                "masked level selection (the node's address universe is "
-                "unknown); select explicit choice addresses, or use the "
-                "per-node Recurse combinator.")
-        return [prefix]
-    if isinstance(sel, HierarchicalSelection):
-        out = []
-        for k, v in sel.subs.items():
-            out.extend(_static_leaf_paths(v, prefix + (k,)))
-        return out
-    raise NotImplementedError(
-        f"RecurseLeveled does not support {type(sel).__name__} selections "
-        "(membership must be static); use the per-node Recurse combinator.")
+    """Shared helper in gen_tpu.selection (see there for the lowering
+    contract and its AllSelection limitation)."""
+    from ..selection import static_leaf_paths
+    return static_leaf_paths(sel, prefix)
 
 
 class LeveledRecurseTrace(Trace):

@@ -322,16 +322,32 @@ class UnfoldCombinator(GenerativeFunction):
             UnknownChange for _ in params)
 
         if isinstance(selection, (AllSelection, EmptySelection)):
+            shared, masked = selection, None
+        else:
+            # lower per-step subselections onto one scannable form (shared
+            # closed-over / batched MaskedSelection — gen_tpu.selection)
+            from ..selection import batch_selections
+            try:
+                shared, masked = batch_selections(
+                    [selection.subselection(t) for t in range(length)])
+            except NotImplementedError:
+                shared = masked = None
+        if shared is not None or masked is not None:
             ts = jnp.arange(length)
 
             def body(state, inp):
-                t, k, prev_sub = inp
+                if masked is None:
+                    t, k, prev_sub = inp
+                    sel_t = shared
+                else:
+                    t, k, prev_sub, sel_t = inp
                 sub, w, _ = self.kernel.regenerate(
-                    k, prev_sub, (t, state) + params, sub_argdiffs, selection)
+                    k, prev_sub, (t, state) + params, sub_argdiffs, sel_t)
                 return sub.get_retval(), (sub, w)
 
-            _, (subs, weights) = jax.lax.scan(
-                body, init_state, (ts, keys, trace.subtraces))
+            xs = ((ts, keys, trace.subtraces) if masked is None
+                  else (ts, keys, trace.subtraces, masked))
+            _, (subs, weights) = jax.lax.scan(body, init_state, xs)
             return (self._make_trace(args, subs, length), jnp.sum(weights),
                     UnknownChange)
 

@@ -150,3 +150,66 @@ def selectnone() -> Selection:
 
 def complement(sel: Selection) -> Selection:
     return sel.complement()
+
+
+# -- lowering per-lane static selections onto one vmappable form -----------
+
+
+def selection_signature(sel):
+    """Structural signature of a static selection (content-based equality;
+    repr comparison is unsound). Raises NotImplementedError for selection
+    types whose membership is not statically enumerable."""
+    if isinstance(sel, AllSelection):
+        return ("all",)
+    if isinstance(sel, EmptySelection):
+        return ("empty",)
+    if isinstance(sel, ComplementSelection):
+        return ("compl", selection_signature(sel.inner))
+    if isinstance(sel, HierarchicalSelection):
+        return ("hier", tuple(sorted(
+            ((k, selection_signature(v)) for k, v in sel.subs.items()),
+            key=lambda kv: repr(kv[0]))))
+    raise NotImplementedError(
+        f"{type(sel).__name__} selections have no static signature")
+
+
+def static_leaf_paths(sel, prefix=()):
+    """Explicit address paths a static selection selects — the form needed
+    to lower onto a MaskedSelection. A bare AllSelection at the root (or
+    any non-leaf position whose address universe is unknown) cannot be
+    expanded and raises NotImplementedError."""
+    if isinstance(sel, EmptySelection):
+        return []
+    if isinstance(sel, AllSelection):
+        if not prefix:
+            raise NotImplementedError(
+                "a bare AllSelection cannot be lowered onto a masked "
+                "selection (the address universe is unknown); select "
+                "explicit choice addresses")
+        return [prefix]
+    if isinstance(sel, HierarchicalSelection):
+        out = []
+        for k, v in sel.subs.items():
+            out.extend(static_leaf_paths(v, prefix + (k,)))
+        return out
+    raise NotImplementedError(
+        f"{type(sel).__name__} selections are not statically enumerable")
+
+
+def batch_selections(sels):
+    """Lower a list of per-lane static selections onto one vmappable form:
+    ``(shared, None)`` when every lane is selected identically (close over
+    ``shared`` in the vmapped function), else ``(None, masked)`` — a
+    MaskedSelection whose flag leaves are (len(sels),) arrays, to be
+    passed as a vmapped (in_axes=0) argument. Raises NotImplementedError
+    when a lane's selection is not statically enumerable — callers fall
+    back to their per-lane path."""
+    import jax.numpy as jnp
+    from .masked import MaskedSelection
+    sigs = [selection_signature(s) for s in sels]
+    if all(sig == sigs[0] for sig in sigs[1:]):
+        return sels[0], None
+    per = [set(static_leaf_paths(s)) for s in sels]
+    union = sorted(set().union(*per), key=repr)
+    flags = {p: jnp.asarray([p in lane for lane in per]) for p in union}
+    return None, MaskedSelection(flags)

@@ -67,6 +67,43 @@ class TestMap:
         np.testing.assert_allclose(discard[(0, "y")], 0.5)
         np.testing.assert_allclose(new_tr.get_choices()[(1, "y")], 1.5)
 
+    def test_regenerate_element_varying_selection(self):
+        """Per-element selections lower onto one batched MaskedSelection
+        (one vmap, no per-element Python loop); exact semantics: selected
+        elements resample from the prior (weight 0 for a Map of
+        independent kernels), unselected retained."""
+        xs = jnp.array([0.0, 1.0, 2.0, 3.0])
+        tr = mapped.simulate(KEY, (xs,))
+        sel = select((1, "y"), (3, "y"))
+        new_tr, w, _ = mapped.regenerate(jax.random.PRNGKey(2), tr, (xs,),
+                                         (gt.UnknownChange,), sel)
+        # independent applications: regenerate weight is exactly 0
+        np.testing.assert_allclose(float(w), 0.0, atol=1e-12)
+        for i in (0, 2):
+            np.testing.assert_allclose(
+                float(new_tr.get_choices()[(i, "y")]),
+                float(tr.get_choices()[(i, "y")]), rtol=1e-12)
+        for i in (1, 3):
+            assert (float(new_tr.get_choices()[(i, "y")])
+                    != pytest.approx(float(tr.get_choices()[(i, "y")])))
+        # score identity
+        lhs = float(new_tr.get_score()) - float(tr.get_score())
+        rhs = float(w) + float(new_tr.project(sel)) - float(tr.project(sel))
+        np.testing.assert_allclose(lhs, rhs, rtol=1e-9, atol=1e-9)
+
+    def test_regenerate_uniform_hierarchical_selection(self):
+        """A uniform per-element selection takes the shared vmapped path and
+        equals selecting everything (single-address kernel)."""
+        xs = jnp.array([0.0, 1.0])
+        tr = mapped.simulate(KEY, (xs,))
+        sel = select((0, "y"), (1, "y"))
+        new_tr, w, _ = mapped.regenerate(jax.random.PRNGKey(3), tr, (xs,),
+                                         (gt.UnknownChange,), sel)
+        np.testing.assert_allclose(float(w), 0.0, atol=1e-12)
+        for i in (0, 1):
+            assert (float(new_tr.get_choices()[(i, "y")])
+                    != pytest.approx(float(tr.get_choices()[(i, "y")])))
+
     def test_update_grow(self):
         xs2 = jnp.array([0.0, 1.0])
         xs3 = jnp.array([0.0, 1.0, 2.0])
@@ -153,6 +190,22 @@ class TestUnfold:
         tr, w = chain.generate(KEY, (3, 0.0), cons)
         x0 = float(tr[(0, "x")])
         np.testing.assert_allclose(w, N(5.0, x0, 1.0), rtol=1e-12)
+
+    def test_regenerate_step_varying_selection(self):
+        """Per-step selections scan with a batched MaskedSelection; weight
+        follows the chain rule: resampling x_1 rescopes x_2 | x_1."""
+        obs = jnp.array([1.0, 2.0, 3.0])
+        tr, _ = chain.generate(KEY, (3, 0.0), vector_choicemap(3, x=obs))
+        sel = select((1, "x"))
+        new_tr, w, _ = chain.regenerate(jax.random.PRNGKey(4), tr, (3, 0.0),
+                                        (gt.NoChange, gt.NoChange), sel)
+        x1_new = float(new_tr[(1, "x")])
+        assert x1_new != pytest.approx(2.0)
+        np.testing.assert_allclose(float(new_tr[(0, "x")]), 1.0, rtol=1e-12)
+        np.testing.assert_allclose(float(new_tr[(2, "x")]), 3.0, rtol=1e-12)
+        # weight = new score of retained x_2 given new x_1, minus old
+        np.testing.assert_allclose(
+            float(w), N(3.0, x1_new, 1.0) - N(3.0, 2.0, 1.0), rtol=1e-9)
 
     def test_extension_fast_path(self):
         obs = jnp.array([1.0, 2.0])
