@@ -24,7 +24,8 @@ from ..choice_map import ChoiceMap
 from ..diff import UnknownChange, all_unknown_change
 from ..gfi import GenerativeFunction, Trace
 from ..selection import AllSelection, EmptySelection, Selection
-from .vector import (VectorChoiceMap, try_densify, tree_index, tree_stack)
+from .vector import (VectorChoiceMap, densify_masked, sparsify_masked,
+                     try_densify, tree_index, tree_stack)
 
 
 class MapTrace(Trace):
@@ -76,6 +77,18 @@ class MapTrace(Trace):
         if isinstance(selection, AllSelection):
             return jnp.sum(jax.vmap(lambda t: t.project(selection))(
                 self.subtraces))
+        from ..selection import batch_selections
+        try:
+            shared, masked = batch_selections(
+                [selection.subselection(i) for i in range(self.length)])
+        except NotImplementedError:
+            shared = masked = None
+        if shared is not None:
+            return jnp.sum(jax.vmap(lambda t: t.project(shared))(
+                self.subtraces))
+        if masked is not None:
+            return jnp.sum(jax.vmap(lambda t, s: t.project(s))(
+                self.subtraces, masked))
         total = jnp.asarray(0.0)
         for i in range(self.length):
             total = total + self.get_subtrace(i).project(
@@ -144,6 +157,11 @@ class MapCombinator(GenerativeFunction):
     def generate(self, key, args: Tuple, constraints: ChoiceMap = None):
         n = _length_of(args)
         kind, payload = try_densify(constraints, n)
+        if kind == "sparse":
+            # lower onto ONE masked-dense vmapped generate when stackable
+            dense = densify_masked(payload, n)
+            if dense is not None:
+                kind, payload = "dense", dense
         keys = jax.random.split(key, n)
         if kind == "empty":
             subtraces = jax.vmap(lambda k, a: self.kernel.simulate(k, a))(
@@ -181,6 +199,11 @@ class MapCombinator(GenerativeFunction):
         n = _length_of(args)
         keys = jax.random.split(key, n) if key is not None else [None] * n
         kind, payload = try_densify(constraints, n)
+        lowered = False
+        if kind == "sparse" and n == trace.length:
+            dense = densify_masked(payload, n)
+            if dense is not None:
+                kind, payload, lowered = "dense", dense, True
         if n == trace.length and kind in ("empty", "dense"):
             cons_inner = (payload.inner if kind == "dense"
                           else ChoiceMap())
@@ -197,6 +220,12 @@ class MapCombinator(GenerativeFunction):
                 key_arg, trace.subtraces, args, cons_inner)
             discard = (VectorChoiceMap(discards, n)
                        if not discards.is_empty() else ChoiceMap())
+            if lowered and not discards.is_empty():
+                # unmask the discard back to sparse plain values (reference
+                # discard semantics) — flags are concrete at trace time
+                sparse_d = sparsify_masked(discards, n)
+                if sparse_d is not None:
+                    discard = sparse_d
             return (self._make_trace(args, new_subs, n), jnp.sum(weights),
                     UnknownChange, discard)
         # sparse or length-changing path: trace-time loop

@@ -26,7 +26,8 @@ from ..choice_map import ChoiceMap
 from ..diff import IntDiff, NoChange, UnknownChange
 from ..gfi import GenerativeFunction, Trace
 from ..selection import AllSelection, EmptySelection, Selection
-from .vector import VectorChoiceMap, try_densify, tree_index, tree_stack
+from .vector import (VectorChoiceMap, densify_masked, sparsify_masked,
+                     try_densify, tree_index, tree_stack)
 
 
 class UnfoldTrace(Trace):
@@ -73,6 +74,18 @@ class UnfoldTrace(Trace):
         if isinstance(selection, (EmptySelection, AllSelection)):
             return jnp.sum(jax.vmap(lambda tr: tr.project(selection))(
                 self.subtraces))
+        from ..selection import batch_selections
+        try:
+            shared, masked = batch_selections(
+                [selection.subselection(t) for t in range(self.length)])
+        except NotImplementedError:
+            shared = masked = None
+        if shared is not None:
+            return jnp.sum(jax.vmap(lambda tr: tr.project(shared))(
+                self.subtraces))
+        if masked is not None:
+            return jnp.sum(jax.vmap(lambda tr, s: tr.project(s))(
+                self.subtraces, masked))
         total = jnp.asarray(0.0)
         for t in range(self.length):
             total = total + self.get_subtrace(t).project(
@@ -161,6 +174,11 @@ class UnfoldCombinator(GenerativeFunction):
     def generate(self, key, args: Tuple, constraints: ChoiceMap = None):
         length, init_state, params = self._split_args(args)
         kind, payload = try_densify(constraints, length)
+        if kind == "sparse":
+            # lower onto ONE masked-dense scanned generate when stackable
+            dense = densify_masked(payload, length)
+            if dense is not None:
+                kind, payload = "dense", dense
         keys = jax.random.split(key, length)
         ts = jnp.arange(length)
 
@@ -228,7 +246,15 @@ class UnfoldCombinator(GenerativeFunction):
             if not any(t < prev_length for t in touched_old):
                 return self._extend(keys, trace, args, payload, kind)
 
-        # general path: re-run everything under update semantics
+        # general path: re-run everything under update semantics.
+        # Sparse same-length constraints lower onto one masked-dense scan
+        # (AFTER the extension check above — densifying first would hide
+        # the O(1) extension pattern).
+        lowered = False
+        if kind == "sparse" and length == prev_length:
+            dense = densify_masked(payload, length)
+            if dense is not None:
+                kind, payload, lowered = "dense", dense, True
         sub_argdiffs_tail = tuple(UnknownChange for _ in params)
         if kind in ("empty", "dense") and length == prev_length:
             ts = jnp.arange(length)
@@ -256,6 +282,10 @@ class UnfoldCombinator(GenerativeFunction):
                     body, init_state, (ts, keys, trace.subtraces, cons_xs))
             discard = (VectorChoiceMap(discards, length)
                        if not discards.is_empty() else ChoiceMap())
+            if lowered and not discards.is_empty():
+                sparse_d = sparsify_masked(discards, length)
+                if sparse_d is not None:
+                    discard = sparse_d
             return (self._make_trace(args, subs, length), jnp.sum(weights),
                     UnknownChange, discard)
 

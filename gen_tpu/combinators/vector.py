@@ -165,6 +165,71 @@ def try_densify(constraints: ChoiceMap, length: int):
     return ("sparse", dict(subs))
 
 
+def densify_masked(subs: dict, length: int):
+    """Lower sparse per-index constraints ``{index: ChoiceMap}`` onto ONE
+    dense VectorChoiceMap whose leaves are :class:`gen_tpu.masked
+    .MaskedValue` stacks over the union of constrained paths — presence
+    becomes a per-lane flag vector, so a vector combinator can run a single
+    vmapped/scanned generate/update instead of an O(N)-body trace-time
+    loop. Returns None when the per-index maps are not stackable
+    (heterogeneous shapes/dtypes, nested submaps, or already-masked
+    values) — callers fall back to their loop."""
+    import numpy as np
+    from ..masked import MaskedValue
+    maps = [subs.get(i, ChoiceMap()) for i in range(length)]
+    paths, seen = [], set()
+    try:
+        for m in maps:
+            for p, v in m.leaf_items():
+                if isinstance(v, MaskedValue):
+                    return None
+                if p not in seen:
+                    seen.add(p)
+                    paths.append(p)
+        if not paths:
+            return None
+        inner = ChoiceMap()
+        for p in paths:
+            donors = [i for i in range(length) if maps[i].has_value(p)]
+            proto = jnp.asarray(maps[donors[0]].get_value(p))
+            vals = jnp.stack([
+                jnp.asarray(maps[i].get_value(p)) if maps[i].has_value(p)
+                else jnp.zeros_like(proto) for i in range(length)])
+            flags = jnp.asarray(np.asarray(
+                [maps[i].has_value(p) for i in range(length)]))
+            inner.set_value(p, MaskedValue(vals, flags))
+    except (ValueError, TypeError):
+        return None
+    return VectorChoiceMap(inner, length)
+
+
+def sparsify_masked(inner: ChoiceMap, length: int):
+    """Inverse of :func:`densify_masked` for trace time: a stacked discard
+    map whose leaves are MaskedValue((N,)+shape, (N,) flags) (or plain
+    stacked values) becomes an int-keyed ChoiceMap holding plain values at
+    exactly the flagged indices — reference discard semantics. Requires
+    concrete flags; returns None under tracing (caller keeps the masked
+    form)."""
+    import numpy as np
+    from ..masked import MaskedValue
+    out = ChoiceMap()
+    try:
+        for p, v in inner.leaf_items():
+            if isinstance(v, MaskedValue):
+                flags = np.asarray(v.flag)
+                vals = v.value
+            else:
+                flags = np.ones(length, bool)
+                vals = v
+            for i in range(length):
+                if flags[i]:
+                    out.set_value((i,) + p, vals[i])
+    except (jax.errors.TracerArrayConversionError,
+            jax.errors.ConcretizationTypeError):
+        return None
+    return out
+
+
 def tree_stack(items):
     """Stack a list of identically-structured pytrees along a new axis 0."""
     return jax.tree_util.tree_map(

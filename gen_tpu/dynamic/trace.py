@@ -155,10 +155,17 @@ class DynamicTrace(Trace):
         if selection is NONE or (hasattr(selection, "is_empty_set")
                                  and selection.is_empty_set()):
             return self.noise
+        from ..masked import MaskedSelection
+        masked = isinstance(selection, MaskedSelection)
         total = jnp.asarray(0.0)
         for path, rec in self.records.items():
             if isinstance(rec, ChoiceRecord):
-                if path in selection:
+                if masked:
+                    # traced membership: flag-weighted score (one compiled
+                    # program serves every membership pattern)
+                    total = total + jnp.where(selection.flag_at(path),
+                                              rec.score, 0.0)
+                elif path in selection:
                     total = total + rec.score
             else:
                 subsel = selection
