@@ -19,6 +19,8 @@ from .kernel_dsl import (primitive_kernel, reversal, seq, repeat, mixture,
                          cond_kernel, check_observations, checked)
 from ..combinators.arena import smc_run  # noqa: F401 (SMC convenience)
 from .smc import smc_genealogy, reconstruct_trajectories
+from .csmc import (csmc_genealogy, particle_gibbs, particle_gibbs_step,
+                   check_state_is_choice_determined)
 from .enumerate import enumerate_posterior, enumerate_marginals
 from .sgmcmc import MinibatchTarget, sgld_step, sghmc_step, sgld_chain
 from .tempering import (TemperedTarget, ais, smc_sampler,
@@ -37,6 +39,8 @@ __all__ = [
     "particle_filter_step", "maybe_resample", "log_ml_estimate",
     "effective_sample_size", "sample_unweighted_traces", "smc_run",
     "smc_genealogy", "reconstruct_trajectories",
+    "csmc_genealogy", "particle_gibbs", "particle_gibbs_step",
+    "check_state_is_choice_determined",
     "enumerate_posterior", "enumerate_marginals",
     "MinibatchTarget", "sgld_step", "sghmc_step", "sgld_chain",
     "TemperedTarget", "ais", "smc_sampler", "smc_sampler_adaptive",

@@ -115,7 +115,7 @@ def reconstruct_trajectories(subtraces, ancestry):
 
     # ancestry[t] maps step-t particle -> its parent's index at step t-1
     # walk backwards collecting the index each trajectory used at each step
-    idx0 = jnp.arange(n)
+    idx0 = jnp.arange(n, dtype=ancestry.dtype)
     _, step_indices = jax.lax.scan(back, idx0, ancestry, reverse=True)
     # step_indices[t, j] = which step-t particle belongs to trajectory j
     return jax.tree_util.tree_map(
