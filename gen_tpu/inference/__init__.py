@@ -22,6 +22,7 @@ from .smc import smc_genealogy, reconstruct_trajectories
 from .csmc import (csmc_genealogy, particle_gibbs, particle_gibbs_step,
                    check_state_is_choice_determined)
 from .enumerate import enumerate_posterior, enumerate_marginals
+from .gibbs import gibbs, gibbs_conditional
 from .sgmcmc import MinibatchTarget, sgld_step, sghmc_step, sgld_chain
 from .tempering import (TemperedTarget, ais, smc_sampler,
                         smc_sampler_adaptive, parallel_tempering)
@@ -42,6 +43,7 @@ __all__ = [
     "csmc_genealogy", "particle_gibbs", "particle_gibbs_step",
     "check_state_is_choice_determined",
     "enumerate_posterior", "enumerate_marginals",
+    "gibbs", "gibbs_conditional",
     "MinibatchTarget", "sgld_step", "sghmc_step", "sgld_chain",
     "TemperedTarget", "ais", "smc_sampler", "smc_sampler_adaptive",
     "parallel_tempering",
