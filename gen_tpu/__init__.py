@@ -31,6 +31,7 @@ from .combinators import (Map, MapCombinator, Unfold, UnfoldCombinator,
                           CustomDetermGF, CustomUpdateGF, CustomGradientGF,
                           UnfoldArena, smc_run)
 from .masked import MaskedValue, mask, MaskedSelection, masked_select
+from . import diagnostics
 from . import inference
 from . import learning
 from . import static_ir
@@ -55,5 +56,5 @@ __all__ = [
     "Switch", "SwitchCombinator", "Recurse", "RecurseLeveled", "CustomDetermGF", "CustomUpdateGF",
     "CustomGradientGF", "UnfoldArena", "smc_run", "MaskedValue", "mask",
     "MaskedSelection", "masked_select",
-    "learning", "static_ir",
+    "learning", "static_ir", "diagnostics",
 ] + _dists_all
