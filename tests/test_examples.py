@@ -52,6 +52,15 @@ def test_pmmh_example_smoke():
     assert np.isfinite(float(lml))
 
 
+def test_particle_gibbs_example_smoke():
+    import particle_gibbs
+    ys = particle_gibbs.simulate_data(10)
+    phis, lmls = particle_gibbs.run_pg(jax.random.PRNGKey(0), ys,
+                                       n_particles=32, n_sweeps=20)
+    assert np.all(np.isfinite(np.asarray(phis)))
+    assert np.all(np.isfinite(np.asarray(lmls)))
+
+
 def test_lgssm_example_smoke():
     import lgssm
     ys = lgssm.make_dataset(T=20)
