@@ -10,7 +10,7 @@ from .dist_dsl import (TransformedDistribution, RelabeledDistribution,
                        exp_of, log_of, dist)
 from .discrete import (
     bernoulli, categorical, labeled_categorical, uniform_discrete, poisson,
-    binom, geometric, neg_binom,
+    binom, geometric, neg_binom, dirac,
 )
 
 __all__ = [
@@ -23,5 +23,5 @@ __all__ = [
     "ArgMappedDistribution", "Bijection", "affine_bijection", "exp_of",
     "log_of", "dist",
     "bernoulli", "categorical", "labeled_categorical", "uniform_discrete",
-    "poisson", "binom", "geometric", "neg_binom",
+    "poisson", "binom", "geometric", "neg_binom", "dirac",
 ]

@@ -172,7 +172,33 @@ class NegativeBinomial(Distribution):
         return jnp.sum(jnp.where(inside, lp, -jnp.inf))
 
 
+class Dirac(Distribution):
+    """dirac(v) -> v: a point mass. Reference: the pmmh example defines
+    this ad hoc (examples/pmmh/model.jl); here it is a library distribution.
+    logpdf is 0 where the value matches and -inf elsewhere (within a tiny
+    float tolerance so round-tripping through f32 trace storage is safe).
+    Useful for clamping addresses and for degenerate mixture components."""
+
+    is_discrete = True
+    has_output_grad = False
+    arg_grads = (False,)
+
+    def sample(self, key, v):
+        return jnp.asarray(v)
+
+    def logpdf(self, v, expected):
+        v = jnp.asarray(v)
+        expected = jnp.asarray(expected, dtype=v.dtype)
+        if jnp.issubdtype(v.dtype, jnp.inexact):
+            eps = 1e-6
+            match = jnp.abs(v - expected) <= eps * (1.0 + jnp.abs(expected))
+        else:
+            match = v == expected
+        return jnp.sum(jnp.where(match, 0.0, -jnp.inf))
+
+
 bernoulli = Bernoulli()
+dirac = Dirac()
 categorical = Categorical()
 labeled_categorical = LabeledCategorical()
 uniform_discrete = UniformDiscrete()

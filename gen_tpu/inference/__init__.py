@@ -23,6 +23,7 @@ from .csmc import (csmc_genealogy, particle_gibbs, particle_gibbs_step,
                    check_state_is_choice_determined)
 from .enumerate import enumerate_posterior, enumerate_marginals
 from .gibbs import gibbs, gibbs_conditional
+from .laplace import LaplaceResult, laplace_approx, laplace_sample
 from .sgmcmc import MinibatchTarget, sgld_step, sghmc_step, sgld_chain
 from .tempering import (TemperedTarget, ais, smc_sampler,
                         smc_sampler_adaptive, parallel_tempering)
@@ -44,6 +45,7 @@ __all__ = [
     "check_state_is_choice_determined",
     "enumerate_posterior", "enumerate_marginals",
     "gibbs", "gibbs_conditional",
+    "LaplaceResult", "laplace_approx", "laplace_sample",
     "MinibatchTarget", "sgld_step", "sghmc_step", "sgld_chain",
     "TemperedTarget", "ais", "smc_sampler", "smc_sampler_adaptive",
     "parallel_tempering",
