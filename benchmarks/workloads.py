@@ -264,6 +264,64 @@ def bench_pmmh(n_iters=100, n_particles=4096, T=40):
                       "sec_per_chain": round(el, 3)}))
 
 
+def bench_particle_gibbs(n_sweeps=50, n_particles=4096, T=40):
+    """Particle Gibbs with ancestor sampling fully on-device: one program
+    scans PG sweeps, each running the conditional genealogy SMC (scan over
+    time, vmap over particles) plus a conjugate parameter draw. The
+    pseudo-marginal-free companion to bench_pmmh at the same (N, T)."""
+    import jax
+    import jax.numpy as jnp
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "examples"))
+    import particle_gibbs as ex
+    import gen_tpu as gt
+    from gen_tpu.combinators.vector import VectorChoiceMap
+    from gen_tpu.inference import particle_gibbs_step
+    from gen_tpu.inference.smc import (reconstruct_trajectories,
+                                       smc_genealogy)
+    from gen_tpu.utils import logsumexp
+
+    ys = ex.simulate_data(T)
+    obs_inner = gt.ChoiceMap().set_value("y", jnp.asarray(ys))
+
+    @jax.jit
+    def chain(key):
+        obs = VectorChoiceMap(obs_inner, T)
+        k_init, k_pick, k_scan = jax.random.split(key, 3)
+        subs, anc, log_w, _ = smc_genealogy(
+            k_init, ex.ssm_kernel, 0.0, (0.5,), obs, n_particles)
+        j = jax.random.categorical(k_pick, log_w - logsumexp(log_w))
+        trajs = reconstruct_trajectories(subs, anc)
+        ref = VectorChoiceMap(
+            jax.tree_util.tree_map(lambda x: x[:, j], trajs).get_choices(),
+            T)
+
+        def sweep(carry, k):
+            ref, phi = carry
+            k_traj, k_phi = jax.random.split(k)
+            ref, lml = particle_gibbs_step(
+                k_traj, ex.ssm_kernel, 0.0, (phi,), obs, ref, n_particles,
+                ancestor_sampling=True)
+            phi = ex.phi_conjugate_draw(k_phi, ref.inner.get_value("x"))
+            return (ref, phi), (phi, lml)
+
+        _, (phis, lmls) = jax.lax.scan(
+            sweep, (ref, jnp.asarray(0.5)),
+            jax.random.split(k_scan, n_sweeps))
+        return jnp.mean(phis), jnp.std(phis), jnp.mean(lmls)
+
+    el, out = _timeit(chain, jax.random.PRNGKey(0), reps=3)
+    psteps = n_sweeps * n_particles * T
+    print(json.dumps({"workload": "particle_gibbs",
+                      "particles": n_particles, "T": T,
+                      "sweeps_per_sec": round(n_sweeps / el, 1),
+                      "csmc_particle_steps_per_sec": round(psteps / el),
+                      "phi_mean": round(float(out[0]), 3),
+                      "phi_std": round(float(out[1]), 3),
+                      "sec_per_chain": round(el, 3)}))
+
+
 def bench_mvn_mxu(n=262144, d=128, reps=5):
     """Batched shared-covariance MVN logpdf (the SMC/collapsed-model weight
     kernel): per-row cho_solve vs the MXU Linv-matmul path (ops/mvn.py) in
@@ -434,6 +492,7 @@ if __name__ == "__main__":
     bench_gp_structure()
     bench_nuts()
     bench_pmmh()
+    bench_particle_gibbs()
     bench_mvn_mxu()
     bench_lgssm_collapsed_hmc()
     bench_hmm_forward_mxu()

@@ -53,8 +53,27 @@ from ..gfi import GenerativeFunction
 from ..masked import MaskedValue
 from ..selection import select
 from ..utils import logsumexp
-from .particle_filter import _resample_parents
 from .smc import reconstruct_trajectories
+
+
+def _conditional_multinomial_parents(key, lnw):
+    """IID multinomial parents for the non-reference lanes, O(n log n) at
+    any n: exponential-spacings sorted uniforms + the rank-merge counting
+    trick (ops/resample.py). ``jax.random.categorical(shape=(n,))``
+    materializes an (n, n) gumbel block — 1 GB at n=16k, measured 3x
+    slower end-to-end at 16k particles. Parents come out sorted; lanes
+    1..N-1 are exchangeable (all extended by iid proposals), so assigning
+    sorted parents to them leaves the law of the particle system
+    unchanged. The caller pins lane 0."""
+    from ..ops.resample import _rank_merge_parents
+    n = lnw.shape[0]
+    e = jax.random.exponential(key, (n + 1,))
+    c = jnp.cumsum(e)
+    us = c[:-1] / c[-1]
+    w = jnp.exp(lnw - jnp.max(lnw))
+    cdf = jnp.cumsum(w)
+    return jnp.clip(_rank_merge_parents(cdf / cdf[-1], us),
+                    0, n - 1).astype(jnp.int32)
 
 
 def _index_inner(inner: ChoiceMap, t):
@@ -118,8 +137,7 @@ def csmc_genealogy(key, kernel: GenerativeFunction, init_state,
         lm_dtype = jnp.result_type(log_ml, log_total)
 
         def resample(_):
-            parents = _resample_parents(k_res, lnw,
-                                        "multinomial").astype(jnp.int32)
+            parents = _conditional_multinomial_parents(k_res, lnw)
             if ancestor_sampling:
                 # w_{t-1}^i * p(ref step-t choices | state_i): exact under
                 # the choice-determined-state condition (module docstring)
