@@ -95,3 +95,94 @@ def test_geweke_selection_mh():
 
 def test_geweke_hmc():
     _compare(jax.random.fold_in(KEY, 7), use_hmc=True)
+
+
+# ---- Particle Gibbs: the successive-conditional sampler alternates a
+# conditional-SMC trajectory sweep p(x | y) with exact data resampling
+# y_t ~ p(y_t | x_t). Any bias in the CSMC lane-0 weight, the conditional
+# resampling, or the ancestor-sampling weights shifts the joint moments. --
+
+
+A_, Q_, C_, R_ = 0.7, 0.6, 1.0, 0.5
+T_GW, N_PART = 6, 16
+
+
+@gen
+def gw_kernel(t, prev):
+    first = t == 0
+    x = gt.normal(jnp.where(first, 0.0, A_ * prev),
+                  jnp.sqrt(jnp.where(first, 1.0, Q_))) @ "x"
+    gt.normal(C_ * x, jnp.sqrt(R_)) @ "y"
+    return x
+
+
+def _simulate_path(key):
+    """Forward-simulate one (x, y) trajectory; returns (T,) leaves."""
+    def step(prev, inp):
+        t, k = inp
+        tr = gw_kernel.simulate(k, (t, prev))
+        return tr.get_retval(), (tr["x"], tr["y"])
+
+    _, (xs, ys) = jax.lax.scan(
+        step, 0.0, (jnp.arange(T_GW), jax.random.split(key, T_GW)))
+    return xs, ys
+
+
+def _pg_moments(xs, ys):
+    return jnp.stack([xs.mean(), (xs ** 2).mean(), ys.mean(),
+                      (xs * ys).mean(), xs[..., -1].mean(),
+                      (xs[..., 0] ** 2).mean()])
+
+
+def _pg_successive(key, n_chains, n_sweeps, ancestor_sampling):
+    from gen_tpu.combinators.vector import VectorChoiceMap
+    from gen_tpu.inference import particle_gibbs_step
+
+    k_init, k_run = jax.random.split(key)
+    xs0, ys0 = jax.vmap(_simulate_path)(jax.random.split(k_init, n_chains))
+
+    def sweep(carry, sk):
+        xs, ys = carry  # (chains, T)
+        ks = jax.vmap(lambda i: jax.random.fold_in(sk, i))(
+            jnp.arange(n_chains))
+
+        def one(x, y, k):
+            k1, k2 = jax.random.split(k)
+            inner = gt.ChoiceMap().set_value("x", x).set_value("y", y)
+            obs = VectorChoiceMap(gt.ChoiceMap().set_value("y", y), T_GW)
+            ref, _ = particle_gibbs_step(
+                k1, gw_kernel, 0.0, (), obs, VectorChoiceMap(inner, T_GW),
+                N_PART, ancestor_sampling=ancestor_sampling)
+            new_x = ref.inner.get_value("x")
+            new_y = C_ * new_x + jnp.sqrt(R_) * jax.random.normal(
+                k2, (T_GW,))
+            return new_x, new_y
+
+        xs, ys = jax.vmap(one)(xs, ys, ks)
+        return (xs, ys), (xs, ys)
+
+    _, (xs_all, ys_all) = jax.lax.scan(
+        sweep, (xs0, ys0), jax.random.split(k_run, n_sweeps))
+    burn = n_sweeps // 3
+    return xs_all[burn:].reshape(-1, T_GW), ys_all[burn:].reshape(-1, T_GW)
+
+
+def _pg_compare(key, ancestor_sampling):
+    n = 120_000
+    xs_mc, ys_mc = jax.vmap(_simulate_path)(
+        jax.random.split(jax.random.fold_in(key, 0), n))
+    mc = _pg_moments(xs_mc, ys_mc)
+    xs_sc, ys_sc = jax.jit(lambda k: _pg_successive(
+        k, 64, 300, ancestor_sampling))(jax.random.fold_in(key, 1))
+    sc = _pg_moments(xs_sc, ys_sc)
+    diff = np.abs(np.asarray(mc) - np.asarray(sc))
+    tol = np.array([0.05, 0.10, 0.06, 0.10, 0.08, 0.10])
+    assert (diff < tol).all(), (np.asarray(mc), np.asarray(sc), diff)
+
+
+def test_geweke_particle_gibbs():
+    _pg_compare(jax.random.fold_in(KEY, 21), ancestor_sampling=False)
+
+
+def test_geweke_particle_gibbs_ancestor_sampling():
+    _pg_compare(jax.random.fold_in(KEY, 22), ancestor_sampling=True)
