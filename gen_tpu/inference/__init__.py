@@ -24,6 +24,7 @@ from .csmc import (csmc_genealogy, particle_gibbs, particle_gibbs_step,
 from .enumerate import enumerate_posterior, enumerate_marginals
 from .gibbs import gibbs, gibbs_conditional
 from .laplace import LaplaceResult, laplace_approx, laplace_sample
+from .psis import PSISResult, psis, psis_effective_sample_size, gpd_fit
 from .sgmcmc import MinibatchTarget, sgld_step, sghmc_step, sgld_chain
 from .tempering import (TemperedTarget, ais, smc_sampler,
                         smc_sampler_adaptive, parallel_tempering)
@@ -46,6 +47,7 @@ __all__ = [
     "enumerate_posterior", "enumerate_marginals",
     "gibbs", "gibbs_conditional",
     "LaplaceResult", "laplace_approx", "laplace_sample",
+    "PSISResult", "psis", "psis_effective_sample_size", "gpd_fit",
     "MinibatchTarget", "sgld_step", "sghmc_step", "sgld_chain",
     "TemperedTarget", "ais", "smc_sampler", "smc_sampler_adaptive",
     "parallel_tempering",
