@@ -2,7 +2,7 @@ from .distribution import Distribution
 from .continuous import (
     Normal, normal, broadcasted_normal, mvnormal, uniform, uniform_continuous,
     beta, beta_uniform, gamma, inv_gamma, exponential, cauchy, laplace,
-    piecewise_uniform,
+    piecewise_uniform, student_t, dirichlet,
 )
 from .mixture import HomogeneousMixture, HeterogeneousMixture
 from .dist_dsl import (TransformedDistribution, RelabeledDistribution,
@@ -17,7 +17,8 @@ __all__ = [
     "Distribution",
     "normal", "broadcasted_normal", "mvnormal", "uniform",
     "uniform_continuous", "beta", "beta_uniform", "gamma", "inv_gamma",
-    "exponential", "cauchy", "laplace", "piecewise_uniform",
+    "exponential", "cauchy", "laplace", "piecewise_uniform", "student_t",
+    "dirichlet",
     "HomogeneousMixture", "HeterogeneousMixture",
     "TransformedDistribution", "RelabeledDistribution",
     "ArgMappedDistribution", "Bijection", "affine_bijection", "exp_of",

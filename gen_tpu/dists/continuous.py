@@ -214,6 +214,47 @@ class Laplace(Distribution):
         return jnp.sum(-jnp.abs(v - loc) / scale - jnp.log(2 * scale))
 
 
+class StudentT(Distribution):
+    """student_t(nu, loc, scale). Not in the reference's 19 (its examples
+    hand-roll heavy-tailed likelihoods as mixtures, e.g. the regression
+    outlier model); a first-class t is the standard robust alternative."""
+
+    arg_grads = (True, True, True)
+
+    def sample(self, key, nu, loc, scale):
+        nu, loc, scale = _f(nu), _f(loc), _f(scale)
+        shape = jnp.broadcast_shapes(jnp.shape(nu), jnp.shape(loc),
+                                     jnp.shape(scale))
+        return loc + scale * jax.random.t(key, nu, shape)
+
+    def logpdf(self, v, nu, loc, scale):
+        from jax.scipy.special import gammaln
+        v, nu, loc, scale = _f(v), _f(nu), _f(loc), _f(scale)
+        z = (v - loc) / scale
+        lp = (gammaln((nu + 1) / 2) - gammaln(nu / 2)
+              - 0.5 * jnp.log(nu * jnp.pi) - jnp.log(scale)
+              - (nu + 1) / 2 * jnp.log1p(z ** 2 / nu))
+        return jnp.sum(lp)
+
+
+class Dirichlet(Distribution):
+    """dirichlet(alpha) -> simplex vector. Not in the reference; the
+    conjugate prior for categorical/multinomial component weights."""
+
+    arg_grads = (True,)
+
+    def sample(self, key, alpha):
+        return jax.random.dirichlet(key, _f(alpha))
+
+    def logpdf(self, v, alpha):
+        from jax.scipy.special import gammaln
+        v, alpha = _f(v), _f(alpha)
+        lp = (jnp.sum((alpha - 1.0) * jnp.log(v), axis=-1)
+              + gammaln(jnp.sum(alpha, axis=-1))
+              - jnp.sum(gammaln(alpha), axis=-1))
+        return jnp.sum(lp)
+
+
 class PiecewiseUniform(Distribution):
     """piecewise_uniform(bounds, probs): bounds is a sorted vector of n+1 cell
     edges; probs are the n cell probabilities.
@@ -252,3 +293,5 @@ exponential = Exponential()
 cauchy = Cauchy()
 laplace = Laplace()
 piecewise_uniform = PiecewiseUniform()
+student_t = StudentT()
+dirichlet = Dirichlet()

@@ -218,3 +218,52 @@ def test_sampling_statistics():
     np.testing.assert_allclose(jnp.mean(p), 4.0, rtol=0.05)
     nb = jax.vmap(lambda k: gt.neg_binom.sample(k, 3.0, 0.4))(keys)
     np.testing.assert_allclose(jnp.mean(nb), 3.0 * 0.6 / 0.4, rtol=0.06)
+
+
+def test_student_t():
+    lp = gt.student_t.logpdf(1.3, 4.0, 0.5, 2.0)
+    np.testing.assert_allclose(lp, stats.t.logpdf(1.3, 4.0, 0.5, 2.0),
+                               rtol=1e-6)
+    check_grads(gt.student_t, 1.3, 4.0, 0.5, 2.0)
+    v = gt.student_t.sample(KEY, 4.0, 0.5, 2.0)
+    assert jnp.shape(v) == ()
+    # statistical: sample variance -> nu/(nu-2) * scale^2
+    s = gt.student_t.sample(KEY, 6.0, jnp.zeros(200_000), 1.0)
+    np.testing.assert_allclose(np.var(np.asarray(s)), 6.0 / 4.0, rtol=0.05)
+
+
+def test_dirichlet():
+    alpha = np.array([2.0, 3.0, 1.5])
+    v = np.array([0.3, 0.5, 0.2])
+    lp = gt.dirichlet.logpdf(v, alpha)
+    np.testing.assert_allclose(lp, stats.dirichlet.logpdf(v, alpha),
+                               rtol=1e-6)
+    s = gt.dirichlet.sample(KEY, jnp.asarray(alpha))
+    np.testing.assert_allclose(float(jnp.sum(s)), 1.0, atol=1e-6)
+    # sample mean matches alpha / sum(alpha)
+    keys = jax.random.split(KEY, 50_000)
+    ss = jax.vmap(lambda k: gt.dirichlet.sample(k, jnp.asarray(alpha)))(keys)
+    np.testing.assert_allclose(np.asarray(ss).mean(0), alpha / alpha.sum(),
+                               atol=0.01)
+    # gradient w.r.t. alpha by finite differences (vector arg: check via
+    # directional derivative)
+    d = np.array([0.3, -0.2, 0.1])
+    g = gt.dirichlet.logpdf_grad(v, alpha)[1]
+    f = lambda a: float(gt.dirichlet.logpdf(v, a))
+    fd = (f(alpha + 1e-6 * d) - f(alpha - 1e-6 * d)) / 2e-6
+    np.testing.assert_allclose(float(np.dot(np.asarray(g), d)), fd,
+                               rtol=1e-4)
+
+
+def test_dirichlet_in_model():
+    from gen_tpu import choicemap, gen
+
+    @gen
+    def mix():
+        w = gt.dirichlet(jnp.asarray([1.0, 1.0, 1.0])) @ "w"
+        gt.categorical(w) @ "z"
+        return w
+
+    tr = mix.simulate(KEY, ())
+    w, _ = mix.assess((), tr.get_choices())
+    np.testing.assert_allclose(float(w), float(tr.get_score()), atol=1e-6)
