@@ -163,7 +163,10 @@ def summarize(samples):
             "ess_tail": jax.vmap(ess_tail, in_axes=2)(cols),
             "mcse_mean": jax.vmap(mcse_mean, in_axes=2)(cols),
         }
-        key = jax.tree_util.keystr(path) or "value"
+        if len(path) == 1 and hasattr(path[0], "key"):
+            key = path[0].key          # plain dict entry -> its key
+        else:
+            key = jax.tree_util.keystr(path) or "value"
         out[key] = {k: v.reshape(ev_shape) if ev_shape else v[0]
                     for k, v in stats.items()}
     return out

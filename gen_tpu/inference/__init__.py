@@ -25,6 +25,7 @@ from .enumerate import enumerate_posterior, enumerate_marginals
 from .gibbs import gibbs, gibbs_conditional
 from .laplace import LaplaceResult, laplace_approx, laplace_sample
 from .psis import PSISResult, psis, psis_effective_sample_size, gpd_fit
+from .sample import PosteriorSamples, sample_posterior
 from .sgmcmc import MinibatchTarget, sgld_step, sghmc_step, sgld_chain
 from .tempering import (TemperedTarget, ais, smc_sampler,
                         smc_sampler_adaptive, parallel_tempering)
@@ -48,6 +49,7 @@ __all__ = [
     "gibbs", "gibbs_conditional",
     "LaplaceResult", "laplace_approx", "laplace_sample",
     "PSISResult", "psis", "psis_effective_sample_size", "gpd_fit",
+    "PosteriorSamples", "sample_posterior",
     "MinibatchTarget", "sgld_step", "sghmc_step", "sgld_chain",
     "TemperedTarget", "ais", "smc_sampler", "smc_sampler_adaptive",
     "parallel_tempering",

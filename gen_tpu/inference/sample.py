@@ -1,0 +1,116 @@
+"""One-call posterior sampling: adaptive NUTS/HMC over vmapped chains with
+diagnostics attached.
+
+No reference analogue as a single entry point: Gen.jl users assemble
+init + kernel loop + moment code by hand for every model (every file in
+examples/ repeats the pattern). Here the whole pipeline —
+
+  per-chain ``generate`` from the prior given the observations
+  -> warmup (dual-averaging step size + diagonal mass) -> sampling,
+  vmapped over chains, one compiled program
+  -> per-address sample arrays (draws, chains, ...) + rank-normalized
+     split-R-hat / bulk- and tail-ESS / MCSE per coordinate
+
+— is one function call, the TPU-native equivalent of Stan/NumPyro's
+``mcmc.run``. Programmable inference remains available underneath; this is
+the front door for the common case.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..choice_map import ChoiceMap
+from ..gfi import GenerativeFunction
+from ..selection import Selection, select
+from .nuts import nuts_warmup_and_sample
+
+
+class PosteriorSamples(NamedTuple):
+    samples: dict      # path -> (draws, chains, *event_shape)
+    summary: dict      # path -> {mean, sd, rhat, ess_bulk, ess_tail, ...}
+    info: dict         # per-chain step sizes, accept rates, leapfrog counts
+    final_traces: object
+
+
+def _default_selection(trace, observations: ChoiceMap):
+    """All unobserved continuous (inexact-dtype) addresses. Errors if
+    unobserved discrete addresses exist — NUTS cannot move them; pass an
+    explicit ``selection`` (and handle them with gibbs/enumerate) or
+    marginalize them out of the model."""
+    obs_addrs = set(observations.addresses())
+    paths, discrete = [], []
+    for path, v in trace.get_choices().leaf_items():
+        if path in obs_addrs:
+            continue
+        if jnp.issubdtype(jnp.asarray(v).dtype, jnp.inexact):
+            paths.append(path)
+        else:
+            discrete.append(path)
+    if discrete:
+        raise ValueError(
+            f"model has unobserved discrete addresses {discrete!r}; pass an "
+            "explicit selection= of the continuous latents and handle the "
+            "discrete ones with gibbs()/enumerate, or marginalize them")
+    if not paths:
+        raise ValueError("no unobserved continuous addresses to sample")
+    return select(*paths), paths
+
+
+def sample_posterior(key, model: GenerativeFunction, args: Tuple,
+                     observations: ChoiceMap, *,
+                     selection: Optional[Selection] = None,
+                     num_chains: int = 8, num_warmup: int = 500,
+                     num_samples: int = 1000, max_depth: int = 8,
+                     target_accept: float = 0.8,
+                     summarize: bool = True) -> PosteriorSamples:
+    """Sample ``p(selected latents | observations)`` with adaptive NUTS.
+
+    Returns :class:`PosteriorSamples`; ``samples[path]`` has shape
+    ``(num_samples, num_chains, *event_shape)`` — exactly what
+    :func:`gen_tpu.diagnostics.summarize` and downstream estimators expect.
+    """
+    k_init, k_run = jax.random.split(key)
+    init_keys = jax.random.split(k_init, num_chains)
+    traces, _ = jax.vmap(
+        lambda k: model.generate(k, args, observations))(init_keys)
+    one_trace = jax.tree_util.tree_map(lambda x: x[0], traces)
+
+    if selection is None:
+        selection, _ = _default_selection(one_trace, observations)
+    # flat layout (sorted-address to_array order) for unflattening
+    values_chm = one_trace.get_choices().filter(selection)
+    layout = [(path, jnp.shape(jnp.asarray(v)))
+              for path, v in values_chm.leaf_items()]
+
+    @jax.jit
+    def run(traces, key):
+        ks = jax.random.split(key, num_chains)
+        return jax.vmap(lambda tr, k: nuts_warmup_and_sample(
+            k, tr, selection, num_warmup=num_warmup,
+            num_samples=num_samples, max_depth=max_depth,
+            target_accept=target_accept))(traces, ks)
+
+    flat, final_traces, info = run(traces, k_run)
+    # flat: (chains, draws, dim) -> (draws, chains, dim)
+    flat = jnp.swapaxes(flat, 0, 1)
+
+    samples = {}
+    offset = 0
+    for path, shape in layout:
+        size = 1
+        for s in shape:
+            size *= s
+        block = flat[:, :, offset:offset + size]
+        samples[path if len(path) > 1 else path[0]] = \
+            block.reshape(flat.shape[0], flat.shape[1], *shape)
+        offset += size
+
+    summary = None
+    if summarize:
+        from ..diagnostics import summarize as _summarize
+        summary = _summarize(samples)
+    return PosteriorSamples(samples, summary, info, final_traces)
