@@ -26,6 +26,7 @@ from .gibbs import gibbs, gibbs_conditional
 from .laplace import LaplaceResult, laplace_approx, laplace_sample
 from .psis import PSISResult, psis, psis_effective_sample_size, gpd_fit
 from .sample import PosteriorSamples, sample_posterior
+from .sbc import sbc_ranks, sbc_uniformity
 from .sgmcmc import MinibatchTarget, sgld_step, sghmc_step, sgld_chain
 from .tempering import (TemperedTarget, ais, smc_sampler,
                         smc_sampler_adaptive, parallel_tempering)
@@ -50,6 +51,7 @@ __all__ = [
     "LaplaceResult", "laplace_approx", "laplace_sample",
     "PSISResult", "psis", "psis_effective_sample_size", "gpd_fit",
     "PosteriorSamples", "sample_posterior",
+    "sbc_ranks", "sbc_uniformity",
     "MinibatchTarget", "sgld_step", "sghmc_step", "sgld_chain",
     "TemperedTarget", "ais", "smc_sampler", "smc_sampler_adaptive",
     "parallel_tempering",
