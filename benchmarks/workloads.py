@@ -322,6 +322,58 @@ def bench_particle_gibbs(n_sweeps=50, n_particles=4096, T=40):
                       "sec_per_chain": round(el, 3)}))
 
 
+def bench_gp_collapsed_hmc(n_chains=1024, n_points=256, n_steps=20, L=5):
+    """Many-chain HMC on the collapsed GP hyperparameter posterior: every
+    leapfrog step differentiates through an (n, n) kernel build (MXU
+    matmul) + Cholesky. Reports hyperparameter-gradient evals/sec."""
+    import jax
+    import jax.numpy as jnp
+    import gen_tpu as gt
+    from gen_tpu import choicemap, gen, select
+    from gen_tpu.inference import hmc
+    from gen_tpu.models import gp_marginal, gp_sample, rbf
+
+    xs = jnp.linspace(-3.0, 3.0, n_points)
+    ys = gp_sample(jax.random.PRNGKey(1), rbf, xs, (1.5, 0.8), 0.1)
+    gpdist = gp_marginal("rbf", n_theta=2)
+
+    @gen
+    def model():
+        log_ell = gt.normal(0.0, 1.0) @ "log_ell"
+        log_var = gt.normal(0.0, 1.0) @ "log_var"
+        gpdist(xs, jnp.exp(log_var), jnp.exp(log_ell), 0.1) @ "ys"
+
+    obs = choicemap(ys=ys)
+    sel = select("log_ell", "log_var")
+
+    @jax.jit
+    def chain(key):
+        k0, k1 = jax.random.split(key)
+        traces, _ = jax.vmap(lambda k: model.generate(k, (), obs))(
+            jax.random.split(k0, n_chains))
+
+        def step(trs, sk):
+            ks = jax.vmap(lambda i: jax.random.fold_in(sk, i))(
+                jnp.arange(n_chains))
+            trs, accs = jax.vmap(
+                lambda t, k: hmc(k, t, sel, L=L, eps=0.02))(trs, ks)
+            return trs, (trs["log_ell"], accs)
+
+        _, (ells, accs) = jax.lax.scan(step, traces,
+                                       jax.random.split(k1, n_steps))
+        return jnp.mean(ells), jnp.mean(accs)
+
+    el, out = _timeit(chain, jax.random.PRNGKey(0), reps=3)
+    grad_evals = n_chains * n_steps * (L + 1)
+    chol_flops = grad_evals * 3 * (n_points ** 3 / 3.0)  # fwd+vjp ~ 3x
+    print(json.dumps({"workload": "gp_collapsed_hmc",
+                      "chains": n_chains, "n_points": n_points,
+                      "grad_evals_per_sec": round(grad_evals / el),
+                      "approx_chol_gflops": round(chol_flops / el / 1e9, 1),
+                      "accept_rate": round(float(out[1]), 3),
+                      "sec": round(el, 3)}))
+
+
 def bench_mvn_mxu(n=262144, d=128, reps=5):
     """Batched shared-covariance MVN logpdf (the SMC/collapsed-model weight
     kernel): per-row cho_solve vs the MXU Linv-matmul path (ops/mvn.py) in
@@ -495,4 +547,5 @@ if __name__ == "__main__":
     bench_particle_gibbs()
     bench_mvn_mxu()
     bench_lgssm_collapsed_hmc()
+    bench_gp_collapsed_hmc()
     bench_hmm_forward_mxu()

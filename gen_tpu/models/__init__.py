@@ -12,10 +12,17 @@ from .lgssm import (LGSSMParams, KalmanResult, kalman_filter, kalman_smoother,
                     lgssm_batch_weights)
 from .hmm import (HMMParams, hmm_forward, hmm_forward_batched, hmm_smoother,
                   hmm_ffbs, hmm_kernel, HiddenMarkovModel, hmm)
+from .gp import (pairwise_sq_dists, rbf, matern12, matern32, matern52,
+                 linear_kernel, periodic, KERNELS, gp_log_ml, gp_posterior,
+                 gp_predict, gp_sample, GPMarginal, gp_marginal)
 
 __all__ = ["LGSSMParams", "KalmanResult", "kalman_filter", "kalman_smoother",
            "lgssm_kernel", "LinearGaussianSSM", "lgssm",
            "lgssm_batch_weights",
            "HMMParams", "hmm_forward", "hmm_forward_batched", "hmm_smoother",
            "hmm_ffbs",
-           "hmm_kernel", "HiddenMarkovModel", "hmm"]
+           "hmm_kernel", "HiddenMarkovModel", "hmm",
+           "pairwise_sq_dists", "rbf", "matern12", "matern32", "matern52",
+           "linear_kernel", "periodic", "KERNELS", "gp_log_ml",
+           "gp_posterior", "gp_predict", "gp_sample", "GPMarginal",
+           "gp_marginal"]
