@@ -27,6 +27,7 @@ from .laplace import LaplaceResult, laplace_approx, laplace_sample
 from .psis import PSISResult, psis, psis_effective_sample_size, gpd_fit
 from .sample import PosteriorSamples, sample_posterior
 from .sbc import sbc_ranks, sbc_uniformity
+from .predictive import posterior_predictive, prior_predictive
 from .sgmcmc import MinibatchTarget, sgld_step, sghmc_step, sgld_chain
 from .tempering import (TemperedTarget, ais, smc_sampler,
                         smc_sampler_adaptive, parallel_tempering)
@@ -52,6 +53,7 @@ __all__ = [
     "PSISResult", "psis", "psis_effective_sample_size", "gpd_fit",
     "PosteriorSamples", "sample_posterior",
     "sbc_ranks", "sbc_uniformity",
+    "posterior_predictive", "prior_predictive",
     "MinibatchTarget", "sgld_step", "sghmc_step", "sgld_chain",
     "TemperedTarget", "ais", "smc_sampler", "smc_sampler_adaptive",
     "parallel_tempering",

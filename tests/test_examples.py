@@ -52,6 +52,17 @@ def test_pmmh_example_smoke():
     assert np.isfinite(float(lml))
 
 
+def test_gp_regression_example_smoke():
+    import gp_regression
+    xs, ys, xs_test, f_test = gp_regression.make_dataset(n=20, n_test=5)
+    out, _ = gp_regression.run(jax.random.PRNGKey(0), xs, ys,
+                               num_chains=2, num_warmup=50, num_samples=50)
+    mean, sd = gp_regression.predict(jax.random.PRNGKey(1), out, xs, ys,
+                                     xs_test, num_draws=20)
+    assert np.all(np.isfinite(np.asarray(mean)))
+    assert np.all(np.asarray(sd) > 0)
+
+
 def test_particle_gibbs_example_smoke():
     import particle_gibbs
     ys = particle_gibbs.simulate_data(10)
