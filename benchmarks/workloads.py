@@ -85,6 +85,64 @@ def bench_nuts(n_chains=4096, n_warmup=100, n_samples=200):
                       "sec_per_run": round(el, 3)}))
 
 
+def bench_nuts_fsm(n_chains=4096, n_ticks=2000, step_size=0.05,
+                   num_slots=256):
+    """FSM-NUTS on the same regression target as bench_nuts: every chain
+    does one real leapfrog per global tick (no lockstep idling), so ESS/sec
+    should track the MEAN trajectory length instead of the per-transition
+    max across chains. Uses a pre-tuned step size (the FSM sampling phase
+    is what's being measured; bench_nuts includes warmup)."""
+    import jax
+    import jax.numpy as jnp
+    import gen_tpu as gt
+    from gen_tpu import gen, choicemap, select
+    from gen_tpu.inference import nuts_fsm
+    from gen_tpu.inference.target import FlatTarget
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from bench import autocorr_ess
+
+    xs = jnp.linspace(-3.0, 3.0, 50)
+    rng = np.random.default_rng(0)
+    ys = 0.7 * xs - 0.4 + 0.5 * jnp.asarray(rng.standard_normal(50))
+
+    @gen
+    def model(x):
+        slope = gt.normal(0.0, 2.0) @ "slope"
+        intercept = gt.normal(0.0, 2.0) @ "intercept"
+        gt.normal(slope * x + intercept, 0.5) @ "ys"
+
+    obs = choicemap(ys=ys)
+    sel = select("slope", "intercept")
+    trace, _ = model.generate(jax.random.PRNGKey(9), (xs,), obs)
+    target = FlatTarget(trace, sel)
+
+    @jax.jit
+    def run(k):
+        k0, k1 = jax.random.split(k)
+        theta0 = target.flat0[None, :] + 0.1 * jax.random.normal(
+            k0, (n_chains, target.dim))
+        res = jax.vmap(lambda kk, t: nuts_fsm(
+            kk, target.value_and_grad, t, step_size, n_ticks, max_depth=6,
+            num_sample_slots=num_slots))(
+                jax.random.split(k1, n_chains), theta0)
+        return res.slots, res.counts, res.mean_accept
+
+    el, (slots, counts, acc) = _timeit(run, jax.random.PRNGKey(1), reps=3)
+    counts = np.asarray(counts)
+    m = int(min(counts.min(), num_slots))
+    burn = max(2, m // 10)
+    samples = np.asarray(slots)[:, burn:m, 0].T   # (samples, chains)
+    ess = autocorr_ess(samples)
+    print(json.dumps({"workload": "nuts_fsm_regression",
+                      "chains": n_chains, "ticks": n_ticks,
+                      "min_trajectories": int(counts.min()),
+                      "mean_trajectories": round(float(counts.mean()), 1),
+                      "accept": round(float(np.asarray(acc).mean()), 3),
+                      "ess_per_sec": round(ess / el),
+                      "sec_per_run": round(el, 3)}))
+
+
 def bench_coal(n_chains=1024, n_sweeps=200):
     """Trans-dimensional changepoint moves/sec, many chains vmapped."""
     import jax

@@ -28,6 +28,7 @@ from .psis import PSISResult, psis, psis_effective_sample_size, gpd_fit
 from .sample import PosteriorSamples, sample_posterior
 from .sbc import sbc_ranks, sbc_uniformity
 from .predictive import posterior_predictive, prior_predictive
+from .nuts_fsm import FSMResult, nuts_fsm, nuts_fsm_warmup_and_sample
 from .sgmcmc import MinibatchTarget, sgld_step, sghmc_step, sgld_chain
 from .tempering import (TemperedTarget, ais, smc_sampler,
                         smc_sampler_adaptive, parallel_tempering)
@@ -54,6 +55,7 @@ __all__ = [
     "PosteriorSamples", "sample_posterior",
     "sbc_ranks", "sbc_uniformity",
     "posterior_predictive", "prior_predictive",
+    "FSMResult", "nuts_fsm", "nuts_fsm_warmup_and_sample",
     "MinibatchTarget", "sgld_step", "sghmc_step", "sgld_chain",
     "TemperedTarget", "ais", "smc_sampler", "smc_sampler_adaptive",
     "parallel_tempering",

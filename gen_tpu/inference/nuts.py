@@ -78,16 +78,26 @@ def nuts_flat(key, value_and_grad, theta0, step_size, max_depth=10,
 
         def body(s):
             n = s["n"]
-            # store checkpoints for blocks starting at this leaf: level k
-            # applies when n % 2^k == 0
+            # rho checkpoint for blocks starting at this leaf: level k
+            # applies when n % 2^k == 0 (rho BEFORE the block's first leaf,
+            # so block_rho below sums exactly the in-block leaf momenta)
             r_ck, rs_ck = s["r_ckpt"], s["rsum_ckpt"]
             for k in range(1, max_depth + 1):
                 starts = (n % (2 ** k)) == 0
-                r_ck = r_ck.at[k].set(jnp.where(starts, s["r"], r_ck[k]))
                 rs_ck = rs_ck.at[k].set(jnp.where(starts, s["rho"], rs_ck[k]))
 
             theta, r, grad, logp = leapfrog(s["theta"], s["r"], s["grad"],
                                             eps_signed)
+            # momentum checkpoint: the block's FIRST IN-BLOCK state (i.e.
+            # AFTER this leapfrog). Using the pre-block boundary momentum
+            # instead makes the stopping rule asymmetric under direction
+            # reversal and measurably biases the invariant distribution
+            # (var 0.90 instead of 1.00 on a 3-D standard normal at
+            # eps=0.5 — the reversed trajectory would check different
+            # (first, last) pairs, breaking detailed balance).
+            for k in range(1, max_depth + 1):
+                starts = (n % (2 ** k)) == 0
+                r_ck = r_ck.at[k].set(jnp.where(starts, r, r_ck[k]))
             energy = logp - 0.5 * jnp.dot(r, inv_mass * r)
             delta = energy - energy0
             delta = jnp.where(jnp.isnan(delta), -jnp.inf, delta)
