@@ -72,3 +72,30 @@ def test_hmc_pipeline_is_calibrated():
     assert l == 16
     _, _, pval = sbc_uniformity(ranks, l, num_bins=8)
     assert pval[0] > 0.01, pval
+
+
+def test_nuts_pipeline_is_calibrated():
+    """NUTS through the GFI: SBC ranks must be uniform. (End-to-end
+    calibration check; the SENSITIVE guard for U-turn-scheme bugs is the
+    variance-exactness test in test_nuts_fsm.py — the rank chi-square has
+    limited power against the few-percent distortions those produce. Step
+    size must stay below the leapfrog stability limit 2*posterior_sd ~
+    0.70 here, or chains freeze at their init and SBC fails for the
+    uninteresting reason.)"""
+    from gen_tpu.inference import nuts
+
+    def run(key, obs):
+        k0, k1 = jax.random.split(key)
+        tr, _ = model.generate(k0, (), obs)
+
+        def step(t, k):
+            t, _ = nuts(k, t, select("mu"), step_size=0.4, max_depth=5)
+            return t, t["mu"]
+
+        _, mus = jax.lax.scan(step, tr, jax.random.split(k1, 80))
+        return mus[16:][:, None]
+
+    ranks, l = sbc_ranks(jax.random.PRNGKey(5), model, (), OBS_SEL, run,
+                         num_trials=400, thin=4)
+    _, _, pval = sbc_uniformity(ranks, l, num_bins=8)
+    assert pval[0] > 0.01, pval
