@@ -66,12 +66,22 @@ def sample_posterior(key, model: GenerativeFunction, args: Tuple,
                      num_chains: int = 8, num_warmup: int = 500,
                      num_samples: int = 1000, max_depth: int = 8,
                      target_accept: float = 0.8,
+                     engine: str = "nuts",
+                     num_ticks: Optional[int] = None,
                      summarize: bool = True) -> PosteriorSamples:
     """Sample ``p(selected latents | observations)`` with adaptive NUTS.
 
     Returns :class:`PosteriorSamples`; ``samples[path]`` has shape
     ``(num_samples, num_chains, *event_shape)`` — exactly what
     :func:`gen_tpu.diagnostics.summarize` and downstream estimators expect.
+
+    ``engine="nuts_fsm"`` uses the tick-synchronous state-machine engine
+    (:mod:`gen_tpu.inference.nuts_fsm` — no vmap lockstep; wins at large
+    chain counts). The FSM budget is leapfrog TICKS, not transitions:
+    ``num_ticks`` (default ``8 * num_samples``) ticks of sampling after an
+    equal warmup; the returned draw count is the smallest completed-
+    trajectory count across chains (capped at ``num_samples``), so expect
+    slightly fewer, variable draws rather than exactly ``num_samples``.
     """
     k_init, k_run = jax.random.split(key)
     init_keys = jax.random.split(k_init, num_chains)
@@ -86,15 +96,45 @@ def sample_posterior(key, model: GenerativeFunction, args: Tuple,
     layout = [(path, jnp.shape(jnp.asarray(v)))
               for path, v in values_chm.leaf_items()]
 
-    @jax.jit
-    def run(traces, key):
-        ks = jax.random.split(key, num_chains)
-        return jax.vmap(lambda tr, k: nuts_warmup_and_sample(
-            k, tr, selection, num_warmup=num_warmup,
-            num_samples=num_samples, max_depth=max_depth,
-            target_accept=target_accept))(traces, ks)
+    if engine == "nuts":
+        @jax.jit
+        def run(traces, key):
+            ks = jax.random.split(key, num_chains)
+            return jax.vmap(lambda tr, k: nuts_warmup_and_sample(
+                k, tr, selection, num_warmup=num_warmup,
+                num_samples=num_samples, max_depth=max_depth,
+                target_accept=target_accept))(traces, ks)
 
-    flat, final_traces, info = run(traces, k_run)
+        flat, final_traces, info = run(traces, k_run)
+    elif engine == "nuts_fsm":
+        from .nuts_fsm import nuts_fsm_warmup_and_sample
+        from .target import FlatTarget
+        target = FlatTarget(one_trace, selection)
+        ticks = num_ticks or 8 * num_samples
+
+        @jax.jit
+        def run_fsm(traces, key):
+            theta0 = jax.vmap(
+                lambda tr: tr.get_choices().filter(selection).to_array())(
+                    traces)
+            ks = jax.random.split(key, num_chains)
+            return jax.vmap(lambda k, t: nuts_fsm_warmup_and_sample(
+                k, target.value_and_grad, t, num_warmup_ticks=ticks,
+                num_ticks=ticks, max_depth=max_depth,
+                target_accept=target_accept,
+                num_sample_slots=num_samples))(ks, theta0)
+
+        res, info = run_fsm(traces, k_run)
+        m = int(min(int(jnp.min(res.counts)), num_samples))
+        if m < 2:
+            raise ValueError(
+                f"FSM engine completed only {m} trajectories on the "
+                f"slowest chain in {ticks} ticks; raise num_ticks")
+        flat = res.slots[:, :m, :]          # (chains, m, dim)
+        final_traces = None
+        info = dict(info, counts=res.counts)
+    else:
+        raise ValueError(f"unknown engine {engine!r}")
     # flat: (chains, draws, dim) -> (draws, chains, dim)
     flat = jnp.swapaxes(flat, 0, 1)
 

@@ -82,3 +82,26 @@ def test_explicit_selection():
                            selection=select("mu"), num_chains=2,
                            num_warmup=100, num_samples=100)
     assert set(out.samples) == {"mu"}
+
+
+def test_fsm_engine_matches_conjugate():
+    n, sigma, prior_std = 20, 1.0, 3.0
+    ys = jnp.full(n, 2.0)
+
+    @gen
+    def model(n):
+        mu = gt.normal(0.0, prior_std) @ "mu"
+        gt.normal(mu * jnp.ones(n), sigma) @ "ys"
+
+    out = sample_posterior(jax.random.PRNGKey(3), model, (n,),
+                           choicemap(ys=ys), num_chains=8,
+                           num_samples=256, engine="nuts_fsm",
+                           num_ticks=2048)
+    mu = np.asarray(out.samples["mu"])
+    assert mu.shape[1] == 8 and 2 <= mu.shape[0] <= 256
+    post_prec = 1 / prior_std ** 2 + n / sigma ** 2
+    post_mean = (float(ys.sum()) / sigma ** 2) / post_prec
+    s = out.summary["mu"]
+    assert abs(float(s["mean"]) - post_mean) < 0.04
+    assert abs(float(s["sd"]) - 1 / np.sqrt(post_prec)) < 0.04
+    assert float(s["rhat"]) < 1.05
