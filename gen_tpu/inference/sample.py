@@ -68,6 +68,7 @@ def sample_posterior(key, model: GenerativeFunction, args: Tuple,
                      target_accept: float = 0.8,
                      engine: str = "nuts",
                      num_ticks: Optional[int] = None,
+                     mesh=None, mesh_axis: str = "chains",
                      summarize: bool = True) -> PosteriorSamples:
     """Sample ``p(selected latents | observations)`` with adaptive NUTS.
 
@@ -82,9 +83,18 @@ def sample_posterior(key, model: GenerativeFunction, args: Tuple,
     equal warmup; the returned draw count is the smallest completed-
     trajectory count across chains (capped at ``num_samples``), so expect
     slightly fewer, variable draws rather than exactly ``num_samples``.
+
+    Pass ``mesh`` (a ``jax.sharding.Mesh`` with a ``mesh_axis`` axis, e.g.
+    from :func:`gen_tpu.parallel.chain_mesh`) to shard the chains over
+    devices: the per-chain keys are laid out along the axis and XLA
+    partitions the whole compiled program (chains are independent, so no
+    collectives are inserted; results are identical to the unsharded run).
     """
     k_init, k_run = jax.random.split(key)
     init_keys = jax.random.split(k_init, num_chains)
+    if mesh is not None:
+        from ..parallel.mesh import shard_keys
+        init_keys = shard_keys(k_init, num_chains, mesh, mesh_axis)
     traces, _ = jax.vmap(
         lambda k: model.generate(k, args, observations))(init_keys)
     one_trace = jax.tree_util.tree_map(lambda x: x[0], traces)

@@ -105,3 +105,25 @@ def test_fsm_engine_matches_conjugate():
     assert abs(float(s["mean"]) - post_mean) < 0.04
     assert abs(float(s["sd"]) - 1 / np.sqrt(post_prec)) < 0.04
     assert float(s["rhat"]) < 1.05
+
+
+def test_mesh_sharded_chains_identical():
+    """Sharding the chains over an 8-device mesh must not change results:
+    chains are independent, so partitioning inserts no collectives."""
+    from gen_tpu.parallel import chain_mesh
+
+    @gen
+    def model():
+        mu = gt.normal(0.0, 2.0) @ "mu"
+        gt.normal(mu * jnp.ones(10), 1.0) @ "ys"
+
+    obs = choicemap(ys=jnp.full(10, 1.0))
+    kwargs = dict(num_chains=16, num_warmup=50, num_samples=50,
+                  summarize=False)
+    out_plain = sample_posterior(jax.random.PRNGKey(4), model, (), obs,
+                                 **kwargs)
+    out_mesh = sample_posterior(jax.random.PRNGKey(4), model, (), obs,
+                                mesh=chain_mesh(8), **kwargs)
+    np.testing.assert_allclose(np.asarray(out_mesh.samples["mu"]),
+                               np.asarray(out_plain.samples["mu"]),
+                               rtol=0, atol=1e-9)
