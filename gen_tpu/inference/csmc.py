@@ -57,19 +57,25 @@ from .smc import reconstruct_trajectories
 
 
 def _conditional_multinomial_parents(key, lnw):
-    """IID multinomial parents for the non-reference lanes, O(n log n) at
-    any n: exponential-spacings sorted uniforms + the rank-merge counting
-    trick (ops/resample.py). ``jax.random.categorical(shape=(n,))``
-    materializes an (n, n) gumbel block — 1 GB at n=16k, measured 3x
-    slower end-to-end at 16k particles. Parents come out sorted; lanes
-    1..N-1 are exchangeable (all extended by iid proposals), so assigning
-    sorted parents to them leaves the law of the particle system
-    unchanged. The caller pins lane 0."""
+    """(n-1,) IID multinomial parents for the non-reference lanes,
+    O(n log n) at any n: exponential-spacings sorted uniforms + the
+    rank-merge counting trick (ops/resample.py).
+    ``jax.random.categorical(shape=(n,))`` materializes an (n, n) gumbel
+    block — 1 GB at n=16k, measured 3x slower end-to-end at 16k particles.
+
+    Exactly n-1 draws are made and ALL are kept (the caller prepends the
+    pinned/ancestor-sampled lane-0 parent). Drawing n and overwriting
+    index 0 would discard the MINIMUM of n sorted draws — the kept n-1
+    would no longer be iid (measured: with n=4 uniform weights, parent
+    index 0 appears with frequency 0.106 instead of 0.25), systematically
+    suppressing the previous reference particle's offspring and breaking
+    CSMC invariance. The sorted order itself is harmless: lanes 1..N-1
+    are exchangeable (all extended by iid proposals)."""
     from ..ops.resample import _rank_merge_parents
     n = lnw.shape[0]
-    e = jax.random.exponential(key, (n + 1,))
+    e = jax.random.exponential(key, (n,))
     c = jnp.cumsum(e)
-    us = c[:-1] / c[-1]
+    us = c[:-1] / c[-1]                       # (n-1,) sorted iid uniforms
     w = jnp.exp(lnw - jnp.max(lnw))
     cdf = jnp.cumsum(w)
     return jnp.clip(_rank_merge_parents(cdf / cdf[-1], us),
@@ -137,7 +143,7 @@ def csmc_genealogy(key, kernel: GenerativeFunction, init_state,
         lm_dtype = jnp.result_type(log_ml, log_total)
 
         def resample(_):
-            parents = _conditional_multinomial_parents(k_res, lnw)
+            rest = _conditional_multinomial_parents(k_res, lnw)
             if ancestor_sampling:
                 # w_{t-1}^i * p(ref step-t choices | state_i): exact under
                 # the choice-determined-state condition (module docstring)
@@ -148,7 +154,7 @@ def csmc_genealogy(key, kernel: GenerativeFunction, init_state,
                                             lnw + as_lp).astype(jnp.int32)
             else:
                 p0 = jnp.int32(0)
-            parents = parents.at[0].set(p0)
+            parents = jnp.concatenate([p0[None], rest])
             permuted = jax.tree_util.tree_map(lambda x: x[parents], states)
             return (permuted, jnp.zeros_like(log_w),
                     (log_ml + log_total - jnp.log(n)).astype(lm_dtype),

@@ -70,7 +70,6 @@ def nuts_flat(key, value_and_grad, theta0, step_size, max_depth=10,
             logw=-jnp.inf, turning=jnp.asarray(False),
             diverging=jnp.asarray(False), alpha=jnp.asarray(0.0),
             r_ckpt=r_ckpt, rsum_ckpt=rsum_ckpt, key=key,
-            r_first=r,  # momentum at subtree start (set on first leaf)
         )
 
         def cond(s):
@@ -110,7 +109,6 @@ def nuts_flat(key, value_and_grad, theta0, step_size, max_depth=10,
             take = jnp.log(jax.random.uniform(k_take)) < delta - logw_new
             cand_theta = jnp.where(take, theta, s["cand_theta"])
 
-            r_first = jnp.where(n == 0, r, s["r_first"])
             rho = s["rho"] + r
 
             # U-turn checks for blocks ending at this leaf: level k applies
@@ -125,8 +123,7 @@ def nuts_flat(key, value_and_grad, theta0, step_size, max_depth=10,
             return dict(n=n + 1, theta=theta, r=r, grad=grad, rho=rho,
                         cand_theta=cand_theta, cand_logw=logw_new,
                         logw=logw_new, turning=turning, diverging=diverging,
-                        alpha=alpha, r_ckpt=r_ck, rsum_ckpt=rs_ck, key=key,
-                        r_first=r_first)
+                        alpha=alpha, r_ckpt=r_ck, rsum_ckpt=rs_ck, key=key)
 
         out = jax.lax.while_loop(cond, body, init)
         return out

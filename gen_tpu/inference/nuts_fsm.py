@@ -36,7 +36,8 @@ from .nuts import _uturn
 
 
 class FSMResult(NamedTuple):
-    slots: jnp.ndarray        # (num_sample_slots, dim) ring of samples
+    slots: jnp.ndarray        # (num_sample_slots, dim) FIRST samples, in
+                              # order (writes stop once the buffer fills)
     counts: jnp.ndarray       # () int32 — completed trajectories
     theta: jnp.ndarray        # final current sample
     mean_accept: jnp.ndarray  # mean accept-stat over completed trajectories
@@ -53,9 +54,10 @@ def nuts_fsm(key, value_and_grad, theta0, step_size, num_ticks: int,
     """Run ``num_ticks`` global leapfrog ticks of FSM-NUTS from ``theta0``.
 
     One chain; ``vmap`` over (key, theta0[, step_size, inv_mass_diag]) for
-    many chains — that is the whole point. Returns the sample ring (the
-    first ``counts`` slots are the trajectory-end samples in order, valid
-    while counts <= num_sample_slots), the final position, and stats.
+    many chains — that is the whole point. Returns the sample buffer (the
+    first ``min(counts, num_sample_slots)`` slots are the trajectory-end
+    samples in order; later samples are dropped, never wrapped), the final
+    position, and stats.
     """
     dim = theta0.shape[0]
     dt = theta0.dtype
@@ -237,8 +239,13 @@ def nuts_fsm(key, value_and_grad, theta0, step_size, num_ticks: int,
         cur_theta = jnp.where(traj_done, cand_theta, s["cur_theta"])
         cur_logp = jnp.where(traj_done, cand_logp, s["cur_logp"])
         cur_grad = jnp.where(traj_done, cand_grad, s["cur_grad"])
-        slot = s["count"] % B
-        onehot = (jnp.arange(B) == slot)[:, None] & traj_done
+        # prefix buffer, NOT a ring: writes stop at B samples. A wrapping
+        # ring rotates each chain's sequence by counts % B, silently
+        # corrupting downstream autocorrelation/R-hat computed on
+        # slots[:m] (each chain rotated differently).
+        slot = jnp.minimum(s["count"], B - 1)
+        onehot = ((jnp.arange(B) == slot)[:, None] & traj_done
+                  & (s["count"] < B))
         slots = jnp.where(onehot, cand_theta[None, :], s["slots"])
         count = s["count"] + jnp.where(traj_done, 1, 0)
         accept_sum = s["accept_sum"] + jnp.where(
@@ -306,7 +313,7 @@ def nuts_fsm_warmup_and_sample(key, value_and_grad, theta0,
 
     dim = theta0.shape[0]
     dt = theta0.dtype
-    k_find1, k_find2, k_w1, k_w2, k_samp = jax.random.split(key, 5)
+    k_find1, k_w1, k_samp = jax.random.split(key, 3)
     half = max(warmup_chunks // 2, 1)
     chunk_ticks = max(num_warmup_ticks // (3 * half), 1)
     B = num_sample_slots
@@ -327,9 +334,7 @@ def nuts_fsm_warmup_and_sample(key, value_and_grad, theta0,
             chunk, (theta_in, da_init(eps0)),
             jax.random.split(k_stage, half))
         # scale statistics: mean position variance over the later chunks
-        w = half - half // 2
-        var = jnp.mean(pos_vars[half // 2:], axis=0) * (half - half // 2) \
-            / jnp.maximum(w, 1)
+        var = jnp.mean(pos_vars[half // 2:], axis=0)
         return theta, jnp.exp(da.log_eps_bar), var
 
     # Iterated stages: adapt eps under the current mass, re-measure the

@@ -22,8 +22,11 @@ from ..gfi import GenerativeFunction
 
 
 def _stack_draws(samples: Dict):
-    """dict addr -> (draws, chains, *ev) arrays => (n, ) flat constraint
-    builder: returns (n_draws_total, build(i)->ChoiceMap via tree index)."""
+    """dict addr -> arrays with LEADING (draws, chains) axes (event dims
+    after; exactly ``PosteriorSamples.samples``), or 1-D (draws,) for
+    scalar addresses. A 2-D array is always read as (draws, chains) — for
+    draws of a vector-valued address from a single chain, add the chain
+    axis explicitly (``arr[:, None, :]``)."""
     leaves = {}
     n = None
     for addr, arr in samples.items():

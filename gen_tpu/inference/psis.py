@@ -98,7 +98,9 @@ def psis(log_weights):
     new_tail = jnp.log(jnp.maximum(smoothed, 1e-38)) + shift
     new_sorted = jnp.where(ok, lw_sorted.at[-m:].set(new_tail), lw_sorted)
 
-    out = jnp.empty_like(lw).at[order].set(new_sorted)
+    # inverse permutation via gather (a scatter here lowers to the slow
+    # per-element path under vmap — CLAUDE.md's 84x trap)
+    out = new_sorted[jnp.argsort(order)]
     khat = jnp.where(ok, k, -jnp.inf)
     return PSISResult(out, khat, m)
 

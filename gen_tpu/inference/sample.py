@@ -119,6 +119,21 @@ def sample_posterior(key, model: GenerativeFunction, args: Tuple,
     elif engine == "nuts_fsm":
         from .nuts_fsm import nuts_fsm_warmup_and_sample
         from .target import FlatTarget
+        # the FSM potential closes over chain 0's UNselected choices; with
+        # a partial selection each chain would be conditioned on chain 0's
+        # values instead of its own — refuse rather than silently answer a
+        # different question (the nuts engine conditions per chain)
+        default_sel, _ = _default_selection(one_trace, observations)
+        covered = {p for p, _ in
+                   one_trace.get_choices().filter(selection).leaf_items()}
+        needed = {p for p, _ in
+                  one_trace.get_choices().filter(default_sel).leaf_items()}
+        if covered != needed:
+            raise ValueError(
+                "engine='nuts_fsm' requires the selection to cover every "
+                f"unobserved continuous address (missing: "
+                f"{sorted(needed - covered)!r}); use engine='nuts' for "
+                "partial selections")
         target = FlatTarget(one_trace, selection)
         ticks = num_ticks or 8 * num_samples
 

@@ -62,16 +62,18 @@ def _pallas_kernel(n, cdf_ref, u_ref, out_ref):
 def _rank_merge_parents(cdf, positions):
     """parents_i = #{j : cdf_j < positions_i} for sorted positions, via two
     argsorts (rank = argsort∘argsort) — no scatter, no binary-search
-    gathers; XLA's bitonic sort is fast on TPU at any N."""
+    gathers; XLA's bitonic sort is fast on TPU at any N. ``positions`` may
+    have any length m (e.g. m = n-1 for the conditional-SMC resampler)."""
     n = cdf.shape[0]
+    m = positions.shape[0]
     keys = jnp.concatenate([cdf, positions])
     # stable ties: data sorts before queries at equal keys (side='left')
-    tags = jnp.concatenate([jnp.zeros(n, jnp.int32), jnp.ones(n, jnp.int32)])
+    tags = jnp.concatenate([jnp.zeros(n, jnp.int32), jnp.ones(m, jnp.int32)])
     order = jnp.lexsort((tags, keys))
     rank = jnp.argsort(order)
     # query i sits at sorted position rank[n+i]; the data elements before it
     # number rank[n+i] - (queries before it) = rank[n+i] - i
-    return (rank[n:] - jnp.arange(n)).astype(jnp.int32)
+    return (rank[n:] - jnp.arange(m)).astype(jnp.int32)
 
 
 def _sorted_systematic(log_weights, u):

@@ -183,3 +183,19 @@ def test_adaptive_resampling_keeps_pin():
     trajs = reconstruct_trajectories(subs, anc)
     got = trajs.get_choices().get_value("x")
     np.testing.assert_array_equal(np.asarray(got[:, 0]), np.asarray(ref_xs))
+
+
+def test_conditional_multinomial_parents_are_iid():
+    """Regression (review finding): the non-reference parents must be iid
+    Categorical(w). The old implementation drew n sorted parents and
+    overwrote index 0 — discarding the MINIMUM, so parent index 0 appeared
+    with frequency w0^2-ish instead of w0 (measured 0.106 vs 0.25 at n=4
+    uniform), suppressing the previous reference particle's offspring."""
+    from gen_tpu.inference.csmc import _conditional_multinomial_parents
+    n, trials = 4, 20000
+    lnw = jnp.zeros(n) - jnp.log(n)  # uniform
+    draws = jax.vmap(lambda k: _conditional_multinomial_parents(k, lnw))(
+        jax.random.split(jax.random.PRNGKey(0), trials))
+    freq = np.bincount(np.asarray(draws).ravel(), minlength=n) / draws.size
+    se = np.sqrt(0.25 * 0.75 / draws.size)
+    np.testing.assert_allclose(freq, 0.25, atol=5 * se + 1e-3)

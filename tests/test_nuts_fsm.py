@@ -135,3 +135,20 @@ def test_warmup_pipeline_recovers_conjugate_posterior():
     ratio = inv_mass / np.asarray(scales) ** 2
     assert ratio.max() / ratio.min() < 300.0, inv_mass
     assert 0.5 < float(res.mean_accept.mean()) <= 1.0
+
+
+def test_slots_are_prefix_not_ring():
+    """Regression (review finding): once the sample buffer fills, later
+    samples are dropped — a wrapping ring would rotate each chain's
+    sequence by counts % B and corrupt autocorrelation diagnostics."""
+    vag = jax.value_and_grad(lambda x: -0.5 * jnp.sum(x ** 2))
+    key = jax.random.PRNGKey(6)
+    theta0 = jnp.zeros(2)
+    small = nuts_fsm(key, vag, theta0, 0.5, 600, max_depth=6,
+                     num_sample_slots=8)
+    assert int(small.counts) > 8          # buffer definitely filled
+    big = nuts_fsm(key, vag, theta0, 0.5, 600, max_depth=6,
+                   num_sample_slots=256)
+    # identical rng stream => the first 8 samples must match exactly
+    np.testing.assert_array_equal(np.asarray(small.slots),
+                                  np.asarray(big.slots[:8]))
