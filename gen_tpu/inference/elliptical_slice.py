@@ -38,16 +38,24 @@ def elliptical_slice(key, trace: Trace, addr, mu, cov):
     log_u = jnp.log(jax.random.uniform(k_u))
     theta0 = jax.random.uniform(k_theta) * 2 * jnp.pi
     f = trace[addr] - mu
-    prior_old = mvnormal.logpdf(trace[addr], mu, cov)
+    # the LIKELIHOOD of a trace = total score of everything except addr,
+    # via project on the complement selection. Computing it instead as
+    # update_weight - (prior_new - prior_old) is analytically identical
+    # but numerically catastrophic in float32 for ill-conditioned priors
+    # (a 60-point RBF-kernel GP prior logpdf is O(1e2-1e4) with O(1)+
+    # float32 error; the cancellation left pure noise in the threshold
+    # and the sampler silently degenerated — caught by the GP
+    # classification example, which only worked in x64)
+    from ..selection import complement, select
+    lik_sel = complement(select(addr))
+    lik_old = trace.project(lik_sel)
 
     def propose(theta):
         new_f = f * jnp.cos(theta) + nu * jnp.sin(theta)
         cons = ChoiceMap().set_value(addr, new_f + mu)
-        new_trace, weight, _, _ = gen_fn.update(
+        new_trace, _, _, _ = gen_fn.update(
             None, trace, args, argdiffs, cons)
-        # likelihood ratio: subtract the prior-score change (see docstring)
-        prior_new = mvnormal.logpdf(new_f + mu, mu, cov)
-        return new_trace, weight - (prior_new - prior_old)
+        return new_trace, new_trace.project(lik_sel) - lik_old
 
     init_trace, init_weight = propose(theta0)
 

@@ -87,3 +87,11 @@ def test_train_amortized_example():
     # closed form: z - x ~ N(-2, 0.3^2)
     assert abs(theta - (-2.0)) < 0.1
     assert abs(sigma - 0.3) < 0.1
+
+
+def test_gp_classification_example_smoke():
+    import gp_classification
+    xs, ys, f_true = gp_classification.make_dataset(n=20)
+    fs = gp_classification.run_chain(jax.random.PRNGKey(0), xs, ys,
+                                     n_sweeps=50)
+    assert np.all(np.isfinite(fs))
