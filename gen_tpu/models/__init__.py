@@ -14,7 +14,8 @@ from .hmm import (HMMParams, hmm_forward, hmm_forward_batched, hmm_smoother,
                   hmm_ffbs, hmm_kernel, HiddenMarkovModel, hmm)
 from .gp import (pairwise_sq_dists, rbf, matern12, matern32, matern52,
                  linear_kernel, periodic, KERNELS, gp_log_ml, gp_posterior,
-                 gp_predict, gp_sample, GPMarginal, gp_marginal)
+                 gp_predict, gp_sample, GPMarginal, gp_marginal,
+                 gp_latent_rbf)
 
 __all__ = ["LGSSMParams", "KalmanResult", "kalman_filter", "kalman_smoother",
            "lgssm_kernel", "LinearGaussianSSM", "lgssm",
@@ -25,4 +26,4 @@ __all__ = ["LGSSMParams", "KalmanResult", "kalman_filter", "kalman_smoother",
            "pairwise_sq_dists", "rbf", "matern12", "matern32", "matern52",
            "linear_kernel", "periodic", "KERNELS", "gp_log_ml",
            "gp_posterior", "gp_predict", "gp_sample", "GPMarginal",
-           "gp_marginal"]
+           "gp_marginal", "gp_latent_rbf"]

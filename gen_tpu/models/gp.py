@@ -163,3 +163,30 @@ class GPMarginal(Distribution):
 
 def gp_marginal(kernel: Callable | str, n_theta: int = 2) -> GPMarginal:
     return GPMarginal(kernel, n_theta)
+
+
+def _make_gp_latent():
+    from ..dynamic import gen as _gen
+    from ..dists import broadcasted_normal
+
+    @_gen
+    def gp_latent_rbf(xs, variance, lengthscale, jitter=1e-6):
+        """Whitened latent GP: traces iid-normal "z" and returns
+        f = chol(K_rbf(xs)) @ z. The WHITENED parameterization is the
+        standard fix for hyperparameter moves in latent-GP models: under
+        the direct ``f ~ mvnormal(0, K(theta))`` parameterization, any
+        proposal changing theta at fixed f shifts the prior density by
+        tens of nats and suffocates (examples/gp_classification.py
+        documents the failure); with z as the traced address, changing
+        theta re-warps f automatically and HMC/NUTS can move (z, theta)
+        jointly. Differentiable end to end (grad flows through the
+        Cholesky)."""
+        n = xs.shape[0]
+        z = broadcasted_normal(jnp.zeros(n), 1.0) @ "z"
+        k = rbf(xs, xs, variance, lengthscale) + jitter * jnp.eye(n)
+        return jnp.linalg.cholesky(k) @ z
+
+    return gp_latent_rbf
+
+
+gp_latent_rbf = _make_gp_latent()

@@ -118,3 +118,60 @@ def test_collapsed_gp_lengthscale_recovery():
     assert abs(float(s["mean"]) - np.log(true_ell)) < \
         4 * float(s["sd"]) + 0.05
     assert float(s["rhat"]) < 1.05
+
+
+def test_gp_latent_whitened_prior_matches_mvnormal():
+    from gen_tpu.models import gp_latent_rbf
+    xs2 = jnp.linspace(-1, 1, 6)
+    keys = jax.random.split(jax.random.PRNGKey(7), 30000)
+    fs = jax.vmap(lambda k: gp_latent_rbf.simulate(
+        k, (xs2, 1.3, 0.6)).get_retval())(keys)
+    emp_cov = np.cov(np.asarray(fs).T)
+    np.testing.assert_allclose(emp_cov,
+                               np.asarray(rbf(xs2, xs2, 1.3, 0.6)),
+                               atol=0.05)
+
+
+def test_whitened_hyperparameter_learning_matches_collapsed():
+    """HMC over (z, log_ell) in the whitened parameterization must target
+    the same log_ell posterior as the exact collapsed marginal — the move
+    the direct f-parameterization cannot make at all."""
+    from gen_tpu.inference import hmc
+    from gen_tpu.models import gp_latent_rbf
+
+    xs2 = jnp.linspace(-2, 2, 25)
+    noise = 0.2
+    ys = gp_sample(jax.random.PRNGKey(3), rbf, xs2, (1.0, 0.5), noise)
+
+    @gen
+    def model():
+        log_ell = gt.normal(0.0, 0.7) @ "log_ell"
+        f = gp_latent_rbf(xs2, 1.0, jnp.exp(log_ell)) @ "gp"
+        gt.normal(f, noise) @ "ys"
+
+    tr, _ = model.generate(jax.random.PRNGKey(0), (), choicemap(ys=ys))
+    sel = select("log_ell", ("gp", "z"))
+
+    @jax.jit
+    def chain(tr, k):
+        def step(t, sk):
+            t, acc = hmc(sk, t, sel, L=20, eps=0.02)
+            return t, (t["log_ell"], acc)
+        return jax.lax.scan(step, tr, jax.random.split(k, 800))
+
+    _, (ells, accs) = chain(tr, jax.random.PRNGKey(1))
+    ells = np.asarray(ells)[200:]
+    assert float(np.asarray(accs).mean()) > 0.4
+    assert np.unique(np.round(ells, 5)).size > 100  # actually moving
+
+    # exact collapsed posterior over log_ell by quadrature
+    grid = np.linspace(-2.5, 2.5, 400)
+    lp = np.array([float(gp_log_ml(rbf, xs2, ys, (1.0, np.exp(g)), noise))
+                   - 0.5 * (g / 0.7) ** 2 for g in grid])
+    w = np.exp(lp - lp.max())
+    exact_mean = float((grid * w).sum() / w.sum())
+    exact_sd = float(np.sqrt((grid ** 2 * w).sum() / w.sum()
+                             - exact_mean ** 2))
+    err = abs(ells.mean() - exact_mean)
+    assert err < 3 * exact_sd / np.sqrt(60) + 0.08, \
+        (ells.mean(), exact_mean, exact_sd)
