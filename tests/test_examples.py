@@ -95,3 +95,12 @@ def test_gp_classification_example_smoke():
     fs = gp_classification.run_chain(jax.random.PRNGKey(0), xs, ys,
                                      n_sweeps=50)
     assert np.all(np.isfinite(fs))
+
+
+def test_eight_schools_example_smoke():
+    import eight_schools
+    out, rhat = eight_schools.run(eight_schools.non_centered,
+                                  jax.random.PRNGKey(0), num_chains=2,
+                                  num_warmup=100, num_samples=100)
+    assert np.isfinite(rhat)
+    assert out.samples["z"].shape == (100, 2, 8)
