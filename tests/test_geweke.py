@@ -186,3 +186,102 @@ def test_geweke_particle_gibbs():
 
 def test_geweke_particle_gibbs_ancestor_sampling():
     _pg_compare(jax.random.fold_in(KEY, 22), ancestor_sampling=True)
+
+
+# ---- MALA and elliptical slice through the same joint harness ----------
+
+
+def test_geweke_mala():
+    from gen_tpu.inference import mala
+
+    def _succ(key, n_chains, n_steps):
+        k_init, k_run = jax.random.split(key)
+        traces = jax.vmap(lambda k: joint.simulate(k, ()))(
+            jax.random.split(k_init, n_chains))
+
+        def step(trs, sk):
+            ks = jax.vmap(lambda i: jax.random.fold_in(sk, i))(
+                jnp.arange(n_chains))
+
+            def one(tr, k):
+                k1, k2 = jax.random.split(k)
+                tr, _ = mala(k1, tr, LATENTS, tau=0.02)
+                new, w, _ = joint.regenerate(k2, tr, (), (), DATA)
+                return new, w
+
+            trs, ws = jax.vmap(one)(trs, ks)
+            return trs, (trs["theta"], trs["scale"], trs["y"], ws)
+
+        _, (th, sc, y, ws) = jax.lax.scan(
+            step, traces, jax.random.split(k_run, 500))
+        burn = 150
+        return (th[burn:].reshape(-1), sc[burn:].reshape(-1),
+                y[burn:].reshape(-1), ws)
+
+    key = jax.random.fold_in(KEY, 31)
+    mc = _moments(*_marginal_conditional(jax.random.fold_in(key, 0),
+                                         200_000))
+    th, sc, y, ws = jax.jit(lambda k: _succ(k, 256, 500))(
+        jax.random.fold_in(key, 1))
+    scs = _moments(th, sc, y)
+    np.testing.assert_allclose(np.asarray(ws), 0.0, atol=1e-9)
+    diff = np.abs(np.asarray(mc) - np.asarray(scs))
+    tol = np.array([0.06, 0.15, 0.12, 0.15, 0.25])
+    assert (diff < tol).all(), (np.asarray(mc), np.asarray(scs), diff)
+
+
+def test_geweke_elliptical_slice():
+    """Joint over an MVN-prior vector latent + Gaussian data; alternates
+    ESS over the latent with exact data resampling. Guards the
+    likelihood-ratio threshold (incl. the float32 projection fix)."""
+    from gen_tpu.inference import elliptical_slice
+
+    d = 3
+    cov = jnp.asarray([[1.0, 0.6, 0.3], [0.6, 1.0, 0.6], [0.3, 0.6, 1.0]])
+
+    @gen
+    def es_joint():
+        f = gt.mvnormal(jnp.zeros(d), cov) @ "f"
+        gt.normal(f, 0.7) @ "y"
+        return f
+
+    def mc_moments(f, y):
+        return jnp.stack([f.mean(), (f ** 2).mean(), y.mean(),
+                          (f * y).mean()])
+
+    key = jax.random.fold_in(KEY, 41)
+    trs = jax.vmap(lambda k: es_joint.simulate(k, ()))(
+        jax.random.split(jax.random.fold_in(key, 0), 100_000))
+    mc = mc_moments(trs["f"], trs["y"])
+
+    def _succ(k, n_chains, n_steps):
+        k_init, k_run = jax.random.split(k)
+        traces = jax.vmap(lambda kk: es_joint.simulate(kk, ()))(
+            jax.random.split(k_init, n_chains))
+
+        def step(trs, sk):
+            ks = jax.vmap(lambda i: jax.random.fold_in(sk, i))(
+                jnp.arange(n_chains))
+
+            def one(tr, kk):
+                k1, k2 = jax.random.split(kk)
+                tr = elliptical_slice(k1, tr, "f", jnp.zeros(d), cov)
+                new, w, _ = es_joint.regenerate(k2, tr, (), (),
+                                                select("y"))
+                return new, w
+
+            trs, ws = jax.vmap(one)(trs, ks)
+            return trs, (trs["f"], trs["y"], ws)
+
+        _, (fs, ys, ws) = jax.lax.scan(step, traces,
+                                       jax.random.split(k_run, 400))
+        burn = 100
+        return (fs[burn:].reshape(-1, d), ys[burn:].reshape(-1, d), ws)
+
+    fs, ys, ws = jax.jit(lambda k: _succ(k, 128, 400))(
+        jax.random.fold_in(key, 1))
+    np.testing.assert_allclose(np.asarray(ws), 0.0, atol=1e-9)
+    scs = mc_moments(fs, ys)
+    diff = np.abs(np.asarray(mc) - np.asarray(scs))
+    tol = np.array([0.04, 0.07, 0.05, 0.08])
+    assert (diff < tol).all(), (np.asarray(mc), np.asarray(scs), diff)
