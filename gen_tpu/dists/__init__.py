@@ -10,7 +10,7 @@ from .dist_dsl import (TransformedDistribution, RelabeledDistribution,
                        exp_of, log_of, dist)
 from .discrete import (
     bernoulli, categorical, labeled_categorical, uniform_discrete, poisson,
-    binom, geometric, neg_binom, dirac,
+    binom, geometric, neg_binom, dirac, multinomial,
 )
 
 __all__ = [
@@ -25,4 +25,5 @@ __all__ = [
     "log_of", "dist",
     "bernoulli", "categorical", "labeled_categorical", "uniform_discrete",
     "poisson", "binom", "geometric", "neg_binom", "dirac",
+    "multinomial",
 ]

@@ -172,6 +172,27 @@ class NegativeBinomial(Distribution):
         return jnp.sum(jnp.where(inside, lp, -jnp.inf))
 
 
+class Multinomial(Distribution):
+    """multinomial(n, probs) -> (k,) counts summing to n. Not in the
+    reference; the count-data companion to categorical/dirichlet."""
+
+    is_discrete = True
+    has_output_grad = False
+    arg_grads = (False, True)
+
+    def sample(self, key, n, probs):
+        return jax.random.multinomial(key, n, _f(probs))
+
+    def logpdf(self, v, n, probs):
+        probs = _f(probs)
+        vf = jnp.asarray(v, dtype=probs.dtype)
+        lp = (gammaln(jnp.asarray(n, probs.dtype) + 1.0)
+              - jnp.sum(gammaln(vf + 1.0), axis=-1)
+              + jnp.sum(xlogy(vf, probs), axis=-1))
+        ok = jnp.sum(vf, axis=-1) == n
+        return jnp.sum(jnp.where(ok, lp, -jnp.inf))
+
+
 class Dirac(Distribution):
     """dirac(v) -> v: a point mass. Reference: the pmmh example defines
     this ad hoc (examples/pmmh/model.jl); here it is a library distribution.
@@ -199,6 +220,7 @@ class Dirac(Distribution):
 
 bernoulli = Bernoulli()
 dirac = Dirac()
+multinomial = Multinomial()
 categorical = Categorical()
 labeled_categorical = LabeledCategorical()
 uniform_discrete = UniformDiscrete()

@@ -267,3 +267,25 @@ def test_dirichlet_in_model():
     tr = mix.simulate(KEY, ())
     w, _ = mix.assess((), tr.get_choices())
     np.testing.assert_allclose(float(w), float(tr.get_score()), atol=1e-6)
+
+
+def test_multinomial():
+    n, probs = 12, np.array([0.2, 0.5, 0.3])
+    v = np.array([3, 6, 3])
+    lp = gt.multinomial.logpdf(v, n, probs)
+    np.testing.assert_allclose(lp, stats.multinomial.logpmf(v, n, probs),
+                               rtol=1e-6)
+    assert float(gt.multinomial.logpdf(np.array([3, 6, 2]), n, probs)) \
+        == -np.inf  # counts must sum to n
+    s = gt.multinomial.sample(KEY, n, jnp.asarray(probs))
+    assert float(jnp.sum(s)) == n
+    ss = jax.vmap(lambda k: gt.multinomial.sample(k, n, jnp.asarray(probs)))(
+        jax.random.split(KEY, 20000))
+    np.testing.assert_allclose(np.asarray(ss).mean(0), n * probs, atol=0.1)
+    # directional gradient in probs
+    d = np.array([0.05, -0.03, -0.02])
+    g = gt.multinomial.logpdf_grad(v, n, probs)[2]
+    f = lambda p: float(gt.multinomial.logpdf(v, n, p))
+    fd = (f(probs + 1e-6 * d) - f(probs - 1e-6 * d)) / 2e-6
+    np.testing.assert_allclose(float(np.dot(np.asarray(g), d)), fd,
+                               rtol=1e-4)
