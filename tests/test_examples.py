@@ -104,3 +104,11 @@ def test_eight_schools_example_smoke():
                                   num_warmup=100, num_samples=100)
     assert np.isfinite(rhat)
     assert out.samples["z"].shape == (100, 2, 8)
+
+
+def test_gmm_example_smoke():
+    import gmm
+    ys, _ = gmm.make_dataset(n=60)
+    mus, ws = gmm.run_chain(jax.random.PRNGKey(0), ys, n_sweeps=30)
+    assert np.all(np.isfinite(mus)) and np.all(np.isfinite(ws))
+    np.testing.assert_allclose(ws.sum(axis=1), 1.0, atol=1e-5)
