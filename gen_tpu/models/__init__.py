@@ -16,6 +16,10 @@ from .gp import (pairwise_sq_dists, rbf, matern12, matern32, matern52,
                  linear_kernel, periodic, KERNELS, gp_log_ml, gp_posterior,
                  gp_predict, gp_sample, GPMarginal, gp_marginal,
                  gp_latent_rbf)
+from .gp_iterative import (mbcg, pmbcg, pivoted_cholesky,
+                           woodbury_preconditioner, lanczos_tridiag_from_cg,
+                           slq_logdet_from_tridiag, gp_log_ml_cg,
+                           gp_posterior_cg, GPMarginalCG, gp_marginal_cg)
 
 __all__ = ["LGSSMParams", "KalmanResult", "kalman_filter", "kalman_smoother",
            "lgssm_kernel", "LinearGaussianSSM", "lgssm",
@@ -26,4 +30,8 @@ __all__ = ["LGSSMParams", "KalmanResult", "kalman_filter", "kalman_smoother",
            "pairwise_sq_dists", "rbf", "matern12", "matern32", "matern52",
            "linear_kernel", "periodic", "KERNELS", "gp_log_ml",
            "gp_posterior", "gp_predict", "gp_sample", "GPMarginal",
-           "gp_marginal", "gp_latent_rbf"]
+           "gp_marginal", "gp_latent_rbf",
+           "mbcg", "pmbcg", "pivoted_cholesky", "woodbury_preconditioner",
+           "lanczos_tridiag_from_cg", "slq_logdet_from_tridiag",
+           "gp_log_ml_cg", "gp_posterior_cg", "GPMarginalCG",
+           "gp_marginal_cg"]
