@@ -1,8 +1,8 @@
 from .distribution import Distribution
 from .continuous import (
-    Normal, normal, broadcasted_normal, mvnormal, uniform, uniform_continuous,
-    beta, beta_uniform, gamma, inv_gamma, exponential, cauchy, laplace,
-    piecewise_uniform, student_t, dirichlet,
+    Normal, normal, broadcasted_normal, normal_linear, mvnormal, uniform,
+    uniform_continuous, beta, beta_uniform, gamma, inv_gamma, exponential,
+    cauchy, laplace, piecewise_uniform, student_t, dirichlet,
 )
 from .mixture import HomogeneousMixture, HeterogeneousMixture
 from .dist_dsl import (TransformedDistribution, RelabeledDistribution,
@@ -15,7 +15,7 @@ from .discrete import (
 
 __all__ = [
     "Distribution",
-    "normal", "broadcasted_normal", "mvnormal", "uniform",
+    "normal", "broadcasted_normal", "normal_linear", "mvnormal", "uniform",
     "uniform_continuous", "beta", "beta_uniform", "gamma", "inv_gamma",
     "exponential", "cauchy", "laplace", "piecewise_uniform", "student_t",
     "dirichlet",

@@ -280,8 +280,53 @@ class PiecewiseUniform(Distribution):
         return jnp.sum(jnp.where(inside, lp, -jnp.inf))
 
 
+class NormalLinear(Distribution):
+    """normal_linear(X, beta, sigma): vector of n iid normal observations
+    with mean ``X @ beta`` and shared scale ``sigma`` — the linear-model
+    likelihood as a first-class distribution.
+
+    Identical joint density to ``normal(X @ beta, sigma) @ "ys"`` (one
+    address holding the whole vector, like the reference's
+    broadcasted_normal, distributions/normal.jl:69-78), but the logpdf is
+    computed from the Gram matrix ``G = [X|v]^T [X|v]``: with
+    ``u = [beta; -1]``, the residual sum of squares is ``u^T G u``.
+
+    Why this matters on TPU: ``G`` depends only on the data ``(X, v)``, so
+    under ``vmap`` over chains and ``lax.scan`` over MCMC/leapfrog steps
+    (where ``X`` and the observed ``v`` are loop-invariant and unbatched)
+    XLA hoists the O(n p^2) Gram computation out of the loop entirely and
+    each per-chain logpdf/gradient evaluation costs O(p^2) instead of
+    O(n p) — the likelihood no longer touches the data at all inside the
+    hot loop. For bench.py's regression posterior (n=50, p=2) this is a
+    ~25x FLOP reduction per leapfrog step.
+
+    Numerical note: the Gram form subtracts large squares (catastrophic
+    cancellation when RSS << sum(v^2)); in float32 keep data standardized
+    to O(1) scale, as usual for MCMC.
+    """
+
+    arg_grads = (True, True, True)
+
+    def sample(self, key, X, beta_, sigma):
+        X, beta_, sigma = _f(X), _f(beta_), _f(sigma)
+        mean = X @ beta_
+        return mean + sigma * jax.random.normal(key, mean.shape,
+                                                dtype=mean.dtype)
+
+    def logpdf(self, v, X, beta_, sigma):
+        v, X, beta_, sigma = _f(v), _f(X), _f(beta_), _f(sigma)
+        A = jnp.concatenate([X, v[:, None]], axis=1)
+        G = A.T @ A                      # data-only: hoisted out of vmap/scan
+        u = jnp.concatenate([beta_, -jnp.ones((1,), dtype=beta_.dtype)])
+        rss = u @ (G @ u)
+        n = X.shape[0]
+        return -0.5 * rss / (sigma * sigma) - n * (jnp.log(sigma)
+                                                   + _HALF_LOG_2PI)
+
+
 normal = Normal()
 broadcasted_normal = BroadcastedNormal()
+normal_linear = NormalLinear()
 mvnormal = MvNormal()
 uniform = UniformContinuous()
 uniform_continuous = uniform

@@ -1,7 +1,7 @@
 from .common import select_trace, mh_accept
 from .importance import importance_sampling, importance_resampling
 from .mh import mh, metropolis_hastings, mh_selection, mh_proposal
-from .hmc import hmc, hmc_chain
+from .hmc import hmc, hmc_chain, hmc_chains
 from .mala import mala
 from .map_optimize import map_optimize
 from .elliptical_slice import elliptical_slice
@@ -41,7 +41,7 @@ __all__ = [
     "select_trace", "mh_accept",
     "importance_sampling", "importance_resampling",
     "mh", "metropolis_hastings", "mh_selection", "mh_proposal",
-    "hmc", "hmc_chain", "mala", "map_optimize", "elliptical_slice",
+    "hmc", "hmc_chain", "hmc_chains", "mala", "map_optimize", "elliptical_slice",
     "ParticleFilterState", "initialize_particle_filter",
     "particle_filter_step", "maybe_resample", "log_ml_estimate",
     "effective_sample_size", "sample_unweighted_traces", "smc_run",

@@ -56,6 +56,48 @@ def test_broadcasted_normal():
     assert s.shape == (3,)
 
 
+def test_normal_linear():
+    rng = np.random.default_rng(3)
+    n, p = 17, 3
+    X = rng.standard_normal((n, p))
+    beta = np.array([0.7, -0.4, 1.1])
+    sigma = 0.8
+    v = X @ beta + sigma * rng.standard_normal(n)
+    lp = gt.normal_linear.logpdf(v, X, beta, sigma)
+    # exactly the pointwise broadcasted-normal density
+    np.testing.assert_allclose(
+        lp, stats.norm.logpdf(v, X @ beta, sigma).sum(), rtol=1e-9)
+    np.testing.assert_allclose(
+        lp, gt.broadcasted_normal.logpdf(v, X @ beta, sigma), rtol=1e-12)
+    # gradients wrt beta and sigma match the pointwise formulation
+    g_gram = jax.grad(
+        lambda b, s: gt.normal_linear.logpdf(v, X, b, s), argnums=(0, 1))(
+            jnp.asarray(beta), jnp.asarray(sigma))
+    g_point = jax.grad(
+        lambda b, s: gt.broadcasted_normal.logpdf(v, X @ b, s),
+        argnums=(0, 1))(jnp.asarray(beta), jnp.asarray(sigma))
+    np.testing.assert_allclose(g_gram[0], g_point[0], rtol=1e-8)
+    np.testing.assert_allclose(g_gram[1], g_point[1], rtol=1e-8)
+    # sigma finite-difference (vector args checked via the grad match above)
+    fd = finite_diff(lambda s_: float(gt.normal_linear.logpdf(v, X, beta, s_)),
+                     (sigma,), 0)
+    np.testing.assert_allclose(g_gram[1], fd, rtol=1e-4)
+    s = gt.normal_linear.sample(KEY, X, jnp.asarray(beta), sigma)
+    assert s.shape == (n,)
+    # in-model use: generate weight = the constrained logpdf
+    @gt.gen
+    def m(X):
+        b = gt.mvnormal(jnp.zeros(p), jnp.eye(p)) @ "b"
+        gt.normal_linear(X, b, 0.8) @ "ys"
+
+    tr, w = m.generate(KEY, (jnp.asarray(X),), gt.choicemap(
+        b=jnp.asarray(beta), ys=jnp.asarray(v)))
+    np.testing.assert_allclose(
+        w,
+        gt.mvnormal.logpdf(beta, jnp.zeros(p), jnp.eye(p))
+        + gt.normal_linear.logpdf(v, X, beta, sigma), rtol=1e-9)
+
+
 def test_mvnormal():
     mu = np.array([1.0, -1.0])
     cov = np.array([[2.0, 0.3], [0.3, 1.0]])

@@ -127,6 +127,44 @@ def test_hmc_vmapped_chains():
     assert new_traces.get_score().shape == (n_chains,)
 
 
+def test_hmc_chains_flat_posterior():
+    """hmc_chains (vectorized flat-chain path) samples the same conjugate
+    posterior as per-trace hmc, and its traces rebuild correctly."""
+    from gen_tpu.inference import hmc_chains
+    from gen_tpu.inference.target import FlatTarget
+
+    n_chains = 64
+    keys = jax.random.split(KEY, n_chains)
+    traces, _ = jax.vmap(
+        lambda k: conj_model.generate(k, (N_OBS,), OBS))(keys)
+    one = jax.tree_util.tree_map(lambda x: x[0], traces)
+    sel = select("mu")
+    target = FlatTarget(one, sel)
+    values0 = jax.vmap(
+        lambda tr: tr.get_choices().filter(sel).to_array())(traces)
+
+    values, samples, accepts = jax.jit(
+        lambda v, k: hmc_chains(k, target, v, n_steps=400, L=5, eps=0.05))(
+            values0, jax.random.PRNGKey(2))
+    assert samples.shape == (400, n_chains, 1)
+    assert accepts.shape == (400, n_chains)
+    assert float(jnp.mean(accepts)) > 0.7
+    mus = np.asarray(samples)[100:, :, 0].ravel()
+    np.testing.assert_allclose(mus.mean(), POST_MU, atol=0.03)
+    np.testing.assert_allclose(mus.std(), np.sqrt(POST_VAR), atol=0.03)
+    # rebuild: traces with the final values, observations intact
+    final = jax.vmap(target.rebuild)(values)
+    np.testing.assert_allclose(np.asarray(final.get_choices()["mu"]),
+                               np.asarray(values[:, 0]), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(final.get_choices()["ys"])[0],
+                               np.full(N_OBS, OBS_VAL))
+    # collect hook
+    _, collected, _ = hmc_chains(
+        jax.random.PRNGKey(3), target, values0, n_steps=3, L=2, eps=0.05,
+        collect=lambda v: v[:, 0] * 2.0)
+    assert collected.shape == (3, n_chains)
+
+
 def test_mala_posterior():
     tr, _ = conj_model.generate(KEY, (N_OBS,), OBS)
 
