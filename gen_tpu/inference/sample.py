@@ -76,6 +76,14 @@ def sample_posterior(key, model: GenerativeFunction, args: Tuple,
     ``(num_samples, num_chains, *event_shape)`` — exactly what
     :func:`gen_tpu.diagnostics.summarize` and downstream estimators expect.
 
+    ``engine="chees"`` uses cross-chain-adaptive ChEES-HMC
+    (:mod:`gen_tpu.inference.chees` — one shared step size and trajectory
+    length adapted from cross-chain statistics; every chain runs the same
+    leapfrog count, so there is no NUTS tree lockstep and the program is
+    perfectly shaped for vmap/TPU). Requires >= 2 chains; like
+    ``nuts_fsm`` it requires the selection to cover every unobserved
+    continuous address.
+
     ``engine="nuts_fsm"`` uses the tick-synchronous state-machine engine
     (:mod:`gen_tpu.inference.nuts_fsm` — no vmap lockstep; wins at large
     chain counts). The FSM budget is leapfrog TICKS, not transitions:
@@ -106,6 +114,23 @@ def sample_posterior(key, model: GenerativeFunction, args: Tuple,
     layout = [(path, jnp.shape(jnp.asarray(v)))
               for path, v in values_chm.leaf_items()]
 
+    def _require_full_selection(name):
+        # these engines' potential closes over chain 0's UNselected choices;
+        # with a partial selection every chain would be conditioned on chain
+        # 0's values instead of its own — refuse rather than silently answer
+        # a different question (the nuts engine conditions per chain)
+        default_sel, _ = _default_selection(one_trace, observations)
+        covered = {p for p, _ in
+                   one_trace.get_choices().filter(selection).leaf_items()}
+        needed = {p for p, _ in
+                  one_trace.get_choices().filter(default_sel).leaf_items()}
+        if covered != needed:
+            raise ValueError(
+                f"engine={name!r} requires the selection to cover every "
+                f"unobserved continuous address (missing: "
+                f"{sorted(needed - covered)!r}); use engine='nuts' for "
+                "partial selections")
+
     if engine == "nuts":
         @jax.jit
         def run(traces, key):
@@ -116,24 +141,26 @@ def sample_posterior(key, model: GenerativeFunction, args: Tuple,
                 target_accept=target_accept))(traces, ks)
 
         flat, final_traces, info = run(traces, k_run)
+    elif engine == "chees":
+        from .chees import chees_hmc_warmup_and_sample
+        _require_full_selection("chees")
+        if num_chains < 2:
+            raise ValueError("engine='chees' adapts from cross-chain "
+                             "statistics and needs num_chains >= 2")
+
+        @jax.jit
+        def run_chees(traces, key):
+            return chees_hmc_warmup_and_sample(
+                key, traces, selection, num_warmup=num_warmup,
+                num_samples=num_samples, target_accept=target_accept)
+
+        samples_sm, final_flat, info = run_chees(traces, k_run)
+        flat = jnp.swapaxes(samples_sm, 0, 1)    # -> (chains, draws, dim)
+        final_traces = None
     elif engine == "nuts_fsm":
         from .nuts_fsm import nuts_fsm_warmup_and_sample
         from .target import FlatTarget
-        # the FSM potential closes over chain 0's UNselected choices; with
-        # a partial selection each chain would be conditioned on chain 0's
-        # values instead of its own — refuse rather than silently answer a
-        # different question (the nuts engine conditions per chain)
-        default_sel, _ = _default_selection(one_trace, observations)
-        covered = {p for p, _ in
-                   one_trace.get_choices().filter(selection).leaf_items()}
-        needed = {p for p, _ in
-                  one_trace.get_choices().filter(default_sel).leaf_items()}
-        if covered != needed:
-            raise ValueError(
-                "engine='nuts_fsm' requires the selection to cover every "
-                f"unobserved continuous address (missing: "
-                f"{sorted(needed - covered)!r}); use engine='nuts' for "
-                "partial selections")
+        _require_full_selection("nuts_fsm")
         target = FlatTarget(one_trace, selection)
         ticks = num_ticks or 8 * num_samples
 

@@ -127,3 +127,40 @@ def test_mesh_sharded_chains_identical():
     np.testing.assert_allclose(np.asarray(out_mesh.samples["mu"]),
                                np.asarray(out_plain.samples["mu"]),
                                rtol=0, atol=1e-9)
+
+
+def test_chees_engine_matches_conjugate():
+    n, sigma, prior_std = 20, 1.0, 3.0
+    ys = jnp.full(n, 2.0)
+
+    @gen
+    def model(n):
+        mu = gt.normal(0.0, prior_std) @ "mu"
+        gt.normal(mu * jnp.ones(n), sigma) @ "ys"
+
+    out = sample_posterior(jax.random.PRNGKey(5), model, (n,),
+                           choicemap(ys=ys), num_chains=16,
+                           num_warmup=300, num_samples=400, engine="chees")
+    mu = np.asarray(out.samples["mu"])
+    assert mu.shape == (400, 16)
+    post_prec = 1 / prior_std ** 2 + n / sigma ** 2
+    post_mean = (float(ys.sum()) / sigma ** 2) / post_prec
+    s = out.summary["mu"]
+    assert abs(float(s["mean"]) - post_mean) < 0.04
+    assert abs(float(s["sd"]) - 1 / np.sqrt(post_prec)) < 0.04
+    assert float(s["rhat"]) < 1.05
+    assert float(out.info["mean_accept"]) > 0.5
+    # partial-selection refusal (same trap as nuts_fsm)
+    @gen
+    def model2(n):
+        mu = gt.normal(0.0, prior_std) @ "mu"
+        tau = gt.normal(0.0, 1.0) @ "tau"
+        gt.normal(mu * jnp.ones(n), jnp.exp(tau)) @ "ys"
+
+    with pytest.raises(ValueError, match="cover every unobserved"):
+        sample_posterior(jax.random.PRNGKey(6), model2, (n,),
+                         choicemap(ys=ys), selection=select("mu"),
+                         num_chains=4, engine="chees")
+    with pytest.raises(ValueError, match="num_chains >= 2"):
+        sample_posterior(jax.random.PRNGKey(6), model, (n,),
+                         choicemap(ys=ys), num_chains=1, engine="chees")
