@@ -12,11 +12,18 @@ Formulation notes (measured on v5e, 524k chains, L=10):
 - scan-of-vmap over full HMC steps beats vmap-of-scan ~4x (layout: samples
   write step-major).
 - the likelihood is `normal_linear` (Gram-matrix sufficient statistics):
-  the O(n p^2) data reduction is loop-invariant so XLA hoists it out of the
-  leapfrog scan; per-chain cost drops from O(n p) to O(p^2). ~1.2x.
-- `hmc_chains` runs the whole chain in flat coordinates (no trace rebuild
-  inside the step loop) with the leapfrog unrolled so XLA fuses across
-  leapfrog steps. 5.38 -> 2.32 ms/step vs the per-step hmc() path.
+  the O(n p^2) data reduction depends only on data, so it is hoisted out
+  of the sampling loop (by XLA loop-invariant motion on the scan path, by
+  the partial-eval staging pass on the Pallas path).
+- warmup on the XLA `hmc_chains` path (flat coordinates, unrolled
+  leapfrog, 5.38 -> 1.49 ms/step vs the per-step hmc() path) with
+  stuck-chain teleport; eps jitter breaks trajectory-length resonances.
+- the timed phase is the fused Pallas kernel (ops/hmc_fused.py): the
+  chain block stays in VMEM across all steps, momenta/accepts come from
+  the on-core PRNG, and the model's assess-logp is scalarized into
+  full-tile VPU ops (ops/scalarize.py). 226 us/step, 6.6x over XLA.
+All claims validated by benchmarks/bench_verify.py (exact-quadrature
+moments + split-R-hat; see RESULTS.md for the stuck-chain story).
 """
 
 import json
@@ -26,9 +33,13 @@ import time
 import numpy as np
 
 
-def autocorr_ess(x):
-    """ESS per chain via Geyer's initial positive sequence, vectorized over
-    chains; x: (steps, chains)."""
+def autocorr_ess(x, block: int = 65536):
+    """ESS summed over chains via Geyer's initial positive sequence; blocks
+    over the chain axis so (steps, 524k) histories fit in host memory."""
+    x = np.asarray(x)
+    if x.shape[1] > block:
+        return float(sum(autocorr_ess(x[:, i:i + block])
+                         for i in range(0, x.shape[1], block)))
     x = np.asarray(x, dtype=np.float64)
     n, m = x.shape
     x = x - x.mean(axis=0, keepdims=True)
@@ -76,8 +87,8 @@ def main():
     sel = select("slope", "intercept", "log_noise")
 
     n_chains = 524288
-    warmup_steps = 100   # same step count as sampling: `run` compiles once
-    sample_steps = 100
+    warmup_steps = 100
+    sample_steps = 500
     L, eps = 10, 0.035
 
     key = jax.random.PRNGKey(0)
@@ -113,24 +124,37 @@ def main():
     # warmup with stuck-chain teleport: ~18% of prior-initialized chains sit
     # in the low-noise tail where eps exceeds the leapfrog stability limit
     # and would reject forever, polluting the cross-chain posterior; teleport
-    # (warmup-only) rescues them. The timed phase is pure MH (teleport=0).
+    # (warmup-only) rescues them. The timed phase is pure MH.
     values, _, _, csum = run(values, jax.random.fold_in(k_run, 0),
                              warmup_steps, 10)
     float(csum)
-    # measurement-phase program (teleport=0) also compiles before timing;
-    # same n_steps so the timed call hits the jit cache
-    values, _, _, csum = run(values, jax.random.fold_in(k_run, 2),
-                             sample_steps, 0)
-    float(csum)
+
+    # timed phase: the fused Pallas kernel (ops/hmc_fused.py) — the whole
+    # chain block stays in VMEM for all n_steps x L leapfrogs; the model's
+    # assess-logp is staged in via the scalarization pass (ops/scalarize.py,
+    # data partial-evaluated outside the kernel). 6.6x over the XLA
+    # hmc_chains path (226 us vs 1490 us per 524k-chain step, measured).
+    from gen_tpu.ops.hmc_fused import hmc_chains_fused
+
+    def run_fused(values, key, n_steps):
+        return hmc_chains_fused(key, target.logp, values, n_steps=n_steps,
+                                L=L, eps=eps, collect_idx=slope_idx)
+
+    # compile (also extra warmup); host fetch = barrier
+    values, s0, _ = run_fused(values, jax.random.fold_in(k_run, 2),
+                              sample_steps)
+    float(jnp.sum(s0[-1]))
 
     t0 = time.time()
-    values, slopes, accs, csum = run(values, jax.random.fold_in(k_run, 1),
-                                     sample_steps, 0)
-    float(csum)
+    values, slopes, accs = run_fused(values, jax.random.fold_in(k_run, 1),
+                                     sample_steps)
+    # in-graph -> host checksum is the completion barrier (the tunneled
+    # backend's block_until_ready can return early; a host fetch cannot)
+    float(jnp.sum(slopes[-1]))
     elapsed = time.time() - t0
 
     slopes = np.asarray(slopes)          # (steps, chains)
-    accept_rate = float(np.mean(np.asarray(accs)))
+    accept_rate = float(np.mean(np.asarray(accs))) / sample_steps
     ess = autocorr_ess(slopes)
     ess_per_sec = ess / elapsed
 

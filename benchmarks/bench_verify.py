@@ -122,17 +122,26 @@ def main():
     values = init(init_keys)
     values, _, _, cs = run(values, jax.random.fold_in(k_run, 0), 100, 10)
     float(cs)
-    values, _, _, cs = run(values, jax.random.fold_in(k_run, 2), 100, 0)
-    float(cs)
+
+    # timed phase mirrors bench.py: the fused Pallas kernel with the
+    # scalarized assess-logp (ops/hmc_fused.py + ops/scalarize.py)
+    from gen_tpu.ops.hmc_fused import hmc_chains_fused
+    n_timed = 500
+
+    def run_fused(values, key):
+        return hmc_chains_fused(key, target.logp, values, n_steps=n_timed,
+                                L=L, eps=eps, collect_idx=i_slope)
+
+    values, s0, _ = run_fused(values, jax.random.fold_in(k_run, 2))
+    float(jnp.sum(s0[-1]))
 
     t0 = time.time()
-    values, hist, accs, cs = run(values, jax.random.fold_in(k_run, 1),
-                                 100, 0)
-    float(cs)
+    values, hist, accs = run_fused(values, jax.random.fold_in(k_run, 1))
+    float(jnp.sum(hist[-1]))
     elapsed = time.time() - t0
-    print(f"elapsed: {elapsed*1e3:.1f} ms for 100 steps "
-          f"({elapsed*10:.2f} ms/step)")
-    print("accept:", float(jnp.mean(accs)))
+    print(f"elapsed: {elapsed*1e3:.1f} ms for {n_timed} steps "
+          f"({elapsed*1e6/n_timed:.0f} us/step)")
+    print("accept:", float(jnp.mean(accs)) / n_timed)
 
     # cross-chain moments of the final state vs quadrature
     vv = np.asarray(values)

@@ -1,0 +1,224 @@
+"""Fused many-chain HMC as a single Pallas TPU kernel.
+
+The XLA :func:`~gen_tpu.inference.hmc.hmc_chains` path is HBM-bound: every
+leapfrog's logp reduction breaks XLA fusion, so the (chains, d) state
+round-trips HBM ~3x per leapfrog (~255 GB/s effective on v5e, measured).
+This kernel keeps a block of chains resident in VMEM for ALL
+``n_steps x L`` leapfrogs: HBM traffic collapses to one state read, the
+per-step collected row, and the final state write. Momenta and accept
+draws come from the on-core PRNG (``pltpu.prng_random_bits``) and never
+touch HBM.
+
+Layout (measured, see benchmarks/RESULTS.md): coordinates stored as
+FULL-TILE planes — the state is ``(d, 8, n/8)`` so every per-chain
+elementwise op runs at the VPU's native (8, 128) width. The first
+prototype kept coordinates as ``(1, T)`` rows and ran at 1/8 VPU
+utilization (1.4x over XLA); the plane layout runs 6.6x over XLA
+(226 us per 524k-chain x L=10 step).
+
+The target ``logp: (d,) -> scalar`` is any traceable JAX function — in
+particular ``FlatTarget(trace, selection).logp``, i.e. the full
+generative-function ``assess`` — staged into the kernel by the
+scalarization pass in :mod:`gen_tpu.ops.scalarize`: the data-only subgraph
+is partial-evaluated OUTSIDE the kernel (one XLA computation per call —
+the generalization of ``normal_linear``'s Gram hoisting to arbitrary
+models), and the x-dependent residual is unrolled into per-coordinate
+full-tile elementwise ops (for the bench regression model the entire
+50-point dataset reduces to 13 staged scalars). CAVEATS: the residual must
+be small (sufficient-statistic likelihoods; a likelihood whose x-dependent
+part touches the raw data errors out with advice) and must not contain
+scan/while/cond or traced-index gathers; and the PRNG stream is the TPU
+on-core generator, so results match ``hmc_chains`` in DISTRIBUTION, not
+bitwise. Off-TPU (``use_pallas=False``) an XLA fallback with identical
+semantics runs instead.
+
+Reference lineage: inference/hmc.jl:25-73 is the semantic ancestor
+(leapfrog + MH accept over to_array-flattened selected choices); everything
+about this formulation — many chains, jitter, on-core RNG, VMEM residency —
+is TPU-native design with no reference analogue.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+SUB = 8                 # sublane rows per coordinate plane
+_DEF_TILE = 1024        # chains per grid step (measured best at 524k chains)
+
+
+def _uniform(bits):
+    """uint32 bits -> f32 uniform in [0,1) (jax.random's mantissa trick)."""
+    from jax.experimental.pallas import tpu as pltpu
+    mant = jax.lax.shift_right_logical(pltpu.bitcast(bits, jnp.uint32),
+                                       jnp.uint32(9))
+    f = pltpu.bitcast(mant | jnp.uint32(0x3F800000), jnp.float32)
+    return f - 1.0
+
+
+def _normals(n_planes, plane_shape):
+    """(n_planes, *plane_shape) standard normals: Box-Muller, cos+sin pairs."""
+    from jax.experimental.pallas import tpu as pltpu
+    pairs = (n_planes + 1) // 2
+    shape = (pairs,) + plane_shape
+    tiny = jnp.float32(1.1754944e-38)
+    u1 = jnp.maximum(_uniform(pltpu.prng_random_bits(shape)), tiny)
+    u2 = _uniform(pltpu.prng_random_bits(shape))
+    r = jnp.sqrt(-2.0 * jnp.log(u1))
+    theta = jnp.float32(2.0 * np.pi) * u2
+    z = jnp.concatenate([r * jnp.cos(theta), r * jnp.sin(theta)], axis=0)
+    return z[:n_planes]
+
+
+def _kernel(n_steps, L, eps, eps_jitter, collect_idx, n_res, plane_fn,
+            v_ref, seed_ref, res_ref, out_ref, vout_ref, acc_ref):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    # staged residual scalars (everything data-dependent was computed
+    # outside the kernel by the partial-eval pass in scalarize.py)
+    res = [res_ref[i] for i in range(n_res)]
+
+    def vag_planes(v):
+        f = lambda vv: plane_fn(vv, res)
+        lp, pullback = jax.vjp(f, v)
+        # each output element depends only on its own chain's coordinates,
+        # so a ones-cotangent vjp IS the per-chain gradient
+        return lp, pullback(jnp.ones_like(lp))[0]
+
+    pid = pl.program_id(0).astype(jnp.uint32)
+    pltpu.prng_seed(seed_ref[0], seed_ref[1] ^ (pid * jnp.uint32(0x9E3779B9)))
+
+    v0 = v_ref[...]
+    lp0, g0 = vag_planes(v0)
+    acc0 = jnp.zeros_like(lp0)
+    plane = lp0.shape
+    d = v0.shape[0]
+
+    def step(i, carry):
+        v, lp, g, acc = carry
+        jit_bits = _uniform(pltpu.prng_random_bits((SUB, 128)))
+        eps_i = eps * (1.0 - eps_jitter
+                       + 2.0 * eps_jitter * jit_bits[0, 0])
+        mom0 = _normals(d, plane)
+
+        def leap(_, c):
+            v, m, g, lp = c
+            m = m + (eps_i * 0.5) * g
+            v = v + eps_i * m
+            lp, g = vag_planes(v)
+            m = m + (eps_i * 0.5) * g
+            return (v, m, g, lp)
+
+        v_new, m_new, g_new, lp_new = jax.lax.fori_loop(
+            0, L, leap, (v, mom0, g, lp))
+        kin0 = 0.5 * jnp.sum(mom0 * mom0, axis=0)
+        kin1 = 0.5 * jnp.sum(m_new * m_new, axis=0)
+        alpha = lp_new - lp - kin1 + kin0
+        alpha = jnp.where(jnp.isnan(alpha), -jnp.inf, alpha)
+        u = jnp.maximum(_uniform(pltpu.prng_random_bits(plane)),
+                        jnp.float32(1.1754944e-38))
+        accept = jnp.log(u) < alpha
+        v = jnp.where(accept[None], v_new, v)
+        lp = jnp.where(accept, lp_new, lp)
+        g = jnp.where(accept[None], g_new, g)
+        acc = acc + accept.astype(jnp.float32)
+        out_ref[pl.ds(i, 1)] = v[collect_idx][None]
+        return (v, lp, g, acc)
+
+    v, lp, g, acc = jax.lax.fori_loop(0, n_steps, step, (v0, lp0, g0, acc0))
+    vout_ref[...] = v
+    acc_ref[...] = acc
+
+
+def _to_planes(values, tile):
+    """(n, d) -> (d, 8, n_pad/8) plane layout: chain j sits at
+    ``[:, j // (n_pad/8), j % (n_pad/8)]`` (the cheap transpose-reshape —
+    any consistent bijection works; this one makes un-flattening a plain
+    reshape). Pads with copies of chain 0 (finite logp guaranteed)."""
+    n, d = values.shape
+    n_pad = ((n + tile - 1) // tile) * tile
+    if n_pad != n:
+        values = jnp.concatenate(
+            [values, jnp.broadcast_to(values[0], (n_pad - n, d))], axis=0)
+    return values.T.reshape(d, SUB, n_pad // SUB), n_pad
+
+
+def _from_planes(planes, n):
+    d = planes.shape[0]
+    return planes.reshape(d, -1).T[:n]
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "logp", "n_steps", "L", "eps", "eps_jitter", "collect_idx", "tile",
+    "use_pallas"))
+def hmc_chains_fused(key, logp: Callable, values0, n_steps: int,
+                     L: int = 10, eps: float = 0.1,
+                     eps_jitter: float = 0.2,
+                     collect_idx: int = 0, tile: int = _DEF_TILE,
+                     use_pallas: bool = True):
+    """Run ``n_steps`` full HMC updates on (n_chains, d) ``values0``.
+
+    Returns ``(values (n, d), collected (n_steps, n), accept_counts (n,))``
+    where ``collected[t] = values[:, collect_idx]`` after step ``t``.
+    ``logp`` must be a hashable traceable callable (a plain function or
+    e.g. ``FlatTarget(...).logp``; it is a static argument).
+    """
+    values0 = jnp.asarray(values0, jnp.float32)
+    n, d = values0.shape
+
+    if not use_pallas:
+        # identical semantics via the XLA path (different RNG stream)
+        from types import SimpleNamespace
+        from ..inference.hmc import hmc_chains
+        target = SimpleNamespace(value_and_grad=jax.value_and_grad(logp))
+        values, collected, accepts = hmc_chains(
+            key, target, values0, n_steps=n_steps, L=L, eps=eps,
+            eps_jitter=eps_jitter, collect=lambda v: v[:, collect_idx])
+        return values, collected, jnp.sum(accepts, axis=0).astype(jnp.float32)
+
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    planes, n_pad = _to_planes(values0, tile)
+    tc = tile // SUB
+    cols = n_pad // SUB
+    grid = cols // tc
+
+    # stage the logp: partial-evaluate the data-only subgraph OUTSIDE the
+    # kernel (it runs once per call, XLA-side) and scalarize the residual
+    # into full-tile plane ops — see ops/scalarize.py for why vmap cannot
+    # do this job on TPU
+    from .scalarize import stage_scalarized
+    plane_fn, res_consts = stage_scalarized(logp, d)
+
+    seed = jax.random.key_data(key).astype(jnp.uint32).reshape(-1)[:2]
+
+    out, vout, acc = pl.pallas_call(
+        functools.partial(_kernel, n_steps, L, float(eps),
+                          float(eps_jitter), int(collect_idx),
+                          res_consts.shape[0], plane_fn),
+        grid=(grid,),
+        out_shape=(jax.ShapeDtypeStruct((n_steps, SUB, cols), jnp.float32),
+                   jax.ShapeDtypeStruct((d, SUB, cols), jnp.float32),
+                   jax.ShapeDtypeStruct((SUB, cols), jnp.float32)),
+        in_specs=[pl.BlockSpec((d, SUB, tc), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=(pl.BlockSpec((n_steps, SUB, tc), lambda i: (0, 0, i),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((d, SUB, tc), lambda i: (0, 0, i),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((SUB, tc), lambda i: (0, i),
+                                memory_space=pltpu.VMEM)),
+    )(planes, seed, res_consts)
+
+    values = _from_planes(vout, n)
+    collected = out.reshape(n_steps, n_pad)[:, :n]
+    acc_counts = acc.reshape(-1)[:n]
+    return values, collected, acc_counts

@@ -1,0 +1,422 @@
+"""Scalarization: stage a ``logp: (d,) -> scalar`` into full-tile plane ops
+for Pallas TPU kernels.
+
+Why this exists (the two failure modes it solves are both measured —
+benchmarks/RESULTS.md):
+
+1. ``jax.vmap`` puts batch axes LEADING, so under a double vmap over a
+   (8, tile) chain block every small intermediate of the model's logp —
+   a stacked coefficient vector, a Gram quadratic form — becomes e.g.
+   ``(tile, 8, 3, 3)`` with the TINY axes minor. On TPU the minor two dims
+   are the hardware tile: every elementwise op then runs at 9/1024 VPU
+   utilization, and Mosaic rejects the middle-axis reductions outright
+   (``vector.multi_reduction`` "Unsupported output implicit dimension").
+2. Data-dependent subgraphs (the ``normal_linear`` Gram build, observed
+   choice maps) must not be re-executed inside the kernel's leapfrog loop.
+
+The pass:
+
+- **Inline** all sub-jaxprs (pjit / custom_jvp / custom_vjp calls) into one
+  flat equation list.
+- **Partial-evaluate**: every equation whose inputs depend only on closure
+  constants is executed eagerly at staging time (outer jit trace), OUTSIDE
+  the kernel — XLA computes it once per call; the kernel never sees the
+  data. This is the generalization of the `normal_linear` hoisting trick
+  to arbitrary models.
+- **Scalarize the residual**: every remaining value is a ``ScalarArray`` —
+  its original shape plus a flat list of per-element "scalars", where each
+  scalar is either a Python constant, a staged residual constant, or a
+  full ``(8, tile/8)`` PLANE. Array primitives become Python-level loops
+  over elements; every emitted JAX op is an elementwise op on full tiles.
+  A residual `dot_general` becomes an explicit sum of products; a
+  `reduce_sum` becomes a Python sum — no in-kernel reductions at all.
+
+Supported residual primitives are the scalar-PPL set (arithmetic,
+transcendentals, comparisons, select, stack/concat/reshape/slice/transpose/
+broadcast, reductions, dot_general, convert_element_type, erf & friends via
+inlining). Structured control flow (scan/while/cond) in the x-dependent
+part is NOT supported — callers should fall back to the XLA path.
+
+No reference analogue: this is TPU-native staging machinery.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.extend import core as jex_core
+
+
+class ScalarArray:
+    """An array value represented as original shape + flat element list."""
+
+    __slots__ = ("shape", "elems")
+
+    def __init__(self, shape: Tuple[int, ...], elems: List[Any]):
+        self.shape = tuple(shape)
+        assert len(elems) == math.prod(self.shape) if self.shape else 1
+        self.elems = list(elems)
+
+    @property
+    def size(self):
+        return len(self.elems)
+
+    def __repr__(self):
+        return f"ScalarArray(shape={self.shape}, n={len(self.elems)})"
+
+
+def _ravel_index(idx, shape):
+    out = 0
+    for i, s in zip(idx, shape):
+        out = out * s + i
+    return out
+
+
+def _broadcast_elems(a: ScalarArray, shape) -> List[Any]:
+    """Elements of ``a`` broadcast to ``shape`` (numpy semantics)."""
+    if a.shape == tuple(shape):
+        return a.elems
+    idx = np.broadcast_to(np.arange(max(a.size, 1)).reshape(a.shape), shape)
+    return [a.elems[i] for i in idx.reshape(-1)]
+
+
+def _elementwise(op, *args: ScalarArray) -> ScalarArray:
+    shape = np.broadcast_shapes(*[a.shape for a in args])
+    cols = [_broadcast_elems(a, shape) for a in args]
+    return ScalarArray(shape, [op(*xs) for xs in zip(*cols)])
+
+
+_UNARY = {
+    "exp": jnp.exp, "log": jnp.log, "log1p": jnp.log1p, "expm1": jnp.expm1,
+    "neg": lambda x: -x, "sign": jnp.sign, "floor": jnp.floor,
+    "ceil": jnp.ceil, "round": jnp.round, "abs": jnp.abs,
+    "sqrt": jnp.sqrt, "rsqrt": jax.lax.rsqrt, "cbrt": jnp.cbrt,
+    "sin": jnp.sin, "cos": jnp.cos, "tan": jnp.tan, "tanh": jnp.tanh,
+    "sinh": jnp.sinh, "cosh": jnp.cosh, "asin": jnp.arcsin,
+    "acos": jnp.arccos, "atan": jnp.arctan, "asinh": jnp.arcsinh,
+    "acosh": jnp.arccosh, "atanh": jnp.arctanh,
+    "erf": jax.lax.erf, "erfc": jax.lax.erfc,
+    "erf_inv": jax.lax.erf_inv, "lgamma": jax.lax.lgamma,
+    "digamma": jax.lax.digamma, "logistic": jax.lax.logistic,
+    "is_finite": jnp.isfinite, "not": jnp.logical_not,
+    "stop_gradient": jax.lax.stop_gradient,
+    "copy": lambda x: x, "real": jnp.real,
+    "square": jnp.square,
+}
+
+_BINARY = {
+    "add": jnp.add, "sub": jnp.subtract, "mul": jnp.multiply,
+    "div": jnp.divide, "rem": jnp.remainder, "pow": jnp.power,
+    "max": jnp.maximum, "min": jnp.minimum, "atan2": jnp.arctan2,
+    "lt": jnp.less, "le": jnp.less_equal, "gt": jnp.greater,
+    "ge": jnp.greater_equal, "eq": jnp.equal, "ne": jnp.not_equal,
+    "and": jnp.logical_and, "or": jnp.logical_or, "xor": jnp.logical_xor,
+    "nextafter": jnp.nextafter,
+}
+
+
+def _inline_jaxpr(jaxpr, consts) -> Tuple[list, dict, list, list]:
+    """Flatten all call-like sub-jaxprs into one equation list.
+
+    Returns (eqns, env_const: var->concrete, invars, outvars) where vars in
+    the flattened eqns are the original Var objects (uniqueness preserved
+    by jax's var identity)."""
+    eqns = []
+    const_env = {v: c for v, c in zip(jaxpr.constvars, consts)}
+
+    def go_inline(jx, m):
+        """Inline jx's eqns with var substitution m; return substituted
+        outvars."""
+        for eqn in jx.eqns:
+            name = eqn.primitive.name
+            sub_jaxpr = None
+            if name in ("pjit", "closed_call", "core_call", "xla_call"):
+                sub_jaxpr = eqn.params.get("jaxpr")
+            elif name in ("custom_jvp_call", "custom_vjp_call",
+                          "custom_jvp_call_jaxpr", "custom_vjp_call_jaxpr"):
+                sub_jaxpr = (eqn.params.get("call_jaxpr")
+                             or eqn.params.get("fun_jaxpr"))
+            if sub_jaxpr is not None:
+                inner = getattr(sub_jaxpr, "jaxpr", sub_jaxpr)
+                inner_consts = getattr(sub_jaxpr, "consts", [])
+                for v, c in zip(inner.constvars, inner_consts):
+                    const_env[v] = c
+                m2 = dict(m)
+                for iv, ov in zip(inner.invars, eqn.invars):
+                    m2[iv] = (ov if isinstance(ov, jex_core.Literal)
+                              else m.get(ov, ov))
+                outs = go_inline(inner, m2)
+                for ov, val in zip(eqn.outvars, outs):
+                    m[ov] = val
+            else:
+                new_invars = [v if isinstance(v, jex_core.Literal)
+                              else m.get(v, v) for v in eqn.invars]
+                eqns.append(eqn.replace(invars=new_invars))
+                for ov in eqn.outvars:
+                    m[ov] = ov
+        return [v if isinstance(v, jex_core.Literal) else m.get(v, v)
+                for v in jx.outvars]
+
+    top_map = {}
+    outs = go_inline(jaxpr, top_map)
+    return eqns, const_env, list(jaxpr.invars), outs
+
+
+def stage_scalarized(logp: Callable, d: int, max_residual_scalars: int = 1024):
+    """Stage ``logp`` for plane evaluation.
+
+    Returns ``(plane_fn, res_consts)``:
+
+    - ``res_consts``: f32 vector (traced in the caller's scope) of every
+      staged scalar the residual computation needs — computed OUTSIDE the
+      kernel (pass it in via SMEM).
+    - ``plane_fn(planes, res)``: takes ``planes`` (d, *plane) and the
+      residual vector, returns the logp plane ``(*plane)``. Contains only
+      elementwise full-tile ops; differentiable.
+    """
+    closed = jax.make_jaxpr(lambda x: logp(x))(jnp.zeros((d,), jnp.float32))
+    eqns, const_env, invars, outvars = _inline_jaxpr(closed.jaxpr,
+                                                     closed.consts)
+    x_var = invars[0]
+
+    # ---- partial evaluation: execute every const-only eqn eagerly now ----
+    known = dict(const_env)          # var -> concrete/traced value (outside)
+    unknown = {x_var}
+    residual_eqns = []
+
+    def val_of(v):
+        return v.val if isinstance(v, jex_core.Literal) else known[v]
+
+    for eqn in eqns:
+        deps_unknown = any((not isinstance(v, jex_core.Literal))
+                           and v in unknown for v in eqn.invars)
+        if not deps_unknown:
+            invals = [val_of(v) for v in eqn.invars]
+            out = eqn.primitive.bind(*invals, **eqn.params)
+            outs = out if eqn.primitive.multiple_results else [out]
+            for ov, val in zip(eqn.outvars, outs):
+                known[ov] = val
+        else:
+            residual_eqns.append(eqn)
+            for ov in eqn.outvars:
+                unknown.add(ov)
+
+    # ---- collect residual constants (known values used by residual) ----
+    res_vars = []
+    seen = set()
+    for eqn in residual_eqns:
+        for v in eqn.invars:
+            if (not isinstance(v, jex_core.Literal) and v not in unknown
+                    and v not in seen):
+                seen.add(v)
+                res_vars.append(v)
+    for v in outvars:
+        if (not isinstance(v, jex_core.Literal) and v not in unknown
+                and v not in seen):
+            seen.add(v)
+            res_vars.append(v)
+
+    sizes = [int(np.prod(v.aval.shape)) if v.aval.shape else 1
+             for v in res_vars]
+    total = sum(sizes)
+    if total > max_residual_scalars:
+        raise ValueError(
+            f"scalarized residual needs {total} staged scalars (> "
+            f"{max_residual_scalars}): the x-dependent part of this logp "
+            "touches large arrays (non-sufficient-statistic likelihood?); "
+            "use the XLA path (use_pallas=False)")
+    for v in res_vars:
+        if not jnp.issubdtype(v.aval.dtype, jnp.floating):
+            raise ValueError(
+                f"staged residual constant has dtype {v.aval.dtype}; only "
+                "float residuals are supported (use the XLA path)")
+    res_consts = (jnp.concatenate(
+        [jnp.ravel(known[v]).astype(jnp.float32) for v in res_vars])
+        if res_vars else jnp.zeros((1,), jnp.float32))
+
+    offsets = {}
+    off = 0
+    for v, s in zip(res_vars, sizes):
+        offsets[v] = off
+        off += s
+
+    # ---- the scalarized plane function ----
+    def plane_fn(planes, res):
+        """planes: (d, *plane); res: sequence of staged scalars."""
+        env = {}
+        env[x_var] = ScalarArray((d,), [planes[i] for i in range(d)])
+        for v in res_vars:
+            base = offsets[v]
+            n = int(np.prod(v.aval.shape)) if v.aval.shape else 1
+            env[v] = ScalarArray(v.aval.shape,
+                                 [res[base + i] for i in range(n)])
+
+        def read(v):
+            if isinstance(v, jex_core.Literal):
+                arr = np.asarray(v.val)
+                return ScalarArray(arr.shape, list(arr.reshape(-1)))
+            return env[v]
+
+        for eqn in residual_eqns:
+            args = [read(v) for v in eqn.invars]
+            outs = _apply(eqn.primitive.name, eqn.params, args)
+            for ov, val in zip(eqn.outvars, outs):
+                env[ov] = val
+        out = read(outvars[0])
+        if out.shape not in ((), (1,)):
+            raise ValueError(f"logp output has shape {out.shape}; expected "
+                             "scalar")
+        return out.elems[0]
+
+    return plane_fn, res_consts
+
+
+def _apply(name: str, params: dict, args: Sequence[ScalarArray]):
+    if name in _UNARY:
+        return [_elementwise(_UNARY[name], args[0])]
+    if name in _BINARY:
+        return [_elementwise(_BINARY[name], args[0], args[1])]
+    if name == "integer_pow":
+        y = params["y"]
+        return [_elementwise(lambda x: x ** y, args[0])]
+    if name == "select_n":
+        if len(args) == 3:
+            c, a, b = args
+            return [_elementwise(
+                lambda ci, ai, bi: jnp.where(ci, bi, ai), c, a, b)]
+        raise NotImplementedError("select_n with >2 cases")
+    if name == "convert_element_type":
+        dt = params["new_dtype"]
+        return [ScalarArray(args[0].shape,
+                            [jnp.asarray(e).astype(dt) if not isinstance(
+                                e, (int, float)) else np.dtype(dt).type(e)
+                             for e in args[0].elems])]
+    if name in ("reshape", "squeeze", "expand_dims"):
+        a = args[0]
+        if name == "reshape":
+            new_shape = params["new_sizes"]
+        elif name == "squeeze":
+            dims = set(params["dimensions"])
+            new_shape = tuple(s for i, s in enumerate(a.shape)
+                              if i not in dims)
+        else:
+            new_shape = list(a.shape)
+            for dim in sorted(params["dimensions"]):
+                new_shape.insert(dim, 1)
+            new_shape = tuple(new_shape)
+        return [ScalarArray(new_shape, a.elems)]
+    if name == "broadcast_in_dim":
+        a = args[0]
+        shape = tuple(params["shape"])
+        bdims = params["broadcast_dimensions"]
+        src = np.empty(a.shape or (), dtype=np.int64)
+        src = np.arange(max(a.size, 1)).reshape(a.shape)
+        expand = [1] * len(shape)
+        for i, bd in enumerate(bdims):
+            expand[bd] = a.shape[i]
+        idx = np.broadcast_to(src.reshape(expand), shape)
+        return [ScalarArray(shape, [a.elems[i] for i in idx.reshape(-1)])]
+    if name == "transpose":
+        a = args[0]
+        perm = params["permutation"]
+        idx = np.transpose(np.arange(a.size).reshape(a.shape), perm)
+        return [ScalarArray(idx.shape, [a.elems[i] for i in idx.reshape(-1)])]
+    if name == "concatenate":
+        dim = params["dimension"]
+        shapes = [a.shape for a in args]
+        out_shape = list(shapes[0])
+        out_shape[dim] = sum(s[dim] for s in shapes)
+        elems = []
+        for out_idx in np.ndindex(*out_shape):
+            j = out_idx[dim]
+            acc = 0
+            for k, a in enumerate(args):
+                if j < acc + a.shape[dim]:
+                    src_idx = list(out_idx)
+                    src_idx[dim] = j - acc
+                    elems.append(a.elems[_ravel_index(src_idx, a.shape)])
+                    break
+                acc += a.shape[dim]
+        return [ScalarArray(tuple(out_shape), elems)]
+    if name == "slice":
+        a = args[0]
+        starts = params["start_indices"]
+        limits = params["limit_indices"]
+        strides = params["strides"] or (1,) * len(a.shape)
+        idx = np.arange(a.size).reshape(a.shape)[tuple(
+            slice(s, l, st) for s, l, st in zip(starts, limits, strides))]
+        return [ScalarArray(idx.shape, [a.elems[i] for i in idx.reshape(-1)])]
+    if name == "rev":
+        a = args[0]
+        idx = np.arange(a.size).reshape(a.shape)
+        for dim in params["dimensions"]:
+            idx = np.flip(idx, dim)
+        return [ScalarArray(a.shape, [a.elems[i] for i in idx.reshape(-1)])]
+    if name in ("reduce_sum", "reduce_max", "reduce_min", "reduce_prod",
+                "reduce_and", "reduce_or"):
+        a = args[0]
+        axes = params["axes"]
+        keep = [i for i in range(len(a.shape)) if i not in axes]
+        out_shape = tuple(a.shape[i] for i in keep)
+        idx = np.arange(a.size).reshape(a.shape)
+        perm = keep + list(axes)
+        idx = np.transpose(idx, perm).reshape(
+            int(np.prod(out_shape)) if out_shape else 1, -1)
+        combine = {"reduce_sum": lambda x, y: x + y,
+                   "reduce_prod": lambda x, y: x * y,
+                   "reduce_max": jnp.maximum, "reduce_min": jnp.minimum,
+                   "reduce_and": jnp.logical_and,
+                   "reduce_or": jnp.logical_or}[name]
+        elems = []
+        for row in idx:
+            acc = a.elems[row[0]]
+            for i in row[1:]:
+                acc = combine(acc, a.elems[i])
+            elems.append(acc)
+        return [ScalarArray(out_shape, elems)]
+    if name == "dot_general":
+        lhs, rhs = args
+        (lc, rc), (lb, rb) = params["dimension_numbers"]
+        lhs_other = [i for i in range(len(lhs.shape))
+                     if i not in set(lc) | set(lb)]
+        rhs_other = [i for i in range(len(rhs.shape))
+                     if i not in set(rc) | set(rb)]
+        batch_shape = tuple(lhs.shape[i] for i in lb)
+        lo_shape = tuple(lhs.shape[i] for i in lhs_other)
+        ro_shape = tuple(rhs.shape[i] for i in rhs_other)
+        c_shape = tuple(lhs.shape[i] for i in lc)
+        out_shape = batch_shape + lo_shape + ro_shape
+        li = np.arange(lhs.size).reshape(lhs.shape)
+        ri = np.arange(rhs.size).reshape(rhs.shape)
+        li = np.transpose(li, list(lb) + lhs_other + list(lc)).reshape(
+            int(np.prod(batch_shape or (1,))),
+            int(np.prod(lo_shape or (1,))), -1)
+        ri = np.transpose(ri, list(rb) + rhs_other + list(rc)).reshape(
+            int(np.prod(batch_shape or (1,))),
+            int(np.prod(ro_shape or (1,))), -1)
+        elems = []
+        for b in range(li.shape[0]):
+            for i in range(li.shape[1]):
+                for j in range(ri.shape[1]):
+                    acc = None
+                    for k in range(li.shape[2]):
+                        t = lhs.elems[li[b, i, k]] * rhs.elems[ri[b, j, k]]
+                        acc = t if acc is None else acc + t
+                    elems.append(acc)
+        return [ScalarArray(out_shape, elems)]
+    if name == "iota":
+        shape = tuple(params["shape"])
+        dim = params["dimension"]
+        idx = np.indices(shape)[dim].astype(np.dtype(params["dtype"]))
+        return [ScalarArray(shape, list(idx.reshape(-1)))]
+    if name == "gather":
+        raise NotImplementedError(
+            "gather in the x-dependent part of logp (dynamic indexing by "
+            "traced values is not scalarizable; use the XLA path)")
+    raise NotImplementedError(
+        f"scalarize: primitive '{name}' not supported; use the XLA path "
+        "(use_pallas=False)")
