@@ -84,6 +84,16 @@ def sample_posterior(key, model: GenerativeFunction, args: Tuple,
     ``nuts_fsm`` it requires the selection to cover every unobserved
     continuous address.
 
+    ``engine="hmc_fused"`` is the maximum-throughput path for large chain
+    counts: ChEES warmup (cross-chain step-size + trajectory adaptation)
+    followed by sampling in the fused Pallas kernel
+    (:mod:`gen_tpu.ops.hmc_fused` — the whole sampler is one kernel, the
+    chain block stays in VMEM; 1.5B effective samples/sec on one v5e chip
+    for the benchmark regression model). Falls back to the XLA sampler
+    off-TPU. Same full-selection requirement as the other flat engines;
+    the model's logp must scalarize (sufficient-statistic likelihoods —
+    :mod:`gen_tpu.ops.scalarize` raises with advice otherwise).
+
     ``engine="nuts_fsm"`` uses the tick-synchronous state-machine engine
     (:mod:`gen_tpu.inference.nuts_fsm` — no vmap lockstep; wins at large
     chain counts). The FSM budget is leapfrog TICKS, not transitions:
@@ -157,6 +167,35 @@ def sample_posterior(key, model: GenerativeFunction, args: Tuple,
         samples_sm, final_flat, info = run_chees(traces, k_run)
         flat = jnp.swapaxes(samples_sm, 0, 1)    # -> (chains, draws, dim)
         final_traces = None
+    elif engine == "hmc_fused":
+        from ..ops.hmc_fused import hmc_chains_fused
+        from .chees import chees_hmc_warmup_and_sample
+        from .target import FlatTarget
+        _require_full_selection("hmc_fused")
+        if num_chains < 2:
+            raise ValueError("engine='hmc_fused' warms up with ChEES and "
+                             "needs num_chains >= 2")
+        # phase 1 (XLA): ChEES warmup adapts one shared step size +
+        # trajectory length from cross-chain statistics; fetch them to host
+        # so phase 2 compiles with them baked in
+        k_warm, k_fused = jax.random.split(k_run)
+        _, warm_flat, winfo = jax.jit(
+            lambda trs, k: chees_hmc_warmup_and_sample(
+                k, trs, selection, num_warmup=num_warmup, num_samples=1,
+                target_accept=target_accept))(traces, k_warm)
+        eps_adapted = float(winfo["step_size"])
+        n_leap = max(1, int(winfo["num_leapfrogs"]))
+        # phase 2: the fused Pallas kernel samples from the warm state
+        # (ops/hmc_fused.py; XLA fallback off-TPU), collecting every
+        # coordinate each step
+        target = FlatTarget(one_trace, selection)
+        _, collected, accs = hmc_chains_fused(
+            k_fused, target.logp, warm_flat, n_steps=num_samples,
+            L=n_leap, eps=eps_adapted, collect_idx=None)
+        flat = jnp.swapaxes(collected, 0, 1)     # -> (chains, draws, dim)
+        final_traces = None
+        info = dict(step_size=eps_adapted, num_leapfrogs=n_leap,
+                    mean_accept=jnp.mean(accs) / num_samples)
     elif engine == "nuts_fsm":
         from .nuts_fsm import nuts_fsm_warmup_and_sample
         from .target import FlatTarget

@@ -127,7 +127,10 @@ def _kernel(n_steps, L, eps, eps_jitter, collect_idx, n_res, plane_fn,
         lp = jnp.where(accept, lp_new, lp)
         g = jnp.where(accept[None], g_new, g)
         acc = acc + accept.astype(jnp.float32)
-        out_ref[pl.ds(i, 1)] = v[collect_idx][None]
+        if collect_idx is None:
+            out_ref[pl.ds(i, 1)] = v[None]          # all coordinate planes
+        else:
+            out_ref[pl.ds(i, 1)] = v[collect_idx][None]
         return (v, lp, g, acc)
 
     v, lp, g, acc = jax.lax.fori_loop(0, n_steps, step, (v0, lp0, g0, acc0))
@@ -159,15 +162,22 @@ def _from_planes(planes, n):
 def hmc_chains_fused(key, logp: Callable, values0, n_steps: int,
                      L: int = 10, eps: float = 0.1,
                      eps_jitter: float = 0.2,
-                     collect_idx: int = 0, tile: int = _DEF_TILE,
-                     use_pallas: bool = True):
+                     collect_idx: Optional[int] = 0, tile: int = _DEF_TILE,
+                     use_pallas: Optional[bool] = None):
     """Run ``n_steps`` full HMC updates on (n_chains, d) ``values0``.
 
-    Returns ``(values (n, d), collected (n_steps, n), accept_counts (n,))``
-    where ``collected[t] = values[:, collect_idx]`` after step ``t``.
+    Returns ``(values (n, d), collected, accept_counts (n,))`` where
+    ``collected`` is ``(n_steps, n)`` holding coordinate ``collect_idx``
+    after each step, or ``(n_steps, n, d)`` (all coordinates) when
+    ``collect_idx=None`` — size your HBM accordingly at large chain counts.
     ``logp`` must be a hashable traceable callable (a plain function or
     e.g. ``FlatTarget(...).logp``; it is a static argument).
+    ``use_pallas=None`` auto-dispatches: the fused kernel on TPU, the XLA
+    path elsewhere.
     """
+    if use_pallas is None:
+        from .resample import on_tpu
+        use_pallas = on_tpu()
     values0 = jnp.asarray(values0, jnp.float32)
     n, d = values0.shape
 
@@ -176,9 +186,11 @@ def hmc_chains_fused(key, logp: Callable, values0, n_steps: int,
         from types import SimpleNamespace
         from ..inference.hmc import hmc_chains
         target = SimpleNamespace(value_and_grad=jax.value_and_grad(logp))
+        collect = ((lambda v: v) if collect_idx is None
+                   else (lambda v: v[:, collect_idx]))
         values, collected, accepts = hmc_chains(
             key, target, values0, n_steps=n_steps, L=L, eps=eps,
-            eps_jitter=eps_jitter, collect=lambda v: v[:, collect_idx])
+            eps_jitter=eps_jitter, collect=collect)
         return values, collected, jnp.sum(accepts, axis=0).astype(jnp.float32)
 
     import jax.experimental.pallas as pl
@@ -198,20 +210,31 @@ def hmc_chains_fused(key, logp: Callable, values0, n_steps: int,
 
     seed = jax.random.key_data(key).astype(jnp.uint32).reshape(-1)[:2]
 
+    if collect_idx is None:
+        out_shape = jax.ShapeDtypeStruct((n_steps, d, SUB, cols),
+                                         jnp.float32)
+        out_spec = pl.BlockSpec((n_steps, d, SUB, tc),
+                                lambda i: (0, 0, 0, i),
+                                memory_space=pltpu.VMEM)
+    else:
+        out_shape = jax.ShapeDtypeStruct((n_steps, SUB, cols), jnp.float32)
+        out_spec = pl.BlockSpec((n_steps, SUB, tc), lambda i: (0, 0, i),
+                                memory_space=pltpu.VMEM)
+
     out, vout, acc = pl.pallas_call(
         functools.partial(_kernel, n_steps, L, float(eps),
-                          float(eps_jitter), int(collect_idx),
+                          float(eps_jitter),
+                          None if collect_idx is None else int(collect_idx),
                           res_consts.shape[0], plane_fn),
         grid=(grid,),
-        out_shape=(jax.ShapeDtypeStruct((n_steps, SUB, cols), jnp.float32),
+        out_shape=(out_shape,
                    jax.ShapeDtypeStruct((d, SUB, cols), jnp.float32),
                    jax.ShapeDtypeStruct((SUB, cols), jnp.float32)),
         in_specs=[pl.BlockSpec((d, SUB, tc), lambda i: (0, 0, i),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM)],
-        out_specs=(pl.BlockSpec((n_steps, SUB, tc), lambda i: (0, 0, i),
-                                memory_space=pltpu.VMEM),
+        out_specs=(out_spec,
                    pl.BlockSpec((d, SUB, tc), lambda i: (0, 0, i),
                                 memory_space=pltpu.VMEM),
                    pl.BlockSpec((SUB, tc), lambda i: (0, i),
@@ -219,6 +242,10 @@ def hmc_chains_fused(key, logp: Callable, values0, n_steps: int,
     )(planes, seed, res_consts)
 
     values = _from_planes(vout, n)
-    collected = out.reshape(n_steps, n_pad)[:, :n]
+    if collect_idx is None:
+        collected = jnp.moveaxis(
+            out.reshape(n_steps, d, n_pad), 1, 2)[:, :n, :]
+    else:
+        collected = out.reshape(n_steps, n_pad)[:, :n]
     acc_counts = acc.reshape(-1)[:n]
     return values, collected, acc_counts

@@ -164,3 +164,29 @@ def test_chees_engine_matches_conjugate():
     with pytest.raises(ValueError, match="num_chains >= 2"):
         sample_posterior(jax.random.PRNGKey(6), model, (n,),
                          choicemap(ys=ys), num_chains=1, engine="chees")
+
+
+def test_hmc_fused_engine_matches_conjugate():
+    """engine='hmc_fused': ChEES warmup + fused sampler (XLA fallback on
+    CPU) recovers the exact conjugate posterior through the one-call API."""
+    n, sigma, prior_std = 20, 1.0, 3.0
+    ys = jnp.full(n, 2.0)
+
+    @gen
+    def model(n):
+        mu = gt.normal(0.0, prior_std) @ "mu"
+        gt.normal(mu * jnp.ones(n), sigma) @ "ys"
+
+    out = sample_posterior(jax.random.PRNGKey(7), model, (n,),
+                           choicemap(ys=ys), num_chains=16,
+                           num_warmup=300, num_samples=400,
+                           engine="hmc_fused")
+    mu = np.asarray(out.samples["mu"])
+    assert mu.shape == (400, 16)
+    post_prec = 1 / prior_std ** 2 + n / sigma ** 2
+    post_mean = (float(ys.sum()) / sigma ** 2) / post_prec
+    s = out.summary["mu"]
+    assert abs(float(s["mean"]) - post_mean) < 0.04
+    assert abs(float(s["sd"]) - 1 / np.sqrt(post_prec)) < 0.04
+    assert float(s["rhat"]) < 1.05
+    assert float(out.info["mean_accept"]) > 0.5
