@@ -92,3 +92,26 @@ def test_shard_keys_layout():
     keys = shard_keys(KEY, 64, mesh)
     assert keys.shape[0] == 64
     assert len(keys.sharding.device_set) == 8
+
+
+def test_sharded_hmc_chains_fused_cpu_mesh():
+    """Fused-HMC sharding: each device runs the whole sampler on its chain
+    shard (XLA fallback on the CPU mesh); deterministic, correct marginals."""
+    from gen_tpu.parallel import chain_mesh
+    from gen_tpu.parallel.sharded import sharded_hmc_chains_fused
+
+    def logp(x):
+        return -0.5 * jnp.sum(x * x)
+
+    mesh = chain_mesh(8)
+    vals0 = jax.random.normal(jax.random.PRNGKey(0), (64, 2)) * 2.0
+    vals, coll, accs = sharded_hmc_chains_fused(
+        jax.random.PRNGKey(1), logp, vals0, n_steps=300, mesh=mesh,
+        L=5, eps=0.5)
+    assert vals.shape == (64, 2) and coll.shape == (300, 64)
+    s = np.asarray(coll)[50:]
+    assert abs(s.mean()) < 0.1 and abs(s.std() - 1.0) < 0.1
+    v2, _, _ = sharded_hmc_chains_fused(
+        jax.random.PRNGKey(1), logp, vals0, n_steps=300, mesh=mesh,
+        L=5, eps=0.5)
+    np.testing.assert_array_equal(np.asarray(vals), np.asarray(v2))
