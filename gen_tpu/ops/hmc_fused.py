@@ -75,7 +75,7 @@ def _normals(n_planes, plane_shape):
 
 
 def _kernel(n_steps, L, eps, eps_jitter, collect_idx, n_res, plane_fn,
-            v_ref, seed_ref, res_ref, out_ref, vout_ref, acc_ref):
+            v_ref, seed_ref, res_ref, mass_ref, out_ref, vout_ref, acc_ref):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -98,26 +98,35 @@ def _kernel(n_steps, L, eps, eps_jitter, collect_idx, n_res, plane_fn,
     acc0 = jnp.zeros_like(lp0)
     plane = lp0.shape
     d = v0.shape[0]
+    # diagonal mass: per-coordinate scalars from SMEM, applied by unrolled
+    # per-plane ops (full-tile elementwise; no tiny broadcasts)
+    inv_m = [mass_ref[i] for i in range(d)]
+    mom_scale = [1.0 / jnp.sqrt(inv_m[i]) for i in range(d)]
+
+    def kin(m):
+        return 0.5 * sum(inv_m[i] * m[i] * m[i] for i in range(d))
 
     def step(i, carry):
         v, lp, g, acc = carry
         jit_bits = _uniform(pltpu.prng_random_bits((SUB, 128)))
         eps_i = eps * (1.0 - eps_jitter
                        + 2.0 * eps_jitter * jit_bits[0, 0])
-        mom0 = _normals(d, plane)
+        z = _normals(d, plane)
+        mom0 = jnp.stack([mom_scale[i] * z[i] for i in range(d)])
 
         def leap(_, c):
             v, m, g, lp = c
             m = m + (eps_i * 0.5) * g
-            v = v + eps_i * m
+            v = jnp.stack([v[i] + eps_i * inv_m[i] * m[i]
+                           for i in range(d)])
             lp, g = vag_planes(v)
             m = m + (eps_i * 0.5) * g
             return (v, m, g, lp)
 
         v_new, m_new, g_new, lp_new = jax.lax.fori_loop(
             0, L, leap, (v, mom0, g, lp))
-        kin0 = 0.5 * jnp.sum(mom0 * mom0, axis=0)
-        kin1 = 0.5 * jnp.sum(m_new * m_new, axis=0)
+        kin0 = kin(mom0)
+        kin1 = kin(m_new)
         alpha = lp_new - lp - kin1 + kin0
         alpha = jnp.where(jnp.isnan(alpha), -jnp.inf, alpha)
         u = jnp.maximum(_uniform(pltpu.prng_random_bits(plane)),
@@ -163,6 +172,7 @@ def hmc_chains_fused(key, logp: Callable, values0, n_steps: int,
                      L: int = 10, eps: float = 0.1,
                      eps_jitter: float = 0.2,
                      collect_idx: Optional[int] = 0, tile: int = _DEF_TILE,
+                     inv_mass_diag=None,
                      use_pallas: Optional[bool] = None):
     """Run ``n_steps`` full HMC updates on (n_chains, d) ``values0``.
 
@@ -172,14 +182,17 @@ def hmc_chains_fused(key, logp: Callable, values0, n_steps: int,
     ``collect_idx=None`` — size your HBM accordingly at large chain counts.
     ``logp`` must be a hashable traceable callable (a plain function or
     e.g. ``FlatTarget(...).logp``; it is a static argument).
-    ``use_pallas=None`` auto-dispatches: the fused kernel on TPU, the XLA
-    path elsewhere.
+    ``inv_mass_diag``: optional (d,) inverse-mass diagonal (may be traced —
+    it enters the kernel as SMEM scalars). ``use_pallas=None``
+    auto-dispatches: the fused kernel on TPU, the XLA path elsewhere.
     """
     if use_pallas is None:
         from .resample import on_tpu
         use_pallas = on_tpu()
     values0 = jnp.asarray(values0, jnp.float32)
     n, d = values0.shape
+    inv_mass = (jnp.ones((d,), jnp.float32) if inv_mass_diag is None
+                else jnp.asarray(inv_mass_diag, jnp.float32))
 
     if not use_pallas:
         # identical semantics via the XLA path (different RNG stream)
@@ -190,7 +203,7 @@ def hmc_chains_fused(key, logp: Callable, values0, n_steps: int,
                    else (lambda v: v[:, collect_idx]))
         values, collected, accepts = hmc_chains(
             key, target, values0, n_steps=n_steps, L=L, eps=eps,
-            eps_jitter=eps_jitter, collect=collect)
+            eps_jitter=eps_jitter, inv_mass_diag=inv_mass, collect=collect)
         return values, collected, jnp.sum(accepts, axis=0).astype(jnp.float32)
 
     import jax.experimental.pallas as pl
@@ -233,13 +246,14 @@ def hmc_chains_fused(key, logp: Callable, values0, n_steps: int,
         in_specs=[pl.BlockSpec((d, SUB, tc), lambda i: (0, 0, i),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=(out_spec,
                    pl.BlockSpec((d, SUB, tc), lambda i: (0, 0, i),
                                 memory_space=pltpu.VMEM),
                    pl.BlockSpec((SUB, tc), lambda i: (0, i),
                                 memory_space=pltpu.VMEM)),
-    )(planes, seed, res_consts)
+    )(planes, seed, res_consts, inv_mass)
 
     values = _from_planes(vout, n)
     if collect_idx is None:

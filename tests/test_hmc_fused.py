@@ -158,3 +158,22 @@ def test_scalarize_rejects_data_dependent_residual():
 
     with pytest.raises(ValueError, match="use the XLA path"):
         stage_scalarized(logp, 2)
+
+
+def test_fallback_mass_matrix():
+    """Diagonal mass: a badly scaled Gaussian (sd 1 and sd 30) mixes when
+    inv_mass ~ posterior variance; the kernel and fallback share the
+    parameterization (momenta ~ N(0, M), kinetic p^T M^-1 p / 2)."""
+    sds = jnp.array([1.0, 30.0])
+
+    def logp(x):
+        return -0.5 * jnp.sum((x / sds) ** 2)
+
+    vals0 = jax.random.normal(KEY, (128, 2)) * sds
+    vals, coll, accs = hmc_chains_fused(
+        jax.random.PRNGKey(3), logp, vals0, n_steps=400, L=8, eps=0.7,
+        collect_idx=None, inv_mass_diag=sds ** 2, use_pallas=False)
+    s = np.asarray(coll)[100:]
+    assert float(np.mean(np.asarray(accs))) / 400 > 0.6
+    np.testing.assert_allclose(s[..., 0].std(), 1.0, rtol=0.1)
+    np.testing.assert_allclose(s[..., 1].std(), 30.0, rtol=0.1)
