@@ -57,12 +57,27 @@ def chees_hmc_warmup_and_sample(key, traces, selection: Selection,
                                 target_accept: float = 0.75,
                                 init_step_size: float = 0.1,
                                 init_traj_length: float = 1.0,
-                                adam_lr: float = 0.025):
+                                adam_lr: float = 0.025,
+                                adapt_mass: bool = True):
     """Run ChEES-adapted HMC on a BATCH of traces (leading chain axis).
 
     Returns (samples (num_samples, chains, d), final_flat (chains, d),
-    info dict with adapted step_size / trajectory_length / mean_accept).
-    Everything is one jitted program."""
+    info dict with adapted step_size / trajectory_length / mean_accept /
+    inv_mass). Everything is one jitted program.
+
+    ``adapt_mass=True`` adapts a diagonal inverse mass (= posterior
+    variance) CONTINUOUSLY during warmup, the ChEES/MEADS-paper scheme: an
+    exponential moving average of the per-iteration CROSS-CHAIN variance
+    of each coordinate (the many-chain estimator needs no per-chain
+    history and per-iteration centering makes it immune to warmup drift),
+    applied immediately so step size and trajectory length co-adapt in
+    whitened time. The mass is eased in geometrically from identity
+    (weight m/(m+10) on the log scale) so early unequilibrated iterations
+    cannot wreck the metric. A Stan-style two-phase switch was measured
+    WORSE here: phase A's trajectory length is adapted in raw time and is
+    miscalibrated for phase B's whitened dynamics. The sampling phase and
+    the returned ``info["inv_mass"]`` use the final mass; feed it to
+    :func:`gen_tpu.ops.hmc_fused.hmc_chains_fused` as ``inv_mass_diag``."""
     example = jax.tree_util.tree_map(lambda x: x[0], traces)
     target = FlatTarget(example, selection)
     vag = target.value_and_grad
@@ -76,9 +91,22 @@ def chees_hmc_warmup_and_sample(key, traces, selection: Selection,
     xs0 = batch_flat(traces)
     logps0, grads0 = jax.vmap(vag)(xs0)
 
-    def one_iteration(carry, inp):
-        xs, logps, grads, da, chees, streak = carry
+    mass_floor = jnp.asarray(1e-12, xs0.dtype)
+
+    def cur_inv_mass(ema, m):
+        """Geometric ease-in from identity: exp(w log ema), w = m/(m+10)."""
+        if not adapt_mass:
+            return jnp.ones(dim, xs0.dtype)
+        w = m.astype(xs0.dtype) / (m.astype(xs0.dtype) + 10.0)
+        return jnp.exp(w * jnp.log(jnp.maximum(ema, mass_floor)))
+
+    def warmup_iteration(carry, inp):
+        """One ChEES warmup step under the current diagonal inverse mass
+        (d,). Momenta p ~ N(0, M); kinetic = p'M^{-1}p/2; x += eps M^{-1}p;
+        the ChEES statistic uses end VELOCITY v = M^{-1}p."""
+        xs, logps, grads, da, chees, streak, ema = carry
         m, k = inp
+        inv_mass = cur_inv_mass(ema, m)
         eps = jnp.exp(jnp.clip(da.log_eps, -20.0, 10.0))
         traj = jnp.exp(chees.log_t)
         u = _halton(m)
@@ -88,12 +116,17 @@ def chees_hmc_warmup_and_sample(key, traces, selection: Selection,
         n_leap = jnp.round(jnp.clip(ratio, 1.0, 1000.0)).astype(jnp.int32)
 
         k_mom, k_acc, k_tel = jax.random.split(k, 3)
-        momenta = jax.random.normal(k_mom, (n_chains, dim), xs.dtype)
+        mom_scale = 1.0 / jnp.sqrt(inv_mass)
+        momenta = mom_scale * jax.random.normal(
+            k_mom, (n_chains, dim), xs.dtype)
+
+        def kin(p):
+            return 0.5 * jnp.sum(inv_mass * p * p, axis=1)
 
         def leap_body(i, state):
             x, mom, g = state
             mom = mom + 0.5 * eps * g
-            x = x + eps * mom
+            x = x + eps * inv_mass * mom
             lp, g = jax.vmap(vag)(x)
             mom = mom + 0.5 * eps * g
             return (x, mom, g)
@@ -105,9 +138,7 @@ def chees_hmc_warmup_and_sample(key, traces, selection: Selection,
         finite = (jnp.isfinite(lp_new)
                   & jnp.all(jnp.isfinite(x_new), axis=1)
                   & jnp.all(jnp.isfinite(mom_new), axis=1))
-        log_alpha = (lp_new - logps
-                     - 0.5 * jnp.sum(mom_new ** 2, axis=1)
-                     + 0.5 * jnp.sum(momenta ** 2, axis=1))
+        log_alpha = lp_new - logps - kin(mom_new) + kin(momenta)
         log_alpha = jnp.where(finite & ~jnp.isnan(log_alpha),
                               log_alpha, -jnp.inf)
         alpha = jnp.minimum(1.0, jnp.exp(log_alpha))
@@ -132,7 +163,8 @@ def chees_hmc_warmup_and_sample(key, traces, selection: Selection,
         d_old = jnp.sum((xs - xbar) ** 2, axis=1)
         d_new = jnp.sum((x_stat - xbar_new) ** 2, axis=1)
         delta = d_new - d_old
-        dot = jnp.sum((x_stat - xbar_new) * mom_stat, axis=1)
+        # end VELOCITY, not momentum: v = M^{-1} p
+        dot = jnp.sum((x_stat - xbar_new) * (inv_mass * mom_stat), axis=1)
         per_chain = delta * dot * u
         ghat = (jnp.sum(alpha * per_chain)
                 / jnp.maximum(jnp.sum(alpha), 1e-6))
@@ -162,17 +194,27 @@ def chees_hmc_warmup_and_sample(key, traces, selection: Selection,
         # keep trajectories sane: between eps and 1000*eps
         log_t = jnp.clip(log_t, da.log_eps, da.log_eps + jnp.log(1000.0))
         chees = CheesState(log_t, am, av, t + 1)
-        return (xs_out, logps_out, grads_out, da, chees, streak), None
 
-    def sample_iteration(carry, inp):
+        # mass EWMA: per-iteration cross-chain variance (post-teleport)
+        xb = jnp.mean(xs_out, axis=0)
+        var_m = jnp.nan_to_num(jnp.mean((xs_out - xb) ** 2, axis=0))
+        ema = 0.9 * ema + 0.1 * var_m
+        return (xs_out, logps_out, grads_out, da, chees, streak, ema), None
+
+    def sample_iteration(inv_mass, carry, inp):
         (xs, logps, grads, eps, n_leap), k = carry, inp
         k_mom, k_acc = jax.random.split(k)
-        momenta = jax.random.normal(k_mom, (n_chains, dim), xs.dtype)
+        mom_scale = 1.0 / jnp.sqrt(inv_mass)
+        momenta = mom_scale * jax.random.normal(
+            k_mom, (n_chains, dim), xs.dtype)
+
+        def kin(p):
+            return 0.5 * jnp.sum(inv_mass * p * p, axis=1)
 
         def leap_body(i, state):
             x, mom, g = state
             mom = mom + 0.5 * eps * g
-            x = x + eps * mom
+            x = x + eps * inv_mass * mom
             lp, g = jax.vmap(vag)(x)
             mom = mom + 0.5 * eps * g
             return (x, mom, g)
@@ -182,9 +224,7 @@ def chees_hmc_warmup_and_sample(key, traces, selection: Selection,
         lp_new = jax.vmap(lambda x: vag(x)[0])(x_new)
         finite = (jnp.isfinite(lp_new)
                   & jnp.all(jnp.isfinite(x_new), axis=1))
-        log_alpha = (lp_new - logps
-                     - 0.5 * jnp.sum(mom_new ** 2, axis=1)
-                     + 0.5 * jnp.sum(momenta ** 2, axis=1))
+        log_alpha = lp_new - logps - kin(mom_new) + kin(momenta)
         log_alpha = jnp.where(finite & ~jnp.isnan(log_alpha),
                               log_alpha, -jnp.inf)
         accept = (jnp.log(jax.random.uniform(k_acc, (n_chains,)))
@@ -199,9 +239,15 @@ def chees_hmc_warmup_and_sample(key, traces, selection: Selection,
     chees = CheesState(jnp.log(jnp.asarray(init_traj_length)),
                        jnp.asarray(0.0), jnp.asarray(0.0), jnp.asarray(1.0))
     streak0 = jnp.zeros(n_chains, jnp.int32)
-    (xs, logps, grads, da, chees, _), _ = jax.lax.scan(
-        one_iteration, (xs0, logps0, grads0, da, chees, streak0),
+    # EWMA seed: the initial cross-chain variance (prior spread)
+    ema0 = jnp.maximum(jnp.var(xs0, axis=0), mass_floor)
+
+    import functools as _ft
+    (xs, logps, grads, da, chees, _, ema), _ = jax.lax.scan(
+        warmup_iteration,
+        (xs0, logps0, grads0, da, chees, streak0, ema0),
         (jnp.arange(num_warmup), jax.random.split(k_warm, num_warmup)))
+    inv_mass = cur_inv_mass(ema, jnp.asarray(num_warmup))
 
     eps_final = jnp.exp(jnp.clip(da.log_eps_bar, -20.0, 10.0))
     traj_final = jnp.exp(chees.log_t)
@@ -211,9 +257,10 @@ def chees_hmc_warmup_and_sample(key, traces, selection: Selection,
         jnp.clip(ratio_final, 1.0, 1000.0)).astype(jnp.int32)
 
     (xs, logps, grads, _, _), (samples, accepts) = jax.lax.scan(
-        sample_iteration, (xs, logps, grads, eps_final, n_leap_final),
+        _ft.partial(sample_iteration, inv_mass),
+        (xs, logps, grads, eps_final, n_leap_final),
         jax.random.split(k_samp, num_samples))
     info = dict(step_size=eps_final, trajectory_length=traj_final,
                 num_leapfrogs=n_leap_final,
-                mean_accept=jnp.mean(accepts))
+                mean_accept=jnp.mean(accepts), inv_mass=inv_mass)
     return samples, xs, info

@@ -176,8 +176,10 @@ def sample_posterior(key, model: GenerativeFunction, args: Tuple,
             raise ValueError("engine='hmc_fused' warms up with ChEES and "
                              "needs num_chains >= 2")
         # phase 1 (XLA): ChEES warmup adapts one shared step size +
-        # trajectory length from cross-chain statistics; fetch them to host
-        # so phase 2 compiles with them baked in
+        # trajectory length + diagonal mass (cross-chain variance) from
+        # cross-chain statistics; fetch eps/L to host so phase 2 compiles
+        # with them baked in (the mass enters the kernel as SMEM scalars
+        # and may stay on device)
         k_warm, k_fused = jax.random.split(k_run)
         _, warm_flat, winfo = jax.jit(
             lambda trs, k: chees_hmc_warmup_and_sample(
@@ -191,10 +193,12 @@ def sample_posterior(key, model: GenerativeFunction, args: Tuple,
         target = FlatTarget(one_trace, selection)
         _, collected, accs = hmc_chains_fused(
             k_fused, target.logp, warm_flat, n_steps=num_samples,
-            L=n_leap, eps=eps_adapted, collect_idx=None)
+            L=n_leap, eps=eps_adapted, collect_idx=None,
+            inv_mass_diag=winfo["inv_mass"])
         flat = jnp.swapaxes(collected, 0, 1)     # -> (chains, draws, dim)
         final_traces = None
         info = dict(step_size=eps_adapted, num_leapfrogs=n_leap,
+                    inv_mass=winfo["inv_mass"],
                     mean_accept=jnp.mean(accs) / num_samples)
     elif engine == "nuts_fsm":
         from .nuts_fsm import nuts_fsm_warmup_and_sample
