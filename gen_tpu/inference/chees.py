@@ -22,7 +22,8 @@ Per iteration (all chains lockstep):
 
 from __future__ import annotations
 
-from typing import NamedTuple
+import functools
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -58,7 +59,8 @@ def chees_hmc_warmup_and_sample(key, traces, selection: Selection,
                                 init_step_size: float = 0.1,
                                 init_traj_length: float = 1.0,
                                 adam_lr: float = 0.025,
-                                adapt_mass: bool = True):
+                                adapt_mass: bool = True,
+                                mass_ema_decay: Optional[float] = None):
     """Run ChEES-adapted HMC on a BATCH of traces (leading chain axis).
 
     Returns (samples (num_samples, chains, d), final_flat (chains, d),
@@ -71,7 +73,12 @@ def chees_hmc_warmup_and_sample(key, traces, selection: Selection,
     of each coordinate (the many-chain estimator needs no per-chain
     history and per-iteration centering makes it immune to warmup drift),
     applied immediately so step size and trajectory length co-adapt in
-    whitened time. The mass is eased in geometrically from identity
+    whitened time. The per-iteration estimator averages ``num_chains``
+    samples, so the EWMA window auto-scales to keep ~128 effective samples
+    behind the mass estimate (window = max(10, 128/num_chains) iterations;
+    override with ``mass_ema_decay``) — with the engine minimum of 2 chains
+    the decay is ~0.985, not the many-chain 0.9, so a 2-sample variance
+    never dominates. The mass is eased in geometrically from identity
     (weight m/(m+10) on the log scale) so early unequilibrated iterations
     cannot wreck the metric. A Stan-style two-phase switch was measured
     WORSE here: phase A's trajectory length is adapted in raw time and is
@@ -92,6 +99,10 @@ def chees_hmc_warmup_and_sample(key, traces, selection: Selection,
     logps0, grads0 = jax.vmap(vag)(xs0)
 
     mass_floor = jnp.asarray(1e-12, xs0.dtype)
+    if mass_ema_decay is None:
+        # keep ~128 cross-chain variance samples in the EWMA window
+        mass_ema_decay = 1.0 - 1.0 / max(10.0, 128.0 / n_chains)
+    ema_new = 1.0 - mass_ema_decay
 
     def cur_inv_mass(ema, m):
         """Geometric ease-in from identity: exp(w log ema), w = m/(m+10)."""
@@ -198,7 +209,7 @@ def chees_hmc_warmup_and_sample(key, traces, selection: Selection,
         # mass EWMA: per-iteration cross-chain variance (post-teleport)
         xb = jnp.mean(xs_out, axis=0)
         var_m = jnp.nan_to_num(jnp.mean((xs_out - xb) ** 2, axis=0))
-        ema = 0.9 * ema + 0.1 * var_m
+        ema = mass_ema_decay * ema + ema_new * var_m
         return (xs_out, logps_out, grads_out, da, chees, streak, ema), None
 
     def sample_iteration(inv_mass, carry, inp):
@@ -242,7 +253,6 @@ def chees_hmc_warmup_and_sample(key, traces, selection: Selection,
     # EWMA seed: the initial cross-chain variance (prior spread)
     ema0 = jnp.maximum(jnp.var(xs0, axis=0), mass_floor)
 
-    import functools as _ft
     (xs, logps, grads, da, chees, _, ema), _ = jax.lax.scan(
         warmup_iteration,
         (xs0, logps0, grads0, da, chees, streak0, ema0),
@@ -257,7 +267,7 @@ def chees_hmc_warmup_and_sample(key, traces, selection: Selection,
         jnp.clip(ratio_final, 1.0, 1000.0)).astype(jnp.int32)
 
     (xs, logps, grads, _, _), (samples, accepts) = jax.lax.scan(
-        _ft.partial(sample_iteration, inv_mass),
+        functools.partial(sample_iteration, inv_mass),
         (xs, logps, grads, eps_final, n_leap_final),
         jax.random.split(k_samp, num_samples))
     info = dict(step_size=eps_final, trajectory_length=traj_final,

@@ -67,6 +67,7 @@ def sample_posterior(key, model: GenerativeFunction, args: Tuple,
                      num_samples: int = 1000, max_depth: int = 8,
                      target_accept: float = 0.8,
                      engine: str = "nuts",
+                     adapt_mass: bool = True,
                      num_ticks: Optional[int] = None,
                      mesh=None, mesh_axis: str = "chains",
                      summarize: bool = True) -> PosteriorSamples:
@@ -82,7 +83,11 @@ def sample_posterior(key, model: GenerativeFunction, args: Tuple,
     leapfrog count, so there is no NUTS tree lockstep and the program is
     perfectly shaped for vmap/TPU). Requires >= 2 chains; like
     ``nuts_fsm`` it requires the selection to cover every unobserved
-    continuous address.
+    continuous address. ``adapt_mass`` (default True) controls the
+    cross-chain diagonal-mass adaptation in the ``chees`` and
+    ``hmc_fused`` engines; set False for the pre-round-2 identity-mass
+    behavior (it is ignored by the ``nuts``/``nuts_fsm`` engines, which
+    adapt their own mass per chain).
 
     ``engine="hmc_fused"`` is the maximum-throughput path for large chain
     counts: ChEES warmup (cross-chain step-size + trajectory adaptation)
@@ -162,7 +167,8 @@ def sample_posterior(key, model: GenerativeFunction, args: Tuple,
         def run_chees(traces, key):
             return chees_hmc_warmup_and_sample(
                 key, traces, selection, num_warmup=num_warmup,
-                num_samples=num_samples, target_accept=target_accept)
+                num_samples=num_samples, target_accept=target_accept,
+                adapt_mass=adapt_mass)
 
         samples_sm, final_flat, info = run_chees(traces, k_run)
         flat = jnp.swapaxes(samples_sm, 0, 1)    # -> (chains, draws, dim)
@@ -184,7 +190,8 @@ def sample_posterior(key, model: GenerativeFunction, args: Tuple,
         _, warm_flat, winfo = jax.jit(
             lambda trs, k: chees_hmc_warmup_and_sample(
                 k, trs, selection, num_warmup=num_warmup, num_samples=1,
-                target_accept=target_accept))(traces, k_warm)
+                target_accept=target_accept,
+                adapt_mass=adapt_mass))(traces, k_warm)
         eps_adapted = float(winfo["step_size"])
         n_leap = max(1, int(winfo["num_leapfrogs"]))
         # phase 2: the fused Pallas kernel samples from the warm state

@@ -160,7 +160,8 @@ def sharded_vi_step(key, model, model_args, observations, var_model,
 def sharded_hmc_chains_fused(key, logp, values0, n_steps: int, mesh: Mesh,
                              axis: str = "chains", L: int = 10,
                              eps: float = 0.1, eps_jitter: float = 0.2,
-                             collect_idx=0, use_pallas=None):
+                             collect_idx=0, inv_mass_diag=None,
+                             use_pallas=None):
     """The fused Pallas HMC sampler (ops/hmc_fused.py) sharded over a mesh:
     chains are independent, so each device runs the whole kernel on its
     local chain shard with a device-folded key — zero collectives, linear
@@ -168,11 +169,12 @@ def sharded_hmc_chains_fused(key, logp, values0, n_steps: int, mesh: Mesh,
     (that is how the CPU-mesh dryrun validates this path).
 
     values0: (n_chains, d) with n_chains divisible by the mesh axis size.
-    Returns the same (values, collected, accept_counts) as
+    ``inv_mass_diag``: optional (d,) inverse-mass diagonal (e.g. the ChEES
+    warmup's adapted mass) — replicated state, forwarded to every device's
+    kernel. Returns the same (values, collected, accept_counts) as
     :func:`gen_tpu.ops.hmc_fused.hmc_chains_fused`, sharded on the chain
     axis."""
-    from functools import partial
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from ..ops.hmc_fused import hmc_chains_fused
 
     n_dev = mesh.shape[axis]
@@ -180,18 +182,21 @@ def sharded_hmc_chains_fused(key, logp, values0, n_steps: int, mesh: Mesh,
     if n % n_dev != 0:
         raise ValueError(f"n_chains={n} not divisible by mesh axis "
                          f"{axis}={n_dev}")
+    inv_mass = (jnp.ones((d,), jnp.float32) if inv_mass_diag is None
+                else jnp.asarray(inv_mass_diag, jnp.float32))
 
-    def local(vals, raw_key):
+    def local(vals, raw_key, inv_m):
         idx = jax.lax.axis_index(axis)
         k = jax.random.fold_in(jax.random.wrap_key_data(raw_key), idx)
         return hmc_chains_fused(k, logp, vals, n_steps=n_steps, L=L,
                                 eps=eps, eps_jitter=eps_jitter,
                                 collect_idx=collect_idx,
+                                inv_mass_diag=inv_m,
                                 use_pallas=use_pallas)
 
     coll_spec = P(None, axis) if collect_idx is not None \
         else P(None, axis, None)
     fn = shard_map(local, mesh=mesh,
-                   in_specs=(P(axis), P()),
+                   in_specs=(P(axis), P(), P()),
                    out_specs=(P(axis), coll_spec, P(axis)))
-    return jax.jit(fn)(values0, jax.random.key_data(key))
+    return jax.jit(fn)(values0, jax.random.key_data(key), inv_mass)

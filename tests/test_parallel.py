@@ -115,3 +115,39 @@ def test_sharded_hmc_chains_fused_cpu_mesh():
         jax.random.PRNGKey(1), logp, vals0, n_steps=300, mesh=mesh,
         L=5, eps=0.5)
     np.testing.assert_array_equal(np.asarray(vals), np.asarray(v2))
+
+
+def test_sharded_hmc_chains_fused_inv_mass():
+    """The adapted inverse-mass diagonal is forwarded to every device's
+    kernel: an anisotropic Gaussian sampled with the matched mass keeps
+    correct per-coordinate marginals."""
+    from gen_tpu.parallel import chain_mesh
+    from gen_tpu.parallel.sharded import sharded_hmc_chains_fused
+
+    var = jnp.asarray([25.0, 0.04])
+
+    def logp(x):
+        return -0.5 * jnp.sum(x * x / var)
+
+    mesh = chain_mesh(8)
+    vals0 = (jax.random.normal(jax.random.PRNGKey(2), (64, 2))
+             * jnp.sqrt(var))
+    vals, coll, _ = sharded_hmc_chains_fused(
+        jax.random.PRNGKey(3), logp, vals0, n_steps=400, mesh=mesh,
+        L=8, eps=0.35, collect_idx=None, inv_mass_diag=var)
+    s = np.asarray(coll)[100:]                 # (steps, chains, 2)
+    assert abs(s[..., 0].std() - 5.0) < 0.5
+    assert abs(s[..., 1].std() - 0.2) < 0.02
+
+
+def test_multihost_mesh_constructors():
+    """multihost.py mesh builders on the virtual single-process mesh: the
+    slice mesh spans all devices; the hierarchical mesh puts the one host
+    on the DCN axis and local devices on ICI."""
+    from gen_tpu.parallel.multihost import hierarchical_mesh, slice_mesh
+
+    m = slice_mesh("chains")
+    assert m.shape["chains"] == jax.device_count()
+    h = hierarchical_mesh()
+    assert h.shape["replicas"] == jax.process_count() == 1
+    assert h.shape["particles"] == jax.local_device_count()
