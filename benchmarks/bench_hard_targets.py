@@ -1,0 +1,305 @@
+"""Validated fused-sampler benchmarks BEYOND the 3-param regression model.
+
+Round-2 mandate (VERDICT items 1 and 6): prove the fused Pallas HMC path
+(ChEES cross-chain warmup -> ops/hmc_fused.py kernel) delivers validated
+throughput on targets that are not the easy conjugate-ish regression —
+hierarchical/funnel-ish and ill-conditioned geometry — with the same
+evidence standard as benchmarks/bench_verify.py: cross-chain posterior
+moments against an EXACT reference (quadrature/analytic) on the full chain
+population, plus rank-normalized split-R-hat on a separate multi-draw run.
+
+Targets (every coordinate's mean AND sd gated):
+
+- eight_schools (d=10): the classic hierarchical model, non-centered.
+  theta_std marginalizes analytically given (mu, log_tau), so the exact
+  reference is a 2-D quadrature — including the per-school theta_std
+  moments, integrated over the (mu, log_tau) posterior.
+- correlated_gauss (d=16): posterior of x ~ N(0, I) prior under
+  ys ~ normal_linear(A, x, 1) with A built so the posterior covariance
+  (I + A'A)^-1 has condition number 1e3 AND dense correlations (random
+  rotation). Diagonal mass cannot whiten it — this stresses the ChEES
+  trajectory-length adaptation.
+- aniso_gauss (d=16): same construction with diagonal A — per-coordinate
+  scales spanning sqrt(1e3); the diagonal-mass adaptation must flatten it.
+- funnel (d=10): Neal's funnel, v ~ N(0, 1.5), x_i | v ~ N(0, exp(v/2))^9,
+  no data. Exact marginals analytic: sd(x) = exp(sigma_v^2/4). The
+  neck/mouth local-scale ratio across +-3 sigma_v is e^4.5 ~ 90 per
+  coordinate; the hard geometry is the v-x coupling.
+
+The fused kernel sees each model only through its GFI assess-logp staged by
+ops/scalarize.py — nothing here is hand-specialized per target.
+
+Run (real TPU): python benchmarks/bench_hard_targets.py
+Quick CPU check: python benchmarks/bench_hard_targets.py --small
+"""
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import gen_tpu as gt
+from gen_tpu import choicemap, gen, select
+
+
+# -- exact references ---------------------------------------------------------
+
+YS_8 = np.array([28.0, 8.0, -3.0, 7.0, -1.0, 1.0, 18.0, 12.0])
+SIGMAS_8 = np.array([15.0, 10.0, 16.0, 11.0, 9.0, 11.0, 10.0, 18.0])
+MU_SD, LTAU_SD = 10.0, 1.5
+
+
+def eight_schools_exact():
+    """(mu, log_tau) posterior by 2-D quadrature with theta_std integrated
+    analytically; theta_std moments by conditional-Gaussian mixture."""
+    mu_g = np.linspace(-25.0, 35.0, 601)
+    lt_g = np.linspace(-7.0, 5.0, 601)
+    MU, LT = np.meshgrid(mu_g, lt_g, indexing="ij")
+    tau2 = np.exp(2.0 * LT)
+    logw = -0.5 * (MU / MU_SD) ** 2 - 0.5 * (LT / LTAU_SD) ** 2
+    for y_i, s_i in zip(YS_8, SIGMAS_8):
+        v = s_i ** 2 + tau2
+        logw = logw - 0.5 * np.log(v) - 0.5 * (y_i - MU) ** 2 / v
+    w = np.exp(logw - logw.max())
+    w /= w.sum()
+    out = {}
+    out[("mu",)] = (float((w * MU).sum()),
+                    float(np.sqrt((w * MU ** 2).sum() - (w * MU).sum() ** 2)))
+    out[("log_tau",)] = (float((w * LT).sum()),
+                         float(np.sqrt((w * LT ** 2).sum()
+                                       - (w * LT).sum() ** 2)))
+    tau = np.exp(LT)
+    t_mean = np.empty(8)
+    t_sd = np.empty(8)
+    for i, (y_i, s_i) in enumerate(zip(YS_8, SIGMAS_8)):
+        prec = 1.0 + tau2 / s_i ** 2
+        cmean = (tau * (y_i - MU) / s_i ** 2) / prec
+        cvar = 1.0 / prec
+        m = (w * cmean).sum()
+        e2 = (w * (cvar + cmean ** 2)).sum()
+        t_mean[i], t_sd[i] = m, np.sqrt(e2 - m ** 2)
+    out[("theta_std",)] = (t_mean, t_sd)
+    return out
+
+
+def linear_gauss_exact(A, ys):
+    """Posterior of x with prior N(0, I) and ys ~ N(Ax, I)."""
+    A = np.asarray(A, np.float64)
+    S = np.linalg.inv(np.eye(A.shape[1]) + A.T @ A)
+    mean = S @ (A.T @ np.asarray(ys, np.float64))
+    return {("x",): (mean, np.sqrt(np.diag(S)))}, S
+
+
+def funnel_exact(sigma_v=1.5, dim_x=9):
+    sd_x = float(np.exp(sigma_v ** 2 / 4.0))
+    return {("v",): (0.0, sigma_v),
+            ("x",): (np.zeros(dim_x), np.full(dim_x, sd_x))}
+
+
+# -- models -------------------------------------------------------------------
+
+@gen
+def eight_schools(sigmas):
+    mu = gt.normal(0.0, MU_SD) @ "mu"
+    log_tau = gt.normal(0.0, LTAU_SD) @ "log_tau"
+    theta_std = gt.normal(jnp.zeros(8), 1.0) @ "theta_std"
+    gt.normal(mu + jnp.exp(log_tau) * theta_std, sigmas) @ "ys"
+    return mu
+
+
+@gen
+def linear_gauss(A):
+    x = gt.normal(jnp.zeros(A.shape[1]), 1.0) @ "x"
+    gt.normal_linear(A, x, 1.0) @ "ys"
+    return x
+
+
+@gen
+def funnel(dim_x):
+    v = gt.normal(0.0, 1.5) @ "v"
+    gt.normal(jnp.zeros(dim_x), jnp.exp(0.5 * v)) @ "x"
+    return v
+
+
+def make_correlated(d=16, cond=1e3, seed=0, rotate=True):
+    """A such that cov = (I + A'A)^-1 has the given condition number."""
+    rng = np.random.default_rng(seed)
+    lams = np.geomspace(1.0, cond, d) - 1.0     # I + A'A eigs in [1, cond]
+    if rotate:
+        Q, _ = np.linalg.qr(rng.standard_normal((d, d)))
+    else:
+        Q = np.eye(d)
+    A = np.sqrt(lams)[:, None] * Q.T            # A'A = Q diag(lams) Q'
+    x_true = rng.standard_normal(d)
+    ys = A @ x_true + rng.standard_normal(d)
+    return jnp.asarray(A, jnp.float32), jnp.asarray(ys, jnp.float32)
+
+
+# -- shared runner -------------------------------------------------------------
+
+def run_target(name, model, args, obs, sel, exact, collect_addr, *,
+               n_chains, n_steps, num_warmup, rhat_chains, rhat_steps,
+               mean_tol=0.05, sd_tol=0.05, seed=0, use_pallas=None,
+               target_accept=0.8):
+    """ChEES warmup -> fused kernel sampling -> validation. Returns a row
+    dict (and prints the evidence)."""
+    from gen_tpu.inference.chees import chees_hmc_warmup_and_sample
+    from gen_tpu.inference.hmc import hmc_chains
+    from gen_tpu.inference.target import FlatTarget
+    from gen_tpu.ops.hmc_fused import hmc_chains_fused
+    from gen_tpu.diagnostics import summarize
+    import bench as B
+
+    print(f"\n=== {name} ===")
+    key = jax.random.PRNGKey(seed)
+    k_init, k_warm, k_fused, k_time, k_val = jax.random.split(key, 5)
+
+    init_keys = jax.random.split(k_init, n_chains)
+    traces, _ = jax.jit(jax.vmap(
+        lambda k: model.generate(k, args, obs)))(init_keys)
+    one_trace = jax.tree_util.tree_map(lambda x: x[0], traces)
+    target = FlatTarget(one_trace, sel)
+    paths, sizes = [], []
+    for p, v in one_trace.get_choices().filter(sel).leaf_items():
+        paths.append(p)
+        sizes.append(int(np.prod(jnp.shape(v))) if jnp.shape(v) else 1)
+    offsets = np.concatenate([[0], np.cumsum(sizes)])
+    i_collect = int(offsets[paths.index(collect_addr)])
+    d = int(offsets[-1])
+    print(f"d={d}, layout={paths}, collect={collect_addr}")
+
+    t_w = time.time()
+    _, warm_flat, winfo = jax.jit(
+        lambda trs, k: chees_hmc_warmup_and_sample(
+            k, trs, sel, num_warmup=num_warmup, num_samples=1,
+            target_accept=target_accept))(traces, k_warm)
+    eps = float(winfo["step_size"])
+    n_leap = max(1, int(winfo["num_leapfrogs"]))
+    inv_mass = winfo["inv_mass"]
+    print(f"warmup {time.time()-t_w:.1f}s: eps={eps:.4f} L={n_leap} "
+          f"inv_mass range [{float(jnp.min(inv_mass)):.3g}, "
+          f"{float(jnp.max(inv_mass)):.3g}]")
+
+    def run_fused(values, k):
+        return hmc_chains_fused(k, target.logp, values, n_steps=n_steps,
+                                L=n_leap, eps=eps, collect_idx=i_collect,
+                                inv_mass_diag=inv_mass,
+                                use_pallas=use_pallas)
+
+    # compile + extra warmup; host fetch is the completion barrier
+    values, s0, _ = run_fused(warm_flat, k_fused)
+    float(jnp.sum(s0[-1]))
+    t0 = time.time()
+    values, hist, accs = run_fused(values, k_time)
+    float(jnp.sum(hist[-1]))
+    elapsed = time.time() - t0
+    accept = float(jnp.mean(accs)) / n_steps
+    print(f"fused: {elapsed*1e3:.0f} ms / {n_steps} steps "
+          f"({elapsed*1e6/n_steps:.0f} us/step), accept={accept:.2f}")
+
+    # cross-chain moments of the final population vs exact
+    vv = np.asarray(values, np.float64)
+    ok = True
+    for p in paths:
+        lo, hi = offsets[paths.index(p)], offsets[paths.index(p) + 1]
+        m_ex, s_ex = exact[p]
+        m_ex, s_ex = np.atleast_1d(m_ex), np.atleast_1d(s_ex)
+        m, s = vv[:, lo:hi].mean(axis=0), vv[:, lo:hi].std(axis=0)
+        good = (np.all(np.abs(m - m_ex) < mean_tol * s_ex)
+                and np.all(np.abs(s / s_ex - 1.0) < sd_tol))
+        ok &= bool(good)
+        worst_m = float(np.max(np.abs(m - m_ex) / s_ex))
+        worst_s = float(np.max(np.abs(s / s_ex - 1.0)))
+        print(f"  {str(p):16s} worst |dmean|/sd={worst_m:.3f} "
+              f"worst |dsd|/sd={worst_s:.3f} {'OK' if good else 'FAIL'}")
+
+    # split-R-hat on a separate smaller-chain longer run (same settings)
+    val_keys = jax.random.split(jax.random.fold_in(k_val, 1), rhat_chains)
+    val_traces, _ = jax.jit(jax.vmap(
+        lambda k: model.generate(k, args, obs)))(val_keys)
+    _, val_flat, _ = jax.jit(
+        lambda trs, k: chees_hmc_warmup_and_sample(
+            k, trs, sel, num_warmup=num_warmup, num_samples=1,
+            target_accept=target_accept))(val_traces,
+                                          jax.random.fold_in(k_val, 2))
+
+    @jax.jit
+    def run_val(values, k):
+        return hmc_chains(k, target, values, n_steps=rhat_steps, L=n_leap,
+                          eps=eps, inv_mass_diag=inv_mass)
+
+    _, hv, _ = run_val(val_flat, jax.random.fold_in(k_val, 3))
+    hv = np.asarray(hv)                  # (rhat_steps, rhat_chains, d)
+    rhat_worst = 0.0
+    for p in paths:
+        lo, hi = offsets[paths.index(p)], offsets[paths.index(p) + 1]
+        summ = summarize({str(p): jnp.asarray(hv[:, :, lo:hi])})
+        rh = float(np.max(np.asarray(summ[str(p)]["rhat"])))
+        rhat_worst = max(rhat_worst, rh)
+        print(f"  rhat[{p}] = {rh:.4f}", "OK" if rh < 1.01 else "FAIL")
+        ok &= rh < 1.01
+
+    ess = B.autocorr_ess(np.asarray(hist))
+    ess_s = ess / elapsed
+    print(f"  ESS({collect_addr}) = {ess/1e6:.2f}M of "
+          f"{n_steps*n_chains/1e6:.1f}M draws -> {ess_s/1e6:.1f}M ESS/s")
+    print(f"  => {name}: {'ALL CHECKS PASS' if ok else 'CHECKS FAILED'}")
+    return dict(name=name, d=d, eps=eps, L=n_leap, accept=accept,
+                us_per_step=elapsed * 1e6 / n_steps, ess=ess,
+                ess_per_sec=ess_s, rhat_worst=rhat_worst, ok=bool(ok))
+
+
+def main(small=False):
+    cfg = dict(n_chains=524288 // (128 if small else 1),
+               n_steps=500 // (2 if small else 1),
+               num_warmup=400, rhat_chains=8192 // (32 if small else 1))
+    # rhat_steps per target: R-hat < 1.01 needs per-chain ESS well past the
+    # between-chain estimator's own noise floor; the hard-geometry targets
+    # mix slower per draw and get proportionally longer validation runs
+    easy_steps, hard_steps = 500, 2000
+
+    rows = []
+
+    sig = jnp.asarray(SIGMAS_8, jnp.float32)
+    rows.append(run_target(
+        "eight_schools", eight_schools, (sig,),
+        choicemap(ys=jnp.asarray(YS_8, jnp.float32)),
+        select("mu", "log_tau", "theta_std"), eight_schools_exact(),
+        ("log_tau",), rhat_steps=easy_steps, **cfg))
+
+    A, ys = make_correlated(16, 1e3, rotate=True)
+    exact, S = linear_gauss_exact(A, ys)
+    rows.append(run_target(
+        "correlated_gauss_cond1e3", linear_gauss, (A,), choicemap(ys=ys),
+        select("x"), exact, ("x",),
+        **dict(cfg, num_warmup=800, rhat_steps=hard_steps)))
+
+    A2, ys2 = make_correlated(16, 1e3, rotate=False, seed=1)
+    exact2, _ = linear_gauss_exact(A2, ys2)
+    rows.append(run_target(
+        "aniso_gauss_cond1e3", linear_gauss, (A2,), choicemap(ys=ys2),
+        select("x"), exact2, ("x",), rhat_steps=easy_steps, **cfg))
+
+    rows.append(run_target(
+        "funnel_d10", funnel, (9,), choicemap(), select("v", "x"),
+        funnel_exact(), ("v",), sd_tol=0.06, target_accept=0.9,
+        **dict(cfg, num_warmup=800, rhat_steps=hard_steps)))
+
+    print("\n| target | d | eps | L | accept | us/step | ESS/s | worst R-hat "
+          "| validated |")
+    print("|---|---|---|---|---|---|---|---|---|")
+    for r in rows:
+        print(f"| {r['name']} | {r['d']} | {r['eps']:.4f} | {r['L']} | "
+              f"{r['accept']:.2f} | {r['us_per_step']:.0f} | "
+              f"{r['ess_per_sec']/1e6:.1f}M | {r['rhat_worst']:.4f} | "
+              f"{'yes' if r['ok'] else 'NO'} |")
+    return 0 if all(r["ok"] for r in rows) else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(small="--small" in sys.argv))

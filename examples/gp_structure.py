@@ -73,7 +73,9 @@ def get_child(parent: int, child_num: int, max_branch: int = 2) -> int:
 # eval_cov_mat per kernel: reference shared.jl:45-140
 
 def eval_cov_mat(node, xs):
-    kind = node[0]
+    # int(): accepted-trace retvals pass through select_trace's where-combine,
+    # which promotes the Python-int type codes to (equal-valued) arrays
+    kind = int(node[0])
     if kind == CONST:
         return jnp.full((xs.shape[0], xs.shape[0]), node[1])
     if kind == LINEAR:
@@ -96,9 +98,10 @@ def eval_cov_mat(node, xs):
 
 def structure_of(node):
     """Strip parameters: the discrete skeleton used for posterior counts."""
-    if node[0] in BINARY:
-        return (node[0], structure_of(node[1]), structure_of(node[2]))
-    return node[0]
+    kind = int(node[0])
+    if kind in BINARY:
+        return (kind, structure_of(node[1]), structure_of(node[2]))
+    return kind
 
 
 def structure_str(s):
@@ -147,7 +150,7 @@ def noise_proposal(prev_trace):
 def pick_random_node(node, cur, depth):
     """Random node of the tree; returns (heap index, depth)
     (reference shared.jl:238-248)."""
-    if node[0] not in BINARY:
+    if int(node[0]) not in BINARY:
         return (cur, depth)
     if bool(gt.bernoulli(0.5) @ ("done", depth)):
         return (cur, depth)
@@ -284,6 +287,9 @@ def structure_log_ml(s, xs, ys, key, num_mc=20000):
         return multivariate_normal.logpdf(ys, jnp.zeros(xs.shape[0]), cov)
 
     lls = jax.jit(jax.vmap(ll))(params, noises)
+    # a degenerate draw (e.g. PERIODIC scale == 0.0 exactly: inf * sin(0)
+    # = NaN) contributes zero mass, not NaN
+    lls = jnp.where(jnp.isnan(lls), -jnp.inf, lls)
     return float(jax.scipy.special.logsumexp(lls) - jnp.log(num_mc))
 
 
@@ -303,10 +309,13 @@ def exact_structure_posterior(xs, ys, max_depth=1, num_mc=20000, seed=7):
 # -- datasets ----------------------------------------------------------------
 
 def make_dataset(n=40, seed=0):
-    """Periodic + linear trend (the airline dataset's qualitative shape)."""
+    """Periodic + linear trend (the airline dataset's qualitative shape).
+    ~5.5 cycles across the window: with the reference's amplitude-free
+    kernels an SE can interpolate a couple of cycles, but multi-cycle data
+    puts the marginal-likelihood mass firmly on PERIODIC structures."""
     rng = np.random.default_rng(seed)
     xs = np.linspace(0, 1, n)
-    ys = 0.8 * xs + 0.4 * np.sin(2 * np.pi * xs / 0.35)
+    ys = 0.3 * xs + 0.6 * np.sin(2 * np.pi * xs / 0.18)
     ys = ys + 0.05 * rng.standard_normal(n)
     return jnp.asarray(xs), jnp.asarray(ys - ys.mean())
 
@@ -343,9 +352,12 @@ def run_chain(key, xs, ys, max_depth, n_sweeps, burn_frac=0.33,
     return trace, structures
 
 
-def main(n_sweeps=4000, seed=0):
+def main(n_sweeps=12000, seed=0):
     # 1. exactness gate: max_depth=1 (36 structures), tiny dataset, sampler
-    #    structure frequencies vs the enumerated oracle
+    #    structure frequencies vs the enumerated oracle. Calibration
+    #    (benchmarks round 2): oracle-to-oracle TV at 20k MC draws is 0.007;
+    #    a 16k-sweep chain reached TV 0.031, a 4k chain 0.14 (pure
+    #    autocorrelation, no bias).
     rng = np.random.default_rng(3)
     xs_g = jnp.asarray(np.linspace(0, 1, 12))
     ys_g = jnp.asarray(0.9 * (np.asarray(xs_g) - 0.4)
@@ -362,7 +374,7 @@ def main(n_sweeps=4000, seed=0):
     for s, p in top:
         print(f"  {structure_str(s):24s} exact={p:.3f} sampled={emp[s]:.3f}")
     print(f"TV(sampled, enumerated-exact) over 36 structures: {tv:.3f}")
-    assert tv < 0.12, (tv, emp, exact)
+    assert tv < 0.08, (tv, emp, exact)
 
     # 2. the real workload: depth-3 grammar on periodic+trend data;
     #    posterior should discover a periodic component, and the predictive

@@ -7,7 +7,7 @@ from .continuous import (
 from .mixture import HomogeneousMixture, HeterogeneousMixture
 from .dist_dsl import (TransformedDistribution, RelabeledDistribution,
                        ArgMappedDistribution, Bijection, affine_bijection,
-                       exp_of, log_of, dist)
+                       exp_of, log_of, dist, enum_dist)
 from .discrete import (
     bernoulli, categorical, labeled_categorical, uniform_discrete, poisson,
     binom, geometric, neg_binom, dirac, multinomial,
@@ -21,7 +21,7 @@ __all__ = [
     "dirichlet",
     "HomogeneousMixture", "HeterogeneousMixture",
     "TransformedDistribution", "RelabeledDistribution",
-    "ArgMappedDistribution", "Bijection", "affine_bijection", "exp_of",
+    "ArgMappedDistribution", "Bijection", "affine_bijection", "exp_of", "enum_dist",
     "log_of", "dist",
     "bernoulli", "categorical", "labeled_categorical", "uniform_discrete",
     "poisson", "binom", "geometric", "neg_binom", "dirac",

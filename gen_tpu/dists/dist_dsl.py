@@ -182,3 +182,16 @@ def exp_of(base: Distribution) -> TransformedDistribution:
 
 def log_of(base: Distribution) -> TransformedDistribution:
     return TransformedDistribution(base, log_bijection)
+
+
+def enum_dist(enum_cls, base: Distribution) -> RelabeledDistribution:
+    """``@dist`` Enum-construction sugar (reference dist_dsl/dist_dsl.jl:
+    229-235: an Enum type applied to a DistWithArgs relabels through the
+    Int(instance) lookup). Here ``base`` is an index distribution over
+    positions 0..len(enum_cls)-1 in definition order, and samples are the
+    members' ``.value`` as int arrays (traced-safe — Python Enum objects
+    cannot be traced values on TPU); recover the member host-side with
+    ``enum_cls(int(v))``. Duplicate values sum their index mass, as in the
+    reference's RelabeledDistribution."""
+    labels = jnp.asarray([m.value for m in enum_cls])
+    return RelabeledDistribution(labels, base)

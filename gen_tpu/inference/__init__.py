@@ -15,7 +15,7 @@ from .trace_translators import (transform, TraceTransform, TransformContext,
                                 SimpleExtendingTraceTranslator,
                                 SymmetricTraceTranslator, mh_involutive,
                                 involutive_mcmc)
-from .kernel_dsl import (primitive_kernel, reversal, seq, repeat, mixture,
+from .kernel_dsl import (primitive_kernel, reversal, seq, repeat, for_range, mixture,
                          cond_kernel, check_observations, checked)
 from ..combinators.arena import smc_run  # noqa: F401 (SMC convenience)
 from .smc import smc_genealogy, reconstruct_trajectories
@@ -66,6 +66,6 @@ __all__ = [
     "DeterministicTraceTranslator", "GeneralTraceTranslator",
     "SimpleExtendingTraceTranslator", "SymmetricTraceTranslator",
     "mh_involutive", "involutive_mcmc",
-    "primitive_kernel", "reversal", "seq", "repeat", "mixture",
+    "primitive_kernel", "reversal", "seq", "repeat", "for_range", "mixture",
     "cond_kernel", "check_observations", "checked",
 ]

@@ -94,6 +94,34 @@ def repeat(n: int, kernel):
     return _set_reversal(composite, composite_rev)
 
 
+def for_range(n: int, make_kernel: Callable):
+    """The reference's ``@kern for i in 1:n`` block (kernel_dsl.jl:118-226):
+    apply ``make_kernel(i)`` for i = 0..n-1 in order. The reversal reverses
+    BOTH the loop range and each body kernel — ``reversal(for_range(n, f))``
+    applies ``reversal(f(i))`` for i = n-1..0 — which is what makes a
+    position-sweep kernel usable inside involutive/annealed constructions
+    where the reverse-order sweep is required."""
+    kernels = [make_kernel(i) for i in range(n)]
+
+    def composite(key, trace, *args):
+        aux = []
+        for k in kernels:
+            key, sub = jax.random.split(key)
+            trace, a = k(sub, trace, *args)
+            aux.append(a)
+        return trace, aux
+
+    def composite_rev(key, trace, *args):
+        aux = []
+        for k in reversed(kernels):
+            key, sub = jax.random.split(key)
+            trace, a = reversal(k)(sub, trace, *args)
+            aux.append(a)
+        return trace, aux
+
+    return _set_reversal(composite, composite_rev)
+
+
 def mixture(probs: Sequence[float], kernels: Sequence[Callable]):
     """Choose a kernel at random each step (stationary if each component
     is); self-reversal uses component reversals with the same probs

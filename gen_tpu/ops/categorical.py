@@ -43,15 +43,25 @@ def _uniform_from_bits(bits):
     return fbits - 1.0
 
 
-def _kernel(k_actual, logits_ref, seed_ref, out_ref):
+def _kernel(k_actual, injected, *refs):
     from jax.experimental.pallas import tpu as pltpu
     import jax.experimental.pallas as pl
-    # per-tile stream: golden-ratio-mix the tile id into the second seed
-    # word (the TPU PRNG accepts at most two seed values)
-    pid = pl.program_id(0).astype(jnp.uint32)
-    pltpu.prng_seed(seed_ref[0], seed_ref[1] ^ (pid * jnp.uint32(0x9E3779B9)))
-    x = logits_ref[...].astype(jnp.float32)
-    u = _uniform_from_bits(pltpu.prng_random_bits(x.shape))
+    if injected:
+        # host-side PRNG substitute: uniforms are an input, which makes the
+        # kernel exactly comparable to the XLA gumbel-argmax (and runnable
+        # under the TPU interpreter on CPU — tests/test_ops_categorical.py)
+        logits_ref, seed_ref, u_ref, out_ref = refs
+        x = logits_ref[...].astype(jnp.float32)
+        u = u_ref[...]
+    else:
+        logits_ref, seed_ref, out_ref = refs
+        # per-tile stream: golden-ratio-mix the tile id into the second seed
+        # word (the TPU PRNG accepts at most two seed values)
+        pid = pl.program_id(0).astype(jnp.uint32)
+        pltpu.prng_seed(seed_ref[0],
+                        seed_ref[1] ^ (pid * jnp.uint32(0x9E3779B9)))
+        x = logits_ref[...].astype(jnp.float32)
+        u = _uniform_from_bits(pltpu.prng_random_bits(x.shape))
     # gumbel = -log(-log(u)); clamp away u=0 exactly like jax.random does
     tiny = jnp.float32(1.1754944e-38)
     g = -jnp.log(-jnp.log(jnp.maximum(u, tiny)))
@@ -63,16 +73,21 @@ def _kernel(k_actual, logits_ref, seed_ref, out_ref):
     out_ref[:, 0] = jnp.minimum(idx, k_actual - 1)
 
 
-@functools.partial(jax.jit, static_argnames=("use_pallas",))
-def batched_categorical(key, logits, use_pallas: bool = False):
+@functools.partial(jax.jit, static_argnames=("use_pallas", "interpret"))
+def batched_categorical(key, logits, use_pallas: bool = False,
+                        injected_u=None, interpret: bool = False):
     """Sample ``out[i] ~ Categorical(softmax(logits[i]))``.
 
     logits: (N, K) unnormalized log-probabilities. Returns (N,) int32.
     On TPU (``use_pallas=True``) runs the fused VMEM kernel; otherwise the
-    XLA gumbel-argmax (identical distribution).
+    XLA gumbel-argmax (identical distribution). Testing hooks:
+    ``injected_u`` (N, K) uniforms replace the on-core PRNG;
+    ``interpret=True`` runs the kernel under the Pallas TPU interpreter.
     """
     logits = jnp.asarray(logits)
     n, k = logits.shape
+    if interpret:
+        use_pallas = True
     if not use_pallas:
         return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
     import jax.experimental.pallas as pl
@@ -84,16 +99,26 @@ def batched_categorical(key, logits, use_pallas: bool = False):
     padded = jax.lax.dynamic_update_slice(
         padded, logits.astype(jnp.float32), (0, 0))
     seed = jax.random.key_data(key).astype(jnp.uint32).reshape(-1)[:2]
+    in_specs = [pl.BlockSpec((_TILE_N, k_pad), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM)]
+    inputs = [padded, seed]
+    if injected_u is not None:
+        u_pad = jnp.zeros((n_pad, k_pad), jnp.float32)
+        u_pad = jax.lax.dynamic_update_slice(
+            u_pad, jnp.asarray(injected_u, jnp.float32), (0, 0))
+        in_specs.append(pl.BlockSpec((_TILE_N, k_pad), lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM))
+        inputs.append(u_pad)
     out = pl.pallas_call(
-        functools.partial(_kernel, k),
+        functools.partial(_kernel, k, injected_u is not None),
         grid=(n_pad // _TILE_N,),
         out_shape=jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
-        in_specs=[pl.BlockSpec((_TILE_N, k_pad), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-                  pl.BlockSpec(memory_space=pltpu.SMEM)],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((_TILE_N, 1), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-    )(padded, seed)
+        interpret=(pltpu.InterpretParams() if interpret else False),
+    )(*inputs)
     return out[:n, 0]
 
 

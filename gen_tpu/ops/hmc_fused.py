@@ -75,9 +75,20 @@ def _normals(n_planes, plane_shape):
 
 
 def _kernel(n_steps, L, eps, eps_jitter, collect_idx, n_res, plane_fn,
-            v_ref, seed_ref, res_ref, mass_ref, out_ref, vout_ref, acc_ref):
+            injected, *refs):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
+
+    if injected:
+        # host-side PRNG substitute: per-step step sizes / momenta normals /
+        # accept uniforms are precomputed inputs — the kernel logic is
+        # otherwise identical, which is what makes exact kernel-vs-reference
+        # comparison possible (incl. interpret mode on CPU, where the
+        # on-core PRNG has no lowering)
+        (v_ref, seed_ref, res_ref, mass_ref, eps_ref, z_ref, u_ref,
+         out_ref, vout_ref, acc_ref) = refs
+    else:
+        v_ref, seed_ref, res_ref, mass_ref, out_ref, vout_ref, acc_ref = refs
 
     # staged residual scalars (everything data-dependent was computed
     # outside the kernel by the partial-eval pass in scalarize.py)
@@ -90,8 +101,10 @@ def _kernel(n_steps, L, eps, eps_jitter, collect_idx, n_res, plane_fn,
         # so a ones-cotangent vjp IS the per-chain gradient
         return lp, pullback(jnp.ones_like(lp))[0]
 
-    pid = pl.program_id(0).astype(jnp.uint32)
-    pltpu.prng_seed(seed_ref[0], seed_ref[1] ^ (pid * jnp.uint32(0x9E3779B9)))
+    if not injected:
+        pid = pl.program_id(0).astype(jnp.uint32)
+        pltpu.prng_seed(seed_ref[0],
+                        seed_ref[1] ^ (pid * jnp.uint32(0x9E3779B9)))
 
     v0 = v_ref[...]
     lp0, g0 = vag_planes(v0)
@@ -108,10 +121,14 @@ def _kernel(n_steps, L, eps, eps_jitter, collect_idx, n_res, plane_fn,
 
     def step(i, carry):
         v, lp, g, acc = carry
-        jit_bits = _uniform(pltpu.prng_random_bits((SUB, 128)))
-        eps_i = eps * (1.0 - eps_jitter
-                       + 2.0 * eps_jitter * jit_bits[0, 0])
-        z = _normals(d, plane)
+        if injected:
+            eps_i = eps_ref[i]
+            z = z_ref[i]
+        else:
+            jit_bits = _uniform(pltpu.prng_random_bits((SUB, 128)))
+            eps_i = eps * (1.0 - eps_jitter
+                           + 2.0 * eps_jitter * jit_bits[0, 0])
+            z = _normals(d, plane)
         mom0 = jnp.stack([mom_scale[i] * z[i] for i in range(d)])
 
         def leap(_, c):
@@ -129,8 +146,11 @@ def _kernel(n_steps, L, eps, eps_jitter, collect_idx, n_res, plane_fn,
         kin1 = kin(m_new)
         alpha = lp_new - lp - kin1 + kin0
         alpha = jnp.where(jnp.isnan(alpha), -jnp.inf, alpha)
-        u = jnp.maximum(_uniform(pltpu.prng_random_bits(plane)),
-                        jnp.float32(1.1754944e-38))
+        if injected:
+            u = u_ref[i]
+        else:
+            u = jnp.maximum(_uniform(pltpu.prng_random_bits(plane)),
+                            jnp.float32(1.1754944e-38))
         accept = jnp.log(u) < alpha
         v = jnp.where(accept[None], v_new, v)
         lp = jnp.where(accept, lp_new, lp)
@@ -167,13 +187,14 @@ def _from_planes(planes, n):
 
 @functools.partial(jax.jit, static_argnames=(
     "logp", "n_steps", "L", "eps", "eps_jitter", "collect_idx", "tile",
-    "use_pallas"))
+    "use_pallas", "interpret"))
 def hmc_chains_fused(key, logp: Callable, values0, n_steps: int,
                      L: int = 10, eps: float = 0.1,
                      eps_jitter: float = 0.2,
                      collect_idx: Optional[int] = 0, tile: int = _DEF_TILE,
                      inv_mass_diag=None,
-                     use_pallas: Optional[bool] = None):
+                     use_pallas: Optional[bool] = None,
+                     injected_rng=None, interpret: bool = False):
     """Run ``n_steps`` full HMC updates on (n_chains, d) ``values0``.
 
     Returns ``(values (n, d), collected, accept_counts (n,))`` where
@@ -185,10 +206,21 @@ def hmc_chains_fused(key, logp: Callable, values0, n_steps: int,
     ``inv_mass_diag``: optional (d,) inverse-mass diagonal (may be traced —
     it enters the kernel as SMEM scalars). ``use_pallas=None``
     auto-dispatches: the fused kernel on TPU, the XLA path elsewhere.
-    """
+
+    Testing hooks: ``injected_rng=(step_sizes (n_steps,), z (n_steps, n, d),
+    u (n_steps, n))`` replaces the on-core PRNG with precomputed step
+    sizes / momentum normals / accept uniforms, making the kernel exactly
+    reproducible against a reference implementation; ``interpret=True``
+    runs the kernel under the Pallas TPU interpreter (CPU), which is how
+    CI exercises the real kernel logic (tests/test_hmc_fused.py)."""
     if use_pallas is None:
         from .resample import on_tpu
         use_pallas = on_tpu()
+    if interpret:
+        use_pallas = True
+    if injected_rng is not None and not use_pallas:
+        raise ValueError("injected_rng requires the Pallas path "
+                         "(use_pallas=True or interpret=True)")
     values0 = jnp.asarray(values0, jnp.float32)
     n, d = values0.shape
     inv_mass = (jnp.ones((d,), jnp.float32) if inv_mass_diag is None
@@ -234,26 +266,54 @@ def hmc_chains_fused(key, logp: Callable, values0, n_steps: int,
         out_spec = pl.BlockSpec((n_steps, SUB, tc), lambda i: (0, 0, i),
                                 memory_space=pltpu.VMEM)
 
+    in_specs = [pl.BlockSpec((d, SUB, tc), lambda i: (0, 0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM)]
+    inputs = [planes, seed, res_consts, inv_mass]
+    if injected_rng is not None:
+        eps_steps, z_all, u_all = injected_rng
+        eps_steps = jnp.asarray(eps_steps, jnp.float32).reshape(n_steps)
+        # (n_steps, n, d) -> (n_steps, d, SUB, cols) plane layout, padded
+        # consistently with _to_planes
+        def to_plane_steps(x):
+            pad = jnp.concatenate(
+                [x, jnp.broadcast_to(x[:, :1], (n_steps, n_pad - n)
+                                     + x.shape[2:])], axis=1) \
+                if n_pad != n else x
+            if pad.ndim == 3:
+                return jnp.moveaxis(pad, 2, 1).reshape(n_steps, d, SUB,
+                                                       cols)
+            return pad.reshape(n_steps, SUB, cols)
+        z_p = to_plane_steps(jnp.asarray(z_all, jnp.float32))
+        u_p = to_plane_steps(jnp.asarray(u_all, jnp.float32))
+        in_specs += [pl.BlockSpec(memory_space=pltpu.SMEM),
+                     pl.BlockSpec((n_steps, d, SUB, tc),
+                                  lambda i: (0, 0, 0, i),
+                                  memory_space=pltpu.VMEM),
+                     pl.BlockSpec((n_steps, SUB, tc), lambda i: (0, 0, i),
+                                  memory_space=pltpu.VMEM)]
+        inputs += [eps_steps, z_p, u_p]
+
     out, vout, acc = pl.pallas_call(
         functools.partial(_kernel, n_steps, L, float(eps),
                           float(eps_jitter),
                           None if collect_idx is None else int(collect_idx),
-                          res_consts.shape[0], plane_fn),
+                          res_consts.shape[0], plane_fn,
+                          injected_rng is not None),
         grid=(grid,),
         out_shape=(out_shape,
                    jax.ShapeDtypeStruct((d, SUB, cols), jnp.float32),
                    jax.ShapeDtypeStruct((SUB, cols), jnp.float32)),
-        in_specs=[pl.BlockSpec((d, SUB, tc), lambda i: (0, 0, i),
-                               memory_space=pltpu.VMEM),
-                  pl.BlockSpec(memory_space=pltpu.SMEM),
-                  pl.BlockSpec(memory_space=pltpu.SMEM),
-                  pl.BlockSpec(memory_space=pltpu.SMEM)],
+        in_specs=in_specs,
         out_specs=(out_spec,
                    pl.BlockSpec((d, SUB, tc), lambda i: (0, 0, i),
                                 memory_space=pltpu.VMEM),
                    pl.BlockSpec((SUB, tc), lambda i: (0, i),
                                 memory_space=pltpu.VMEM)),
-    )(planes, seed, res_consts, inv_mass)
+        interpret=(pltpu.InterpretParams() if interpret else False),
+    )(*inputs)
 
     values = _from_planes(vout, n)
     if collect_idx is None:

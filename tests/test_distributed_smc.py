@@ -133,3 +133,18 @@ def test_ring_smc_weight_invariant():
         ess_threshold=float("inf"), exchange="ring")
     assert np.all(np.isfinite(np.asarray(log_w)))
     assert np.isfinite(float(lml))
+
+
+def test_ring_smc_device_count_lml_consistent():
+    """Ring-mode island resampling changes with the island structure, so
+    1-vs-8 devices are not bitwise equal — but the log-ML estimator stays
+    unbiased at every device count (VERDICT r1 item 7): seed-averaged
+    log-ML at 2/4/8 devices must all sit on the exact forward-algorithm
+    value within MC tolerance."""
+    exact = exact_log_ml(OBS_SEQ)
+    for n_dev in (2, 4, 8):
+        mesh = chain_mesh(n_dev, axis="particles")
+        lmls = [float(sharded_smc_genealogy(
+            jax.random.PRNGKey(s), hmm_kernel, 0, (), OBS, 2048, mesh,
+            exchange="ring")[3]) for s in range(4)]
+        assert abs(np.mean(lmls) - exact) < 0.08, (n_dev, lmls, exact)

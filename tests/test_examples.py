@@ -33,16 +33,61 @@ def test_coal_example_smoke():
 
 
 def test_gp_structure_example_smoke():
+    """Subtree-replace involutive MH on the recursive covariance grammar:
+    every one of the first 40 sweeps runs with round-trip checking ON, so
+    this exercises the transform-DSL involution on tree-structured traces
+    (trans-dimensional in both shape and leaf-parameter layout)."""
     import gp_structure
     import gen_tpu as gt
     xs, ys = gp_structure.make_dataset(n=15)
     obs = gt.choicemap(ys=ys)
     key = jax.random.PRNGKey(0)
-    trace, _ = gp_structure.gp_model.generate(key, (xs,), obs)
-    for i in range(20):
+    trace, _ = gp_structure.gp_model.generate(key, (xs, 2), obs)
+    seen = set()
+    for i in range(40):
         key, sub = jax.random.split(key)
-        trace = gp_structure.sweep(sub, trace)
+        trace, _ = gp_structure.sweep(sub, trace, check=True)
+        seen.add(gp_structure.structure_of(trace.get_retval()))
     assert np.isfinite(float(trace.get_score()))
+    assert len(seen) > 1, "no structure move ever accepted"
+
+
+def test_gp_structure_exactness_gate():
+    """Sampler structure frequencies vs the enumerated 36-structure oracle
+    (max_depth=1). Reduced sweep count => looser gate than the example's
+    full run (TV 0.031 at 16k sweeps, calibrated)."""
+    import gp_structure as g
+    from collections import Counter
+    rng = np.random.default_rng(3)
+    xs = jax.numpy.asarray(np.linspace(0, 1, 12))
+    ys = jax.numpy.asarray(0.9 * (np.asarray(xs) - 0.4)
+                           + 0.07 * rng.standard_normal(12))
+    exact = g.exact_structure_posterior(xs, ys, max_depth=1, num_mc=20000)
+    _, structs = g.run_chain(jax.random.PRNGKey(42), xs, ys, max_depth=1,
+                             n_sweeps=3000, check_first=5)
+    counts = Counter(structs)
+    emp = {s: counts.get(s, 0) / len(structs) for s in exact}
+    tv = 0.5 * sum(abs(emp[s] - exact[s]) for s in exact)
+    assert tv < 0.25, (tv, emp)
+    # the dominant structure must be identified
+    top_exact = max(exact, key=exact.get)
+    assert emp[top_exact] > 0.3, (top_exact, emp[top_exact])
+
+
+def test_planning_example():
+    """Grid value-iteration planner as a CustomDetermGF inside the agent
+    model; SMC posterior over the destination must sharpen with evidence
+    and the planner's NoChange update must reuse cached state."""
+    import planning
+    planning.demo_custom_update_state()
+    obs_path = planning.simulate_observations(10, (0.85, 0.25), seed=0)
+    state, history = planning.run_smc(jax.random.PRNGKey(0), obs_path,
+                                      n_particles=256)
+    mean_f, sd_f = history[-1]
+    _, sd_0 = history[1]
+    assert np.all(sd_f < sd_0), (sd_f, sd_0)
+    err = float(np.linalg.norm(mean_f - np.array([0.85, 0.25])))
+    assert err < 0.3, (mean_f, err)
 
 
 def test_pmmh_example_smoke():

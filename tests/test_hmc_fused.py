@@ -1,6 +1,8 @@
-"""Fused Pallas HMC (ops/hmc_fused.py): layout plumbing + XLA-fallback
-posterior recovery on CPU; kernel exactness runs TPU-only (the on-core
-PRNG has no CPU lowering), mirrored by benchmarks/bench_verify.py."""
+"""Fused Pallas HMC (ops/hmc_fused.py): layout plumbing, XLA-fallback
+posterior recovery, scalarization equivalence, and — via the Pallas TPU
+interpreter with injected (host-side) randomness — EXACT kernel-vs-reference
+comparison on CPU, so CI exercises the real kernel logic. On-core-PRNG
+statistics remain TPU-only (benchmarks/bench_verify.py)."""
 
 import jax
 import jax.numpy as jnp
@@ -177,3 +179,127 @@ def test_fallback_mass_matrix():
     assert float(np.mean(np.asarray(accs))) / 400 > 0.6
     np.testing.assert_allclose(s[..., 0].std(), 1.0, rtol=0.1)
     np.testing.assert_allclose(s[..., 1].std(), 30.0, rtol=0.1)
+
+
+def _reference_hmc_injected(logp, values0, eps_steps, z, u, L, inv_mass,
+                            collect_idx):
+    """Plain-XLA reference consuming the same injected randomness as the
+    kernel: exact comparison target for the interpret-mode tests."""
+    lp_fn = jax.vmap(logp)
+    g_fn = jax.vmap(jax.grad(logp))
+    v = values0
+    lp, g = lp_fn(v), g_fn(v)
+    acc = jnp.zeros(v.shape[0])
+    collected = []
+    mom_scale = 1.0 / jnp.sqrt(inv_mass)
+
+    def kin(m):
+        return 0.5 * jnp.sum(inv_mass * m * m, axis=1)
+
+    for i in range(eps_steps.shape[0]):
+        eps_i = eps_steps[i]
+        mom0 = mom_scale * z[i]
+        vv, m, gg, llp = v, mom0, g, lp
+        for _ in range(L):
+            m = m + 0.5 * eps_i * gg
+            vv = vv + eps_i * inv_mass * m
+            llp, gg = lp_fn(vv), g_fn(vv)
+            m = m + 0.5 * eps_i * gg
+        alpha = llp - lp - kin(m) + kin(mom0)
+        alpha = jnp.where(jnp.isnan(alpha), -jnp.inf, alpha)
+        accept = jnp.log(u[i]) < alpha
+        v = jnp.where(accept[:, None], vv, v)
+        lp = jnp.where(accept, llp, lp)
+        g = jnp.where(accept[:, None], gg, g)
+        acc = acc + accept
+        collected.append(v if collect_idx is None else v[:, collect_idx])
+    return v, jnp.stack(collected), acc
+
+
+def _injected_rng(key, n_steps, n, d, eps, jitter):
+    ks = jax.random.split(key, 3)
+    eps_steps = eps * (1.0 - jitter
+                       + 2.0 * jitter * jax.random.uniform(ks[0], (n_steps,)))
+    z = jax.random.normal(ks[1], (n_steps, n, d))
+    u = jnp.maximum(jax.random.uniform(ks[2], (n_steps, n)), 1e-30)
+    return eps_steps, z, u
+
+
+def test_interpret_kernel_matches_reference_exactly():
+    """The ACTUAL Pallas kernel (TPU interpreter on CPU) with injected
+    randomness must match the plain-XLA reference step for step — leapfrog
+    arithmetic, diagonal mass, MH accept, layout, collection. x64 is
+    disabled locally: the kernel is an f32 program (as on TPU), and the
+    suite-wide x64 default would promote staged literals to f64."""
+    with jax.enable_x64(False):
+        _run_interpret_gaussian_case()
+
+
+def _run_interpret_gaussian_case():
+    sds = jnp.array([1.0, 4.0, 0.5])
+
+    def logp(x):
+        return -0.5 * jnp.sum((x / sds) ** 2)
+
+    n, d, n_steps, L = 1024, 3, 30, 4
+    vals0 = jax.random.normal(KEY, (n, d)) * sds
+    inv_mass = sds ** 2
+    rng = _injected_rng(jax.random.PRNGKey(7), n_steps, n, d, 0.5, 0.2)
+
+    vals_k, coll_k, acc_k = hmc_chains_fused(
+        jax.random.PRNGKey(1), logp, vals0, n_steps=n_steps, L=L, eps=0.5,
+        collect_idx=1, inv_mass_diag=inv_mass, injected_rng=rng,
+        interpret=True)
+    vals_r, coll_r, acc_r = _reference_hmc_injected(
+        logp, vals0, *rng, L, inv_mass, 1)
+
+    np.testing.assert_allclose(np.asarray(acc_k), np.asarray(acc_r))
+    np.testing.assert_allclose(np.asarray(vals_k), np.asarray(vals_r),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(coll_k), np.asarray(coll_r),
+                               rtol=1e-5, atol=1e-5)
+    assert 0.3 < float(jnp.mean(acc_k)) / n_steps
+
+
+def test_interpret_kernel_scalarized_model():
+    """Interpret-mode kernel on the full GFI assess-logp via the
+    scalarization pass (the exact production configuration of bench.py),
+    collect_idx=None (all coordinates)."""
+    with jax.enable_x64(False):
+        _run_interpret_scalarized_case()
+
+
+def _run_interpret_scalarized_case():
+    n_pts = 50
+    xs = jnp.linspace(-3.0, 3.0, n_pts)
+    rng0 = np.random.default_rng(0)
+    ys = 0.7 * xs - 0.4 + 0.5 * jnp.asarray(rng0.standard_normal(n_pts))
+    X = jnp.stack([xs, jnp.ones_like(xs)], axis=1)
+
+    @gen
+    def m(X):
+        slope = gt.normal(0.0, 2.0) @ "slope"
+        intercept = gt.normal(0.0, 2.0) @ "intercept"
+        log_noise = gt.normal(0.0, 1.0) @ "log_noise"
+        gt.normal_linear(X, jnp.stack([slope, intercept]),
+                         jnp.exp(log_noise)) @ "ys"
+
+    one, _ = m.generate(KEY, (X,), choicemap(ys=ys))
+    target = FlatTarget(one, select("slope", "intercept", "log_noise"))
+
+    n, d, n_steps, L = 1024, 3, 12, 3
+    vals0 = 0.1 * jax.random.normal(KEY, (n, d))
+    rng = _injected_rng(jax.random.PRNGKey(3), n_steps, n, d, 0.035, 0.2)
+
+    vals_k, coll_k, acc_k = hmc_chains_fused(
+        jax.random.PRNGKey(1), target.logp, vals0, n_steps=n_steps, L=L,
+        eps=0.035, collect_idx=None, injected_rng=rng, interpret=True)
+    vals_r, coll_r, acc_r = _reference_hmc_injected(
+        target.logp, vals0, *rng, L, jnp.ones(d), None)
+
+    np.testing.assert_allclose(np.asarray(acc_k), np.asarray(acc_r))
+    np.testing.assert_allclose(np.asarray(vals_k), np.asarray(vals_r),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(coll_k), np.asarray(coll_r),
+                               rtol=2e-4, atol=2e-4)
+    assert float(jnp.mean(acc_k)) / n_steps > 0.5

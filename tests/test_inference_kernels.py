@@ -213,3 +213,63 @@ def test_hmc_with_mass_matrix():
     mus = _run_chain(step, tr, 3000)[500:]
     np.testing.assert_allclose(mus.mean(), POST_MU, atol=0.05)
     np.testing.assert_allclose(mus.std(), np.sqrt(POST_VAR), atol=0.04)
+
+
+def test_for_range_reversal():
+    """for_range sweeps kernels in index order; its reversal reverses BOTH
+    the range and each body kernel (reference kernel_dsl.jl:118-226)."""
+    from gen_tpu.inference import for_range, reversal, primitive_kernel
+
+    log = []
+
+    def make(i):
+        def fwd(key, trace, *args):
+            log.append(("f", i))
+            return trace, None
+
+        def bwd(key, trace, *args):
+            log.append(("b", i))
+            return trace, None
+
+        return primitive_kernel(fwd, reversal_fn=bwd)
+
+    k = for_range(4, make)
+    k(jax.random.PRNGKey(0), None)
+    assert log == [("f", 0), ("f", 1), ("f", 2), ("f", 3)]
+    log.clear()
+    reversal(k)(jax.random.PRNGKey(0), None)
+    assert log == [("b", 3), ("b", 2), ("b", 1), ("b", 0)]
+    # round trip: reversal(reversal(k)) is k's order again
+    log.clear()
+    reversal(reversal(k))(jax.random.PRNGKey(0), None)
+    assert log == [("f", 0), ("f", 1), ("f", 2), ("f", 3)]
+
+
+def test_for_range_stationarity():
+    """A position sweep built with for_range leaves the posterior invariant
+    (each body is a selection-MH move on one coordinate)."""
+    from gen_tpu.inference import for_range, mh_selection
+
+    @gen
+    def m():
+        for i in range(3):
+            gt.normal(0.0, 1.0) @ ("x", i)
+
+    def make(i):
+        def k(key, trace):
+            return mh_selection(key, trace, gt.select(("x", i)))
+        return k
+
+    sweep = for_range(3, make)
+    tr = m.simulate(jax.random.PRNGKey(0), ())
+
+    @jax.jit
+    def run(tr, key):
+        def body(t, k):
+            t, _ = sweep(k, t)
+            return t, t[("x", 0)]
+        return jax.lax.scan(body, tr, jax.random.split(key, 400))
+
+    _, xs = run(tr, jax.random.PRNGKey(1))
+    s = np.asarray(xs)[100:]
+    assert abs(s.mean()) < 0.25 and abs(s.std() - 1.0) < 0.25

@@ -39,3 +39,20 @@ def test_pallas_chi_square():
     exp = probs * n
     chi2 = ((counts - exp) ** 2 / exp).sum()
     assert chi2 < 30  # df=6, 99.9% critical value ~22.5
+
+
+def test_interpret_kernel_matches_gumbel_argmax_exactly():
+    """The ACTUAL categorical kernel under the Pallas TPU interpreter with
+    injected uniforms must reproduce the XLA gumbel-argmax index for index
+    (incl. the K-padding mask and tie-breaking toward the lowest index)."""
+    from gen_tpu.ops.categorical import batched_categorical
+    with jax.enable_x64(False):
+        rng = np.random.default_rng(0)
+        n, k = 300, 37      # non-multiples of the tile sizes: padding active
+        logits = jnp.asarray(rng.standard_normal((n, k)) * 2.0, jnp.float32)
+        u = jnp.asarray(rng.uniform(1e-6, 1.0, (n, k)), jnp.float32)
+        got = batched_categorical(jax.random.PRNGKey(0), logits,
+                                  injected_u=u, interpret=True)
+        g = -jnp.log(-jnp.log(u))
+        want = jnp.argmax(logits + g, axis=1).astype(jnp.int32)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
