@@ -3,6 +3,7 @@ from .continuous import (
     Normal, normal, broadcasted_normal, normal_linear, mvnormal, uniform,
     uniform_continuous, beta, beta_uniform, gamma, inv_gamma, exponential,
     cauchy, laplace, piecewise_uniform, student_t, dirichlet,
+    piecewise_poisson_process, PiecewisePoissonProcess,
 )
 from .mixture import HomogeneousMixture, HeterogeneousMixture
 from .dist_dsl import (TransformedDistribution, RelabeledDistribution,
@@ -18,7 +19,7 @@ __all__ = [
     "normal", "broadcasted_normal", "normal_linear", "mvnormal", "uniform",
     "uniform_continuous", "beta", "beta_uniform", "gamma", "inv_gamma",
     "exponential", "cauchy", "laplace", "piecewise_uniform", "student_t",
-    "dirichlet",
+    "dirichlet", "piecewise_poisson_process", "PiecewisePoissonProcess",
     "HomogeneousMixture", "HeterogeneousMixture",
     "TransformedDistribution", "RelabeledDistribution",
     "ArgMappedDistribution", "Bijection", "affine_bijection", "exp_of", "enum_dist",

@@ -280,6 +280,73 @@ class PiecewiseUniform(Distribution):
         return jnp.sum(jnp.where(inside, lp, -jnp.inf))
 
 
+class PiecewisePoissonProcess(Distribution):
+    """piecewise_poisson_process(bounds, rates): a piecewise-homogeneous
+    Poisson process observed as a vector of event times.
+    Reference: examples/coal/poisson_process.jl:31-53.
+
+    ``bounds`` is an ascending vector of n+1 segment edges; ``rates`` the n
+    segment intensities. The density over an event vector x is the
+    reference's formula exactly::
+
+        logpdf(x) = sum_i log(rates[segment(x_i)]) - sum_j rates_j * len_j
+
+    (-inf if bounds are not ascending or an event falls outside
+    [bounds[0], bounds[-1]]).
+
+    TPU-native notes: the event COUNT is part of the value's static shape,
+    so the singleton is observation-oriented (the reference only ever
+    observes this distribution). ``sample`` requires an instance built with
+    an explicit ``max_events`` and returns a PADDED vector whose inactive
+    tail is +inf; logpdf ignores non-finite entries via a mask, so padded
+    simulations and fixed-length observations share one density. Zero-
+    length segments are allowed (the coal_sort arena pins inactive
+    changepoint slots at t_end, making their segments empty).
+    """
+
+    arg_grads = (False, True)
+
+    def __init__(self, max_events=None):
+        self.max_events = max_events
+
+    def sample(self, key, bounds, rates):
+        if self.max_events is None:
+            raise NotImplementedError(
+                "piecewise_poisson_process is observation-oriented under "
+                "XLA's static shapes; construct "
+                "PiecewisePoissonProcess(max_events=N) for padded "
+                "simulation")
+        bounds, rates = _f(bounds), _f(rates)
+        lens = jnp.diff(bounds)
+        cell = rates * lens
+        total = jnp.sum(cell)
+        kn, ku = jax.random.split(key)
+        n = jnp.minimum(jax.random.poisson(kn, total), self.max_events)
+        # inverse-CDF through the cumulative intensity
+        cum = jnp.concatenate([jnp.zeros(1, bounds.dtype), jnp.cumsum(cell)])
+        u = jax.random.uniform(ku, (self.max_events,)) * total
+        seg = jnp.clip(jnp.searchsorted(cum, u, side="right") - 1,
+                       0, rates.shape[0] - 1)
+        pos = bounds[seg] + (u - cum[seg]) / jnp.maximum(rates[seg], 1e-30)
+        return jnp.where(jnp.arange(self.max_events) < n, pos, jnp.inf)
+
+    def logpdf(self, x, bounds, rates):
+        x, bounds, rates = _f(x), _f(bounds), _f(rates)
+        lens = jnp.diff(bounds)
+        ascending = jnp.all(lens >= 0)
+        total = jnp.sum(rates * lens)
+        finite = jnp.isfinite(x)
+        xs = jnp.where(finite, x, bounds[0])
+        # segment of x_i: count of interior bounds strictly below it
+        # (reference's half-open (b_j, b_{j+1}] convention)
+        seg = jnp.sum(xs[..., None] > bounds[None, 1:-1], axis=-1)
+        lp_pts = jnp.sum(jnp.where(finite, jnp.log(rates[seg]), 0.0))
+        inside = jnp.all(jnp.where(finite,
+                                   (xs >= bounds[0]) & (xs <= bounds[-1]),
+                                   True))
+        return jnp.where(ascending & inside, lp_pts - total, -jnp.inf)
+
+
 class NormalLinear(Distribution):
     """normal_linear(X, beta, sigma): vector of n iid normal observations
     with mean ``X @ beta`` and shared scale ``sigma`` — the linear-model
@@ -338,5 +405,6 @@ exponential = Exponential()
 cauchy = Cauchy()
 laplace = Laplace()
 piecewise_uniform = PiecewiseUniform()
+piecewise_poisson_process = PiecewisePoissonProcess()
 student_t = StudentT()
 dirichlet = Dirichlet()

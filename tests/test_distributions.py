@@ -331,3 +331,35 @@ def test_multinomial():
     fd = (f(probs + 1e-6 * d) - f(probs - 1e-6 * d)) / 2e-6
     np.testing.assert_allclose(float(np.dot(np.asarray(g), d)), fd,
                                rtol=1e-4)
+
+
+def test_piecewise_poisson_process():
+    """Density matches the reference formula (poisson_process.jl:34-53):
+    sum log rate(seg) - integral, half-open (b, b'] segments, -inf outside
+    bounds or non-ascending bounds; padded +inf entries are ignored."""
+    import gen_tpu as gt
+    bounds = jnp.array([0.0, 2.0, 5.0, 10.0])
+    rates = jnp.array([0.5, 2.0, 1.0])
+    x = jnp.array([1.0, 2.0, 3.0, 9.0])
+    expect = (np.log(0.5) + np.log(0.5) + np.log(2.0) + np.log(1.0)
+              - (0.5 * 2 + 2 * 3 + 1 * 5))
+    got = float(gt.piecewise_poisson_process.logpdf(x, bounds, rates))
+    np.testing.assert_allclose(got, expect, rtol=1e-6)
+    xp = jnp.concatenate([x, jnp.full(3, jnp.inf)])
+    np.testing.assert_allclose(
+        float(gt.piecewise_poisson_process.logpdf(xp, bounds, rates)),
+        expect, rtol=1e-6)
+    assert float(gt.piecewise_poisson_process.logpdf(
+        jnp.array([11.0]), bounds, rates)) == -np.inf
+    assert float(gt.piecewise_poisson_process.logpdf(
+        x, bounds[::-1], rates)) == -np.inf
+    # padded simulation: count and segment-occupancy moments
+    d = gt.PiecewisePoissonProcess(max_events=64)
+    keys = jax.random.split(jax.random.PRNGKey(0), 2000)
+    samps = jax.vmap(lambda k: d.sample(k, bounds, rates))(keys)
+    finite = jnp.isfinite(samps)
+    np.testing.assert_allclose(float(jnp.sum(finite, axis=1).mean()), 12.0,
+                               atol=0.3)
+    frac = float(jnp.sum(finite & (samps > 2.0) & (samps <= 5.0))
+                 / jnp.sum(finite))
+    np.testing.assert_allclose(frac, 0.5, atol=0.02)
