@@ -238,8 +238,12 @@ def run_target(name, model, args, obs, sel, exact, collect_addr, *,
     rhat_worst = 0.0
     for p in paths:
         lo, hi = offsets[paths.index(p)], offsets[paths.index(p) + 1]
-        summ = summarize({str(p): jnp.asarray(hv[:, :, lo:hi])})
-        rh = float(np.max(np.asarray(summ[str(p)]["rhat"])))
+        # one coordinate at a time: the rank-normalized ESS does a padded
+        # FFT over (steps, chains) — the full (steps, chains, d) block at
+        # the hard targets' 2000-step runs over-commits TPU HBM
+        rh = max(float(np.max(np.asarray(
+            summarize({"c": jnp.asarray(hv[:, :, j])})["c"]["rhat"])))
+            for j in range(lo, hi))
         rhat_worst = max(rhat_worst, rh)
         print(f"  rhat[{p}] = {rh:.4f}", "OK" if rh < 1.01 else "FAIL")
         ok &= rh < 1.01
@@ -257,7 +261,7 @@ def run_target(name, model, args, obs, sel, exact, collect_addr, *,
 def main(small=False):
     cfg = dict(n_chains=524288 // (128 if small else 1),
                n_steps=500 // (2 if small else 1),
-               num_warmup=400, rhat_chains=8192 // (32 if small else 1))
+               num_warmup=400, rhat_chains=2048 // (8 if small else 1))
     # rhat_steps per target: R-hat < 1.01 needs per-chain ESS well past the
     # between-chain estimator's own noise floor; the hard-geometry targets
     # mix slower per draw and get proportionally longer validation runs

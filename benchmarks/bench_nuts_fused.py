@@ -1,0 +1,204 @@
+"""Fused Pallas FSM-NUTS (ops/nuts_fused.py) on real TPU: validated
+throughput on the hard targets, vs the XLA FSM at the same configuration.
+
+Methodology (the bench_verify evidence standard):
+
+- ChEES cross-chain warmup supplies the shared step size + diagonal mass
+  (NUTS chooses trajectory lengths itself, so the ChEES trajectory-length
+  output is unused).
+- The kernel emits per-tick (current-sample coordinate, completed-count)
+  streams; completed draws are extracted EXACTLY ONCE each via the count
+  stream (the raw tick series is length-biased for moments — inspection
+  paradox), giving a true (draws, chains) array per coordinate.
+- Every coordinate is validated: one kernel run per collect_idx (runs are
+  cheap after the first compile), cross-chain moments of the extracted
+  draws vs the exact reference, and rank-normalized split-R-hat computed
+  directly on the extracted (draws, chains) block.
+- Throughput = autocorrelation ESS of the timed run's TICK series /
+  wall-clock (the tick series is the fair analogue of the fused HMC
+  kernel's per-step series; plateau lengths encode trajectory costs).
+
+Run (real TPU): python benchmarks/bench_nuts_fused.py
+Quick CPU check: python benchmarks/bench_nuts_fused.py --small
+"""
+
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import gen_tpu as gt
+from gen_tpu import choicemap, gen, select
+
+from bench_hard_targets import (YS_8, SIGMAS_8, eight_schools,
+                                eight_schools_exact, funnel, funnel_exact)
+
+
+from gen_tpu.ops.nuts_fused import extract_completed_draws as extract_draws
+
+
+def run_target(name, model, args, obs, sel, exact, *, n_chains, n_ticks,
+               num_warmup, max_depth=8, mean_tol=0.05, sd_tol=0.06,
+               target_accept=0.8, seed=0, use_pallas=None,
+               xla_compare_chains=None):
+    from gen_tpu.inference.chees import chees_hmc_warmup_and_sample
+    from gen_tpu.inference.target import FlatTarget
+    from gen_tpu.ops.nuts_fused import nuts_chains_fused
+    from gen_tpu.diagnostics import summarize
+    import bench as B
+
+    print(f"\n=== {name} (fused FSM-NUTS) ===")
+    key = jax.random.PRNGKey(seed)
+    k_init, k_warm, k_run, k_time = jax.random.split(key, 4)
+
+    init_keys = jax.random.split(k_init, n_chains)
+    traces, _ = jax.jit(jax.vmap(
+        lambda k: model.generate(k, args, obs)))(init_keys)
+    one_trace = jax.tree_util.tree_map(lambda x: x[0], traces)
+    target = FlatTarget(one_trace, sel)
+    paths, sizes = [], []
+    for p, v in one_trace.get_choices().filter(sel).leaf_items():
+        paths.append(p)
+        sizes.append(int(np.prod(jnp.shape(v))) if jnp.shape(v) else 1)
+    offsets = np.concatenate([[0], np.cumsum(sizes)])
+    d = int(offsets[-1])
+
+    t_w = time.time()
+    _, warm_flat, winfo = jax.jit(
+        lambda trs, k: chees_hmc_warmup_and_sample(
+            k, trs, sel, num_warmup=num_warmup, num_samples=1,
+            target_accept=target_accept))(traces, k_warm)
+    eps = float(winfo["step_size"])
+    inv_mass = winfo["inv_mass"]
+    print(f"warmup {time.time()-t_w:.1f}s: eps={eps:.4f} "
+          f"inv_mass [{float(jnp.min(inv_mass)):.3g}, "
+          f"{float(jnp.max(inv_mass)):.3g}]")
+
+    def run(c, values, k):
+        return nuts_chains_fused(k, target.logp, values, num_ticks=n_ticks,
+                                 eps=eps, max_depth=max_depth,
+                                 inv_mass_diag=inv_mass, collect_idx=c,
+                                 use_pallas=use_pallas)
+
+    # compile + extra decorrelation pass; host fetch = completion barrier
+    t_c = time.time()
+    values, hist, hcnt, cnt, stats = run(0, warm_flat, k_run)
+    float(jnp.sum(hist[-1]))
+    print(f"first kernel call (compile+run) {time.time()-t_c:.1f}s; "
+          f"mean_depth={float(jnp.mean(stats['mean_depth'])):.2f} "
+          f"mean_accept={float(jnp.mean(stats['mean_accept'])):.2f} "
+          f"divergent={int(jnp.sum(stats['num_divergent']))}")
+
+    # timed run (fresh key)
+    t0 = time.time()
+    _, hist_t, hcnt_t, cnt_t, _ = run(0, values, k_time)
+    float(jnp.sum(hist_t[-1]))
+    elapsed = time.time() - t0
+    m_t = int(jnp.min(cnt_t))
+    print(f"timed: {elapsed*1e3:.0f} ms / {n_ticks} ticks "
+          f"({elapsed*1e6/n_ticks:.0f} us/tick), min/mean completed "
+          f"trajectories {m_t}/{float(jnp.mean(cnt_t)):.1f}")
+    ess = B.autocorr_ess(np.asarray(hist_t))
+    ess_s = ess / elapsed
+    leapfrogs_s = n_ticks * n_chains / elapsed
+    print(f"ESS(coord 0) = {ess/1e6:.2f}M -> {ess_s/1e6:.1f}M ESS/s "
+          f"({leapfrogs_s/1e6:.0f}M leapfrog-grads/s)")
+
+    # validation: every coordinate, unbiased extracted draws
+    ok = True
+    rhat_worst = 0.0
+    rhat_chains = min(n_chains, 2048)
+    for p in paths:
+        lo, hi = offsets[paths.index(p)], offsets[paths.index(p) + 1]
+        worst_m = worst_s = 0.0
+        for c in range(lo, hi):
+            _, hist_c, hcnt_c, cnt_c, _ = run(c, values,
+                                              jax.random.fold_in(k_run, c))
+            m = int(jnp.min(cnt_c))
+            draws = np.asarray(extract_draws(hist_c, hcnt_c, m))
+            burn = max(1, m // 4)
+            dr = draws[burn:].astype(np.float64)
+            m_ex, s_ex = exact[p]
+            m_ex = np.atleast_1d(m_ex)[c - lo]
+            s_ex = np.atleast_1d(s_ex)[c - lo]
+            worst_m = max(worst_m, abs(dr.mean() - m_ex) / s_ex)
+            worst_s = max(worst_s, abs(dr.std() / s_ex - 1.0))
+            rh = float(np.max(np.asarray(summarize(
+                {"c": jnp.asarray(draws[burn:, :rhat_chains])})["c"]["rhat"])))
+            rhat_worst = max(rhat_worst, rh)
+            ok &= rh < 1.01
+        good = worst_m < mean_tol and worst_s < sd_tol
+        ok &= bool(good)
+        print(f"  {str(p):16s} worst |dmean|/sd={worst_m:.3f} "
+              f"worst |dsd|/sd={worst_s:.3f} {'OK' if good else 'FAIL'}")
+    print(f"  worst split-R-hat (extracted draws) = {rhat_worst:.4f}",
+          "OK" if rhat_worst < 1.01 else "FAIL")
+
+    # XLA FSM comparison at a (smaller) chain count
+    xla_row = None
+    if xla_compare_chains:
+        nx = xla_compare_chains
+        vx = values[:nx]
+        _, hx, _, _, _ = nuts_chains_fused(
+            k_run, target.logp, vx, num_ticks=n_ticks, eps=eps,
+            max_depth=max_depth, inv_mass_diag=inv_mass, collect_idx=0,
+            use_pallas=False)
+        float(jnp.sum(hx[-1]))
+        t0 = time.time()
+        _, hx, _, _, _ = nuts_chains_fused(
+            k_time, target.logp, vx, num_ticks=n_ticks, eps=eps,
+            max_depth=max_depth, inv_mass_diag=inv_mass, collect_idx=0,
+            use_pallas=False)
+        float(jnp.sum(hx[-1]))
+        el_x = time.time() - t0
+        ess_x = B.autocorr_ess(np.asarray(hx)) / el_x
+        print(f"  XLA FSM @ {nx} chains: {el_x*1e3:.0f} ms, "
+              f"{ess_x/1e6:.1f}M ESS/s -> kernel speedup "
+              f"{(ess_s / n_chains) / (ess_x / nx):.1f}x per chain")
+        xla_row = ess_x
+
+    print(f"  => {name}: {'ALL CHECKS PASS' if ok else 'CHECKS FAILED'}")
+    return dict(name=name, d=d, eps=eps, ess_per_sec=ess_s,
+                us_per_tick=elapsed * 1e6 / n_ticks,
+                leapfrogs_per_sec=leapfrogs_s, rhat_worst=rhat_worst,
+                mean_depth=float(jnp.mean(stats["mean_depth"])),
+                xla_ess_per_sec=xla_row, ok=bool(ok))
+
+
+def main(small=False):
+    div = 64 if small else 1
+    rows = []
+    sig = jnp.asarray(SIGMAS_8, jnp.float32)
+    rows.append(run_target(
+        "eight_schools", eight_schools, (sig,),
+        choicemap(ys=jnp.asarray(YS_8, jnp.float32)),
+        select("mu", "log_tau", "theta_std"), eight_schools_exact(),
+        n_chains=131072 // div, n_ticks=2000 // (4 if small else 1),
+        num_warmup=400, use_pallas=None if not small else False,
+        xla_compare_chains=8192 // div))
+    rows.append(run_target(
+        "funnel_d10", funnel, (9,), choicemap(), select("v", "x"),
+        funnel_exact(), n_chains=131072 // div,
+        n_ticks=2000 // (4 if small else 1), num_warmup=800,
+        max_depth=9, sd_tol=0.08, target_accept=0.9,
+        use_pallas=None if not small else False))
+
+    print("\n| target | d | eps | mean depth | us/tick | ESS/s | "
+          "worst R-hat | validated |")
+    print("|---|---|---|---|---|---|---|---|")
+    for r in rows:
+        print(f"| {r['name']} | {r['d']} | {r['eps']:.4f} | "
+              f"{r['mean_depth']:.1f} | {r['us_per_tick']:.0f} | "
+              f"{r['ess_per_sec']/1e6:.1f}M | {r['rhat_worst']:.4f} | "
+              f"{'yes' if r['ok'] else 'NO'} |")
+    return 0 if all(r["ok"] for r in rows) else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(small="--small" in sys.argv))

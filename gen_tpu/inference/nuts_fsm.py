@@ -50,7 +50,8 @@ class FSMResult(NamedTuple):
 def nuts_fsm(key, value_and_grad, theta0, step_size, num_ticks: int,
              max_depth: int = 10, inv_mass_diag=None,
              num_sample_slots: int = 256,
-             divergence_threshold: float = 1000.0) -> FSMResult:
+             divergence_threshold: float = 1000.0,
+             injected_rng=None, collect_idx=None) -> FSMResult:
     """Run ``num_ticks`` global leapfrog ticks of FSM-NUTS from ``theta0``.
 
     One chain; ``vmap`` over (key, theta0[, step_size, inv_mass_diag]) for
@@ -58,6 +59,17 @@ def nuts_fsm(key, value_and_grad, theta0, step_size, num_ticks: int,
     first ``min(counts, num_sample_slots)`` slots are the trajectory-end
     samples in order; later samples are dropped, never wrapped), the final
     position, and stats.
+
+    ``injected_rng``: optional ``(z (ticks, dim), u_dir0, u_take, u_bias,
+    u_dir — each (ticks,))`` host-side randomness replacing the per-tick
+    PRNG draws — the hook that makes the fused Pallas kernel
+    (ops/nuts_fused.py) exactly comparable to this reference.
+    ``collect_idx``: if set, additionally returns per-tick
+    ``(cur_theta[collect_idx], completed_count)`` as a second output
+    (two ``(ticks,)`` arrays — the fused kernel's cheap static-index
+    collection streams; the count stream marks trajectory-end ticks so
+    each completed draw can be extracted exactly once). The string
+    ``"all"`` collects the whole ``(ticks, dim)`` position history.
     """
     dim = theta0.shape[0]
     dt = theta0.dtype
@@ -67,7 +79,13 @@ def nuts_fsm(key, value_and_grad, theta0, step_size, num_ticks: int,
     eps = jnp.asarray(step_size, dtype=dt)
     B = num_sample_slots
 
-    logp0, grad0 = value_and_grad(theta0)
+    def vag(theta):
+        # pin to the state dtype: model logps may promote (e.g. f64
+        # constants under x64) and a mixed-dtype scan carry won't typecheck
+        lp, g = value_and_grad(theta)
+        return jnp.asarray(lp, dt), jnp.asarray(g, dt)
+
+    logp0, grad0 = vag(theta0)
 
     def kinetic(r):
         return 0.5 * jnp.dot(r, inv_mass * r)
@@ -100,14 +118,23 @@ def nuts_fsm(key, value_and_grad, theta0, step_size, num_ticks: int,
         return jax.tree_util.tree_map(
             lambda x, y: jnp.where(c, x, y), a, b)
 
-    def tick(s, _):
-        key, k_mom, k_dir0, k_take, k_bias, k_dir = jax.random.split(
-            s["key"], 6)
+    def tick(s, xs):
+        if injected_rng is None:
+            key, k_mom, k_dir0, k_take, k_bias, k_dir = jax.random.split(
+                s["key"], 6)
+            z_t = jax.random.normal(k_mom, (dim,), dtype=dt)
+            u_dir0 = jax.random.uniform(k_dir0, dtype=dt)
+            u_take = jax.random.uniform(k_take, dtype=dt)
+            u_bias = jax.random.uniform(k_bias, dtype=dt)
+            u_dir = jax.random.uniform(k_dir, dtype=dt)
+        else:
+            key = s["key"]
+            z_t, u_dir0, u_take, u_bias, u_dir = xs
         fresh = s["fresh"]
 
         # -- trajectory init (masked): momentum refresh at cur_theta ------
-        r0 = sqrt_mass * jax.random.normal(k_mom, (dim,), dtype=dt)
-        dir0 = jnp.where(jax.random.bernoulli(k_dir0), eps, -eps)
+        r0 = sqrt_mass * z_t
+        dir0 = jnp.where(u_dir0 < 0.5, eps, -eps)
         init = dict(
             energy0=s["cur_logp"] - kinetic(r0),
             left_theta=s["cur_theta"], left_r=r0, left_grad=s["cur_grad"],
@@ -138,7 +165,7 @@ def nuts_fsm(key, value_and_grad, theta0, step_size, num_ticks: int,
         e = s["dir_eps"]
         r = s["pt_r"] + 0.5 * e * s["pt_grad"]
         theta = s["pt_theta"] + e * (inv_mass * r)
-        logp, grad = value_and_grad(theta)
+        logp, grad = vag(theta)
         r = r + 0.5 * e * grad
 
         # momentum checkpoint = the block's first IN-BLOCK state (post-
@@ -165,8 +192,7 @@ def nuts_fsm(key, value_and_grad, theta0, step_size, num_ticks: int,
 
         # progressive multinomial candidate within the subtree
         logw_sub = jnp.logaddexp(s["logw_sub"], delta)
-        take = jnp.log(jax.random.uniform(k_take, dtype=dt)) \
-            < delta - logw_sub
+        take = jnp.log(u_take) < delta - logw_sub
         cand_sub = jnp.where(take, theta, s["cand_sub"])
         cand_sub_logp = jnp.where(take, logp, s["cand_sub_logp"])
         cand_sub_grad = jnp.where(take, grad, s["cand_sub_grad"])
@@ -184,8 +210,7 @@ def nuts_fsm(key, value_and_grad, theta0, step_size, num_ticks: int,
 
         # ---- subtree merge into the tree (masked by sub_done) -----------
         ok = ~turning_sub & ~diverging
-        take_tree = (jnp.log(jax.random.uniform(k_bias, dtype=dt))
-                     < logw_sub - s["logw_tree"]) & ok
+        take_tree = (jnp.log(u_bias) < logw_sub - s["logw_tree"]) & ok
         cand_theta = jnp.where(sub_done & take_tree, cand_sub,
                                s["cand_theta"])
         cand_logp = jnp.where(sub_done & take_tree, cand_sub_logp,
@@ -216,7 +241,7 @@ def nuts_fsm(key, value_and_grad, theta0, step_size, num_ticks: int,
 
         # ---- next subtree (trajectory continues) ------------------------
         depth_next = s["depth"] + jnp.where(sub_done & ~traj_done, 1, 0)
-        new_dir = jnp.where(jax.random.bernoulli(k_dir), eps, -eps)
+        new_dir = jnp.where(u_dir < 0.5, eps, -eps)
         start_sub = sub_done & ~traj_done
         dir_eps = jnp.where(start_sub, new_dir, s["dir_eps"])
         go_right_next = dir_eps > 0
@@ -274,9 +299,28 @@ def nuts_fsm(key, value_and_grad, theta0, step_size, num_ticks: int,
             cand_sub_logp=cand_sub_logp, cand_sub_grad=cand_sub_grad,
             logw_sub=logw_sub, r_ckpt=r_ck, rsum_ckpt=rs_ck,
         )
-        return new_s, None
+        # (value, completed-count) per tick: the count stream marks which
+        # ticks END a trajectory, so downstream can extract each completed
+        # draw exactly once — the raw tick series is length-biased (a
+        # sample is displayed for its successor trajectory's duration;
+        # inspection paradox)
+        if collect_idx is None:
+            emit = None
+        elif collect_idx == "all":
+            emit = (cur_theta, count)
+        else:
+            emit = (cur_theta[collect_idx], count)
+        return new_s, emit
 
-    out, _ = jax.lax.scan(tick, state, None, length=num_ticks)
+    if injected_rng is None:
+        out, ticks_hist = jax.lax.scan(tick, state, None, length=num_ticks)
+    else:
+        z_all, u_dir0_all, u_take_all, u_bias_all, u_dir_all = injected_rng
+        out, ticks_hist = jax.lax.scan(
+            tick, state,
+            (jnp.asarray(z_all, dt), jnp.asarray(u_dir0_all, dt),
+             jnp.asarray(u_take_all, dt), jnp.asarray(u_bias_all, dt),
+             jnp.asarray(u_dir_all, dt)))
     cnt = jnp.maximum(out["count"], 1)
     # no completed trajectory (short runs / very long trajectories): report
     # the IN-FLIGHT trajectory's accept statistic instead of 0 — a 0 would
@@ -284,14 +328,17 @@ def nuts_fsm(key, value_and_grad, theta0, step_size, num_ticks: int,
     inflight = out["alpha_sum"] / jnp.maximum(out["nlf"], 1)
     mean_accept = jnp.where(out["count"] > 0, out["accept_sum"] / cnt,
                             inflight)
-    return FSMResult(slots=out["slots"], counts=out["count"],
-                     theta=out["cur_theta"],
-                     mean_accept=mean_accept,
-                     mean_depth=out["depth_sum"] / cnt,
-                     num_divergent=out["div_count"],
-                     pos_mean=out["pos_mean"],
-                     pos_var=out["pos_m2"] / jnp.maximum(out["pos_n"] - 1,
-                                                         1.0))
+    res = FSMResult(slots=out["slots"], counts=out["count"],
+                    theta=out["cur_theta"],
+                    mean_accept=mean_accept,
+                    mean_depth=out["depth_sum"] / cnt,
+                    num_divergent=out["div_count"],
+                    pos_mean=out["pos_mean"],
+                    pos_var=out["pos_m2"] / jnp.maximum(out["pos_n"] - 1,
+                                                        1.0))
+    if collect_idx is not None:
+        return res, ticks_hist
+    return res
 
 
 def nuts_fsm_warmup_and_sample(key, value_and_grad, theta0,

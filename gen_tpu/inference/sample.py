@@ -99,6 +99,15 @@ def sample_posterior(key, model: GenerativeFunction, args: Tuple,
     the model's logp must scalarize (sufficient-statistic likelihoods —
     :mod:`gen_tpu.ops.scalarize` raises with advice otherwise).
 
+    ``engine="nuts_fused"`` runs FSM-NUTS inside the fused Pallas kernel
+    (:mod:`gen_tpu.ops.nuts_fused` — the whole tick loop VMEM-resident;
+    ChEES warmup supplies step size + mass, NUTS chooses trajectory
+    lengths). Budgeted in TICKS like ``nuts_fsm`` (``num_ticks``, default
+    ``8 * num_samples``); draws are the completed-trajectory endpoints
+    extracted exactly once per trajectory, so expect variable draw counts
+    capped at ``num_samples``. Same full-selection + scalarizable-logp
+    requirements as ``hmc_fused``; falls back to the XLA FSM off-TPU.
+
     ``engine="nuts_fsm"`` uses the tick-synchronous state-machine engine
     (:mod:`gen_tpu.inference.nuts_fsm` — no vmap lockstep; wins at large
     chain counts). The FSM budget is leapfrog TICKS, not transitions:
@@ -207,6 +216,59 @@ def sample_posterior(key, model: GenerativeFunction, args: Tuple,
         info = dict(step_size=eps_adapted, num_leapfrogs=n_leap,
                     inv_mass=winfo["inv_mass"],
                     mean_accept=jnp.mean(accs) / num_samples)
+    elif engine == "nuts_fused":
+        from ..ops.nuts_fused import (nuts_chains_fused,
+                                      extract_completed_draws)
+        from .chees import chees_hmc_warmup_and_sample
+        from .target import FlatTarget
+        _require_full_selection("nuts_fused")
+        if num_chains < 2:
+            raise ValueError("engine='nuts_fused' warms up with ChEES and "
+                             "needs num_chains >= 2")
+        # phase 1 (XLA): ChEES warmup supplies the shared step size +
+        # diagonal mass (its trajectory-length output is unused — NUTS
+        # chooses trajectory lengths itself)
+        k_warm, k_run2 = jax.random.split(k_run)
+        _, warm_flat, winfo = jax.jit(
+            lambda trs, k: chees_hmc_warmup_and_sample(
+                k, trs, selection, num_warmup=num_warmup, num_samples=1,
+                target_accept=target_accept,
+                adapt_mass=adapt_mass))(traces, k_warm)
+        eps_adapted = float(winfo["step_size"])
+        target = FlatTarget(one_trace, selection)
+        d = int(warm_flat.shape[1])
+        ticks = num_ticks or 8 * num_samples
+        # phase 2: the fused FSM-NUTS kernel (ops/nuts_fused.py; XLA FSM
+        # fallback off-TPU), in tick CHUNKS so the all-coordinate history
+        # block stays within VMEM (a chunk boundary just restarts the
+        # in-flight trajectory from the current sample — a valid
+        # transition boundary; only its partial leapfrogs are discarded)
+        chunk = max(64, min(ticks, (24 << 20) // (d * 1024 * 4)))
+        draws_parts, total = [], 0
+        values, mean_depths, divs = warm_flat, [], 0
+        k_c = k_run2
+        while total < ticks:
+            k_c, k_use = jax.random.split(k_c)
+            values, hist, hcnt, cnt, fstats = nuts_chains_fused(
+                k_use, target.logp, values, num_ticks=chunk,
+                eps=eps_adapted, max_depth=max_depth,
+                inv_mass_diag=winfo["inv_mass"], collect_idx=None)
+            m = int(jnp.min(cnt))
+            if m > 0:
+                draws_parts.append(extract_completed_draws(hist, hcnt, m))
+            mean_depths.append(fstats["mean_depth"])
+            divs = divs + fstats["num_divergent"]
+            total += chunk
+        if not draws_parts or sum(p.shape[0] for p in draws_parts) < 2:
+            raise ValueError(
+                f"nuts_fused completed <2 trajectories on the slowest "
+                f"chain in {ticks} ticks; raise num_ticks")
+        flat_dc = jnp.concatenate(draws_parts, axis=0)  # (draws, chains, d)
+        flat = jnp.swapaxes(flat_dc, 0, 1)[:, :num_samples]
+        final_traces = None
+        info = dict(step_size=eps_adapted, inv_mass=winfo["inv_mass"],
+                    mean_depth=jnp.mean(jnp.stack(mean_depths), axis=0),
+                    num_divergent=divs)
     elif engine == "nuts_fsm":
         from .nuts_fsm import nuts_fsm_warmup_and_sample
         from .target import FlatTarget

@@ -190,3 +190,29 @@ def test_hmc_fused_engine_matches_conjugate():
     assert abs(float(s["sd"]) - 1 / np.sqrt(post_prec)) < 0.04
     assert float(s["rhat"]) < 1.05
     assert float(out.info["mean_accept"]) > 0.5
+
+
+def test_nuts_fused_engine_matches_conjugate():
+    """engine='nuts_fused': ChEES warmup + fused FSM-NUTS kernel (XLA FSM
+    fallback on CPU), draws extracted once per completed trajectory."""
+    n, sigma, prior_std = 20, 1.0, 3.0
+    ys = jnp.full(n, 2.0)
+
+    @gen
+    def model(n):
+        mu = gt.normal(0.0, prior_std) @ "mu"
+        gt.normal(mu * jnp.ones(n), sigma) @ "ys"
+
+    out = sample_posterior(jax.random.PRNGKey(5), model, (n,),
+                           choicemap(ys=ys), num_chains=16,
+                           num_warmup=300, num_samples=256,
+                           engine="nuts_fused", num_ticks=2048)
+    mu = np.asarray(out.samples["mu"])
+    assert mu.shape[1] == 16 and 2 <= mu.shape[0] <= 256
+    post_prec = 1 / prior_std ** 2 + n / sigma ** 2
+    post_mean = (float(ys.sum()) / sigma ** 2) / post_prec
+    s = out.summary["mu"]
+    assert abs(float(s["mean"]) - post_mean) < 0.04
+    assert abs(float(s["sd"]) - 1 / np.sqrt(post_prec)) < 0.04
+    assert float(s["rhat"]) < 1.05
+    assert float(np.mean(np.asarray(out.info["mean_depth"]))) >= 1.0
