@@ -134,7 +134,10 @@ def _kernel(num_ticks, max_depth, eps, div_threshold, collect_idx, n_res,
         i0,                                # 18   nlf
         jnp.full(plane, eps, jnp.float32), # 19   dir_eps
         i0,                                # 20   sub_n
-        jnp.ones(plane, jnp.int32),        # 21   num_leaves
+        # num_leaves as f32 exp2(depth): Mosaic rejects vector-shift
+        # amounts (left_shift by a per-lane int plane); 2^depth is exact
+        # in f32 for every reachable depth
+        jnp.ones(plane, jnp.float32),      # 21   num_leaves
         v0, zd, g0,                        # 22-24 pt theta/r/grad
         zd,                                # 25   rho_sub
         v0, lp0, g0,                       # 26-28 cand_sub theta/logp/grad
@@ -187,7 +190,7 @@ def _kernel(num_ticks, max_depth, eps, div_threshold, collect_idx, n_res,
         nlf = w1(fresh, 0, nlf)
         de = w1(fresh, dir0, de)
         sn = w1(fresh, 0, sn)
-        nl = w1(fresh, 1, nl)
+        nl = w1(fresh, 1.0, nl)
         ptv = wd(fresh, cur_t, ptv)
         pr = wd(fresh, r0, pr)
         pg = wd(fresh, cur_g, pg)
@@ -240,7 +243,8 @@ def _kernel(num_ticks, max_depth, eps, div_threshold, collect_idx, n_res,
             block_rho = rs - rsck[k]
             turning_sub = turning_sub | (ends & uturn(block_rho, rck[k], r))
 
-        sub_done = ((sn + 1) >= nl) | turning_sub | diverging
+        sub_done = (((sn + 1).astype(jnp.float32) >= nl) | turning_sub
+                    | diverging)
 
         # ---- subtree merge into the tree (masked by sub_done) -----------
         ok = ~turning_sub & ~diverging
@@ -275,7 +279,7 @@ def _kernel(num_ticks, max_depth, eps, div_threshold, collect_idx, n_res,
         pr = wd(start_sub, wd(go_right, rr, lr), r)
         pg = wd(start_sub, wd(go_right, rg, lg), grad)
         sn = w1(sub_done, 0, sn + 1)
-        nl = w1(start_sub, jnp.left_shift(jnp.int32(1), depth_next), nl)
+        nl = w1(start_sub, jnp.exp2(depth_next.astype(jnp.float32)), nl)
         rs = wd(start_sub, zd, rs)
         lws = w1(start_sub, -jnp.inf, lws)
 

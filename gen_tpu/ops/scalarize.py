@@ -34,8 +34,21 @@ The pass:
 Supported residual primitives are the scalar-PPL set (arithmetic,
 transcendentals, comparisons, select, stack/concat/reshape/slice/transpose/
 broadcast, reductions, dot_general, convert_element_type, erf & friends via
-inlining). Structured control flow (scan/while/cond) in the x-dependent
-part is NOT supported — callers should fall back to the XLA path.
+inlining) plus, since round 2, structured pieces that unroll statically:
+
+- ``scan``: unrolled over its (static) length — the body jaxpr is inlined
+  and evaluated per step at the ScalarArray level, so collapsed
+  state-space likelihoods (Kalman-filter scans) stage into the fused
+  kernels; the observed sequence arrives as staged residual constants.
+- ``cond``: every branch is evaluated (they are element-level expressions
+  after scalarization) and combined with a branchless where-chain on the
+  traced index — the standard masked-universe trick.
+- ``cholesky`` / ``triangular_solve``: unrolled Cholesky-Banachiewicz and
+  forward/back substitution — exact for the small (D <= ~8) matrices PPL
+  likelihoods build; each output element is plain arithmetic.
+
+``while_loop`` (data-dependent trip count) remains unsupported — callers
+fall back to the XLA path.
 
 No reference analogue: this is TPU-native staging machinery.
 """
@@ -84,10 +97,23 @@ def _broadcast_elems(a: ScalarArray, shape) -> List[Any]:
     return [a.elems[i] for i in idx.reshape(-1)]
 
 
+def _eager_op(op, *xs):
+    """Apply ``op``; when every input is concrete, evaluate at staging time
+    (jax omnistaging would otherwise turn constant index arithmetic into
+    tracers, breaking static-gather detection inside jit)."""
+    from jax.core import Tracer
+    if any(isinstance(x, Tracer) for x in xs):
+        return op(*xs)
+    with jax.ensure_compile_time_eval():
+        # numpy result: embeds as a LITERAL downstream — a jax Array would
+        # become a captured constant, which pallas kernels reject
+        return np.asarray(op(*xs))
+
+
 def _elementwise(op, *args: ScalarArray) -> ScalarArray:
     shape = np.broadcast_shapes(*[a.shape for a in args])
     cols = [_broadcast_elems(a, shape) for a in args]
-    return ScalarArray(shape, [op(*xs) for xs in zip(*cols)])
+    return ScalarArray(shape, [_eager_op(op, *xs) for xs in zip(*cols)])
 
 
 _UNARY = {
@@ -134,7 +160,8 @@ def _inline_jaxpr(jaxpr, consts) -> Tuple[list, dict, list, list]:
         for eqn in jx.eqns:
             name = eqn.primitive.name
             sub_jaxpr = None
-            if name in ("pjit", "closed_call", "core_call", "xla_call"):
+            if name in ("pjit", "jit", "closed_call", "core_call",
+                        "xla_call"):
                 sub_jaxpr = eqn.params.get("jaxpr")
             elif name in ("custom_jvp_call", "custom_vjp_call",
                           "custom_jvp_call_jaxpr", "custom_vjp_call_jaxpr"):
@@ -254,25 +281,118 @@ def stage_scalarized(logp: Callable, d: int, max_residual_scalars: int = 1024):
             n = int(np.prod(v.aval.shape)) if v.aval.shape else 1
             env[v] = ScalarArray(v.aval.shape,
                                  [res[base + i] for i in range(n)])
-
-        def read(v):
-            if isinstance(v, jex_core.Literal):
-                arr = np.asarray(v.val)
-                return ScalarArray(arr.shape, list(arr.reshape(-1)))
-            return env[v]
-
-        for eqn in residual_eqns:
-            args = [read(v) for v in eqn.invars]
-            outs = _apply(eqn.primitive.name, eqn.params, args)
-            for ov, val in zip(eqn.outvars, outs):
-                env[ov] = val
-        out = read(outvars[0])
+        _run_eqns(residual_eqns, env)
+        out = _read_var(outvars[0], env)
         if out.shape not in ((), (1,)):
             raise ValueError(f"logp output has shape {out.shape}; expected "
                              "scalar")
         return out.elems[0]
 
     return plane_fn, res_consts
+
+
+def _read_var(v, env) -> ScalarArray:
+    if isinstance(v, jex_core.Literal):
+        arr = np.asarray(v.val)
+        return ScalarArray(arr.shape, list(arr.reshape(-1)))
+    return env[v]
+
+
+def _run_eqns(eqns, env):
+    """Evaluate a flattened equation list at the ScalarArray level."""
+    for eqn in eqns:
+        name = eqn.primitive.name
+        args = [_read_var(v, env) for v in eqn.invars]
+        if name == "scan":
+            outs = _eval_scan(eqn, args)
+        elif name == "cond":
+            outs = _eval_cond(eqn, args)
+        else:
+            outs = _apply(name, eqn.params, args)
+        for ov, val in zip(eqn.outvars, outs):
+            env[ov] = val
+
+
+def _eval_closed(closed, in_vals: Sequence[ScalarArray]):
+    """Evaluate a ClosedJaxpr (e.g. a scan body / cond branch) on
+    ScalarArray inputs; returns ScalarArray outputs."""
+    jx = getattr(closed, "jaxpr", closed)
+    consts = getattr(closed, "consts", [])
+    eqns, const_env, invars, outs = _inline_jaxpr(jx, consts)
+    env = {}
+    for v, c in const_env.items():
+        arr = np.asarray(c)
+        env[v] = ScalarArray(arr.shape, list(arr.reshape(-1)))
+    for v, val in zip(invars, in_vals):
+        env[v] = val
+    _run_eqns(eqns, env)
+    return [_read_var(v, env) for v in outs]
+
+
+def _lead_slice(a: ScalarArray, t: int) -> ScalarArray:
+    """Index a ScalarArray's leading axis at t."""
+    rest = a.shape[1:]
+    n = int(np.prod(rest)) if rest else 1
+    return ScalarArray(rest, a.elems[t * n:(t + 1) * n])
+
+
+def _eval_scan(eqn, args: Sequence[ScalarArray]):
+    """Unroll a ``scan`` statically: the body is evaluated ``length``
+    times at the ScalarArray level (this is what lets Kalman-filter
+    likelihoods stage into the fused kernels)."""
+    p = eqn.params
+    length = int(p["length"])
+    nc, ncar = int(p["num_consts"]), int(p["num_carry"])
+    consts = list(args[:nc])
+    carry = list(args[nc:nc + ncar])
+    xs = list(args[nc + ncar:])
+    n_out = len(eqn.outvars)
+    n_ys = n_out - ncar
+    ys_slices = [[None] * length for _ in range(n_ys)]
+    order = range(length - 1, -1, -1) if p.get("reverse") else range(length)
+    for t in order:
+        ins = consts + carry + [_lead_slice(x, t) for x in xs]
+        outs = _eval_closed(p["jaxpr"], ins)
+        carry = outs[:ncar]
+        for i, y in enumerate(outs[ncar:]):
+            ys_slices[i][t] = y
+    ys = []
+    for i in range(n_ys):
+        shape = (length,) + ys_slices[i][0].shape
+        elems = [e for sl in ys_slices[i] for e in sl.elems]
+        ys.append(ScalarArray(shape, elems))
+    return carry + ys
+
+
+def _eval_cond(eqn, args: Sequence[ScalarArray]):
+    """Branchless ``cond``: every branch is evaluated (element-level
+    expressions after scalarization) and combined with a where-chain on
+    the traced index — the masked-universe trick."""
+    pred = args[0]
+    ops = list(args[1:])
+    branches = eqn.params["branches"]
+    idx0 = pred.elems[0]
+    if isinstance(idx0, (int, np.integer)):
+        # concrete index (e.g. a platform_index dispatch resolved at
+        # staging time): evaluate only the selected branch — the others
+        # may hold platform-specific lowerings we cannot scalarize
+        k = min(max(int(idx0), 0), len(branches) - 1)
+        return _eval_closed(branches[k], ops)
+    branch_outs = [_eval_closed(b, ops) for b in branches]
+    nb = len(branch_outs)
+    idx = pred.elems[0]
+    outs = []
+    for j in range(len(branch_outs[0])):
+        # out = branch_0; for k: where(idx >= k, branch_k, out) — also
+        # implements lax.cond's index clamping
+        acc = branch_outs[0][j]
+        for k in range(1, nb):
+            ge_k = ScalarArray((), [jnp.greater_equal(idx, k)])
+            acc = _elementwise(
+                lambda ci, ai, bi: jnp.where(ci, bi, ai),
+                ge_k, acc, branch_outs[k][j])
+        outs.append(acc)
+    return outs
 
 
 def _apply(name: str, params: dict, args: Sequence[ScalarArray]):
@@ -288,12 +408,20 @@ def _apply(name: str, params: dict, args: Sequence[ScalarArray]):
             c, a, b = args
             return [_elementwise(
                 lambda ci, ai, bi: jnp.where(ci, bi, ai), c, a, b)]
-        raise NotImplementedError("select_n with >2 cases")
+        # general ordinal select: where-chain (pred >= k picks case k)
+        pred = args[0]
+        acc = args[1]
+        for k in range(2, len(args)):
+            acc = _elementwise(
+                lambda ci, ai, bi, k=k - 1: jnp.where(
+                    jnp.greater_equal(ci, k), bi, ai), pred, acc, args[k])
+        return [acc]
     if name == "convert_element_type":
         dt = params["new_dtype"]
         return [ScalarArray(args[0].shape,
-                            [jnp.asarray(e).astype(dt) if not isinstance(
-                                e, (int, float)) else np.dtype(dt).type(e)
+                            [_eager_op(lambda x: jnp.asarray(x).astype(dt),
+                                       e) if not isinstance(e, (int, float))
+                             else np.dtype(dt).type(e)
                              for e in args[0].elems])]
     if name in ("reshape", "squeeze", "expand_dims"):
         a = args[0]
@@ -413,10 +541,95 @@ def _apply(name: str, params: dict, args: Sequence[ScalarArray]):
         dim = params["dimension"]
         idx = np.indices(shape)[dim].astype(np.dtype(params["dtype"]))
         return [ScalarArray(shape, list(idx.reshape(-1)))]
+    if name == "platform_index":
+        # platform-specialized lowering dispatch (e.g. cholesky has a
+        # 'mosaic' branch): resolve to the default (None) entry — we
+        # scalarize the generic primitives ourselves
+        platforms = params["platforms"]
+        idx = (platforms.index(None) if None in platforms
+               else len(platforms) - 1)
+        return [ScalarArray((), [int(idx)])]
+    if name == "cholesky":
+        a = args[0]
+        if len(a.shape) != 2 or a.shape[0] != a.shape[1]:
+            raise NotImplementedError(
+                f"scalarize cholesky: shape {a.shape} (2-D square only)")
+        n = a.shape[0]
+        A = [[a.elems[i * n + j] for j in range(n)] for i in range(n)]
+        L = [[0.0] * n for _ in range(n)]
+        # unrolled Cholesky-Banachiewicz: every element plain arithmetic
+        for i in range(n):
+            for j in range(i + 1):
+                s = A[i][j]
+                for k in range(j):
+                    s = s - L[i][k] * L[j][k]
+                L[i][j] = jnp.sqrt(s) if i == j else s / L[j][j]
+        return [ScalarArray((n, n),
+                            [L[i][j] for i in range(n) for j in range(n)])]
+    if name == "triangular_solve":
+        a, b = args
+        if len(a.shape) != 2 or len(b.shape) not in (1, 2):
+            raise NotImplementedError(
+                f"scalarize triangular_solve: shapes {a.shape}, {b.shape}")
+        n = a.shape[0]
+        lower = params["lower"]
+        trans = params["transpose_a"]
+        left = params["left_side"]
+        unit = params["unit_diagonal"]
+        A = [[a.elems[i * n + j] for j in range(n)] for i in range(n)]
+        if trans:
+            A = [[A[j][i] for j in range(n)] for i in range(n)]
+            lower = not lower
+        b_shape = b.shape
+        if len(b_shape) == 1:
+            B = [[b.elems[i]] for i in range(n)] if left else None
+            m = 1
+        elif left:
+            m = b_shape[1]
+            B = [[b.elems[i * m + j] for j in range(m)] for i in range(n)]
+        else:
+            # X A = B  <=>  A^T X^T = B^T
+            m = b_shape[0]
+            B = [[b.elems[j * n + i] for j in range(m)] for i in range(n)]
+            A = [[A[j][i] for j in range(n)] for i in range(n)]
+            lower = not lower
+        X = [[None] * m for _ in range(n)]
+        rows = range(n) if lower else range(n - 1, -1, -1)
+        for i in rows:
+            for c in range(m):
+                s = B[i][c]
+                ks = range(i) if lower else range(i + 1, n)
+                for k in ks:
+                    s = s - A[i][k] * X[k][c]
+                X[i][c] = s if unit else s / A[i][i]
+        if len(b_shape) == 1:
+            elems = [X[i][0] for i in range(n)]
+        elif left:
+            elems = [X[i][c] for i in range(n) for c in range(m)]
+        else:
+            elems = [X[i][c] for c in range(m) for i in range(n)]
+        return [ScalarArray(b_shape, elems)]
     if name == "gather":
-        raise NotImplementedError(
-            "gather in the x-dependent part of logp (dynamic indexing by "
-            "traced values is not scalarizable; use the XLA path)")
+        a, ind = args
+        from jax.core import Tracer
+        if any(isinstance(e, Tracer) for e in ind.elems):
+            raise NotImplementedError(
+                "gather with TRACED indices in the x-dependent part of "
+                "logp is not scalarizable; use the XLA path")
+        # static indices: run the gather eagerly on an element-id array to
+        # get the element mapping, then permute the ScalarArray
+        ids = np.arange(max(a.size, 1)).reshape(a.shape)
+        ind_arr = np.asarray([np.asarray(e) for e in ind.elems],
+                             dtype=np.int64).reshape(ind.shape)
+        with jax.ensure_compile_time_eval():
+            mapping = np.asarray(jax.lax.gather(
+                ids, ind_arr, params["dimension_numbers"],
+                params["slice_sizes"],
+                unique_indices=params.get("unique_indices", False),
+                indices_are_sorted=params.get("indices_are_sorted", False),
+                mode=params.get("mode")))
+        return [ScalarArray(mapping.shape,
+                            [a.elems[i] for i in mapping.reshape(-1)])]
     raise NotImplementedError(
         f"scalarize: primitive '{name}' not supported; use the XLA path "
         "(use_pallas=False)")

@@ -303,3 +303,77 @@ def _run_interpret_scalarized_case():
     np.testing.assert_allclose(np.asarray(coll_k), np.asarray(coll_r),
                                rtol=2e-4, atol=2e-4)
     assert float(jnp.mean(acc_k)) / n_steps > 0.5
+
+
+def _kalman_logp(T=6, seed=0):
+    """Collapsed AR(2)-style LGSSM posterior logp: priors on (phi, log_q,
+    log_r), likelihood = exact Kalman marginal via a lax.scan of matmuls +
+    cholesky + cho_solve — the round-2 scalarize extension (unrolled scan /
+    cholesky / triangular_solve / static gather)."""
+    from gen_tpu.models.lgssm import LGSSMParams, kalman_filter
+    rng = np.random.default_rng(seed)
+    ys = jnp.asarray(rng.standard_normal((T, 1)), jnp.float32)
+    I2 = jnp.eye(2, dtype=jnp.float32)
+
+    def logp(x):
+        phi, log_q, log_r = x[0], x[1], x[2]
+        A = jnp.array([[0.0, 1.0], [0.0, 0.0]], jnp.float32) + phi * I2
+        Q = jnp.exp(log_q) * I2
+        C = jnp.array([[1.0, 0.0]], jnp.float32)
+        R = jnp.exp(log_r) * jnp.eye(1, dtype=jnp.float32)
+        params = LGSSMParams(A, Q, C, R, jnp.zeros(2, jnp.float32), I2)
+        return (kalman_filter(params, ys).log_ml
+                - 0.5 * (phi ** 2 + log_q ** 2 + log_r ** 2))
+
+    return logp
+
+
+def test_scalarize_scan_kalman_exact():
+    """Scalarized collapsed-Kalman logp (scan unrolled, cholesky and
+    triangular solves as explicit arithmetic) matches direct evaluation
+    and autodiff."""
+    from gen_tpu.ops.scalarize import stage_scalarized
+    logp = _kalman_logp()
+    plane_fn, res = stage_scalarized(logp, 3)
+    assert res.shape[0] < 64
+    V = jnp.asarray(np.random.default_rng(1).standard_normal(
+        (3, 8, 16)) * 0.3, jnp.float32)
+    res_list = [res[i] for i in range(res.shape[0])]
+    lp = plane_fn(V, res_list)
+    f = lambda vv: plane_fn(vv, res_list)
+    lpv, pb = jax.vjp(f, V)
+    g = pb(jnp.ones_like(lpv))[0]
+    for i in range(0, 8, 3):
+        for j in range(0, 16, 7):
+            ref = float(logp(V[:, i, j]))
+            np.testing.assert_allclose(float(lp[i, j]), ref, rtol=1e-4,
+                                       atol=1e-3)
+            gref = np.asarray(jax.grad(logp)(V[:, i, j]))
+            np.testing.assert_allclose(np.asarray(g[:, i, j]), gref,
+                                       rtol=3e-3, atol=3e-3)
+
+
+def test_interpret_kernel_kalman_scan_model():
+    """The ACTUAL fused HMC kernel on a scan-based (Kalman) logp via the
+    Pallas interpreter, exact against the plain-XLA reference."""
+    with jax.enable_x64(False):
+        _run_interpret_kalman_case()
+
+
+def _run_interpret_kalman_case():
+    # tiny budget: interpret mode executes each of the unrolled Kalman
+    # plane ops through the TPU interpreter, so op count is the cost
+    logp = _kalman_logp(T=3)
+    n, d, n_steps, L = 256, 3, 3, 2
+    vals0 = 0.2 * jax.random.normal(KEY, (n, d))
+    rng = _injected_rng(jax.random.PRNGKey(5), n_steps, n, d, 0.1, 0.2)
+    vals_k, coll_k, acc_k = hmc_chains_fused(
+        jax.random.PRNGKey(1), logp, vals0, n_steps=n_steps, L=L,
+        eps=0.1, collect_idx=0, injected_rng=rng, interpret=True)
+    vals_r, coll_r, acc_r = _reference_hmc_injected(
+        logp, vals0, *rng, L, jnp.ones(d), 0)
+    agree = np.mean(np.asarray(acc_k) == np.asarray(acc_r))
+    assert agree > 0.99, agree
+    match = np.isclose(np.asarray(vals_k), np.asarray(vals_r),
+                       rtol=2e-3, atol=2e-3).all(axis=1)
+    assert np.mean(match) > 0.99, np.mean(match)
