@@ -88,11 +88,16 @@ def _kernel(num_ticks, max_depth, eps, div_threshold, collect_idx, n_res,
     d = v0.shape[0]
     plane = v0.shape[1:]
     lp0, g0 = vag(v0)
-    f0 = jnp.zeros(plane, jnp.float32)
-    i0 = jnp.zeros(plane, jnp.int32)
-    b0 = jnp.zeros(plane, jnp.bool_)
-    zd = jnp.zeros_like(v0)
-    ninf = jnp.full(plane, -jnp.inf, jnp.float32)
+    # EVERY carried plane must be derived from loaded data, never a splat
+    # constant: Mosaic assigns splats a fully-replicated layout, and the
+    # fori carry then demands an invalid general->replicated relayout of
+    # the loop body's results ("Non-singleton logical dimension is
+    # replicated in destination but not in source")
+    f0 = v0[0] * 0.0
+    i0 = f0.astype(jnp.int32)
+    b0 = f0 > 1.0
+    zd = v0 * 0.0
+    ninf = f0 - jnp.inf
     feps = jnp.float32(eps)
 
     inv_m = [mass_ref[i] for i in range(d)]
@@ -132,12 +137,12 @@ def _kernel(num_ticks, max_depth, eps, div_threshold, collect_idx, n_res,
         i0,                                # 16   depth
         f0,                                # 17   alpha_sum
         i0,                                # 18   nlf
-        jnp.full(plane, eps, jnp.float32), # 19   dir_eps
+        f0 + eps,                          # 19   dir_eps
         i0,                                # 20   sub_n
         # num_leaves as f32 exp2(depth): Mosaic rejects vector-shift
         # amounts (left_shift by a per-lane int plane); 2^depth is exact
         # in f32 for every reachable depth
-        jnp.ones(plane, jnp.float32),      # 21   num_leaves
+        f0 + 1.0,                          # 21   num_leaves
         v0, zd, g0,                        # 22-24 pt theta/r/grad
         zd,                                # 25   rho_sub
         v0, lp0, g0,                       # 26-28 cand_sub theta/logp/grad
@@ -145,14 +150,17 @@ def _kernel(num_ticks, max_depth, eps, div_threshold, collect_idx, n_res,
         tuple(zd for _ in range(max_depth + 1)),   # 30 r_ckpt
         tuple(zd for _ in range(max_depth + 1)),   # 31 rsum_ckpt
         f0, f0, i0,                        # 32-34 accept_sum/depth_sum/div
-        jnp.ones(plane, jnp.bool_),        # 35   fresh
+        # fresh carried as int32 0/1: bool planes in a fori carry fail
+        # Mosaic legalization (scf.for with i1 vector carries)
+        i0 + 1,                            # 35   fresh
     )
 
     def tick(t, s):
         (cur_t, cur_lp, cur_g, count, energy0, lt, lr, lg, rt, rr, rg,
          rho_t, ct, clp, cg, lwt, depth, asum, nlf, de, sn, nl,
          ptv, pr, pg, rs, cs, cslp, csg, lws, rck, rsck,
-         acc_sum, depth_sum, div, fresh) = s
+         acc_sum, depth_sum, div, fresh_i) = s
+        fresh = fresh_i != 0
 
         if injected:
             z_t = z_ref[t]
@@ -293,7 +301,7 @@ def _kernel(num_ticks, max_depth, eps, div_threshold, collect_idx, n_res,
         depth_sum = depth_sum + jnp.where(
             traj_done, depth_next.astype(jnp.float32) + 1.0, 0.0)
         div = div + jnp.where(traj_done & diverging, 1, 0)
-        fresh = traj_done
+        fresh_next = traj_done.astype(jnp.int32)
 
         if collect_idx is None:
             out_ref[pl.ds(t, 1)] = cur_t[None]
@@ -305,7 +313,7 @@ def _kernel(num_ticks, max_depth, eps, div_threshold, collect_idx, n_res,
                 rg, rho_t, ct, clp, cg, lwt, depth_next, asum, nlf, de, sn,
                 nl,
                 ptv, pr, pg, rs, cs, cslp, csg, lws, tuple(rck),
-                tuple(rsck), acc_sum, depth_sum, div, fresh)
+                tuple(rsck), acc_sum, depth_sum, div, fresh_next)
 
     s = jax.lax.fori_loop(0, num_ticks, tick, state)
     vout_ref[...] = s[0]
