@@ -49,7 +49,8 @@ def run_target(name, model, args, obs, sel, exact, *, n_chains, n_ticks,
                xla_compare_chains=None):
     from gen_tpu.inference.chees import chees_hmc_warmup_and_sample
     from gen_tpu.inference.target import FlatTarget
-    from gen_tpu.ops.nuts_fused import nuts_chains_fused
+    from gen_tpu.ops.nuts_fused import (nuts_chains_fused,
+                                        nuts_chains_fused_chunked)
     from gen_tpu.diagnostics import summarize
     import bench as B
 
@@ -81,10 +82,12 @@ def run_target(name, model, args, obs, sel, exact, *, n_chains, n_ticks,
           f"{float(jnp.max(inv_mass)):.3g}]")
 
     def run(c, values, k):
-        return nuts_chains_fused(k, target.logp, values, num_ticks=n_ticks,
-                                 eps=eps, max_depth=max_depth,
-                                 inv_mass_diag=inv_mass, collect_idx=c,
-                                 use_pallas=use_pallas)
+        # chunked: the per-tick history block must fit Mosaic's ~16MB
+        # scoped-vmem limit
+        return nuts_chains_fused_chunked(
+            k, target.logp, values, num_ticks=n_ticks, eps=eps,
+            max_depth=max_depth, inv_mass_diag=inv_mass, collect_idx=c,
+            use_pallas=use_pallas)
 
     # compile + extra decorrelation pass; host fetch = completion barrier
     t_c = time.time()

@@ -46,6 +46,14 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+if __name__ == "__main__":
+    # must run BEFORE the first array op (module-level K_PRIOR below
+    # initializes the backend): tiny changepoint models want CPU, and x64
+    # keeps the Green split/merge inside the involution round-trip
+    # checker's 1e-5 tolerance (f32 sits right at the edge)
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+
 import gen_tpu as gt
 from gen_tpu import choicemap, gen
 from gen_tpu.inference import mh_accept, mh_involutive, select_trace, transform
@@ -510,10 +518,4 @@ def main(seed=0):
 
 
 if __name__ == "__main__":
-    # tiny changepoint models: CPU is the right target for the eager
-    # single-chain DSL demo (the vectorized sampler jits either way).
-    # x64 keeps the Green split/merge round-trip inside the involution
-    # checker's 1e-5 tolerance (f32 sits right at the edge).
-    jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_enable_x64", True)
     main()

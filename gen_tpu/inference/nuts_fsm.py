@@ -90,28 +90,32 @@ def nuts_fsm(key, value_and_grad, theta0, step_size, num_ticks: int,
     def kinetic(r):
         return 0.5 * jnp.dot(r, inv_mass * r)
 
-    zeros = jnp.zeros(dim, dtype=dt)
-    f0 = jnp.asarray(0.0, dt)
+    # every state init is DERIVED from theta0 rather than a literal: under
+    # shard_map, literal constants are "unvarying" over the manual axis
+    # while the tick outputs vary, and the scan carry would not typecheck
+    f0 = theta0[0] * 0
+    i0 = f0.astype(jnp.int32)
+    zeros = theta0 * 0
     state = dict(
         # chain level
         cur_theta=theta0, cur_logp=logp0, cur_grad=grad0,
-        count=jnp.int32(0), slots=jnp.zeros((B, dim), dtype=dt),
-        accept_sum=f0, depth_sum=f0, div_count=jnp.int32(0),
+        count=i0, slots=jnp.zeros((B, dim), dtype=dt) + f0,
+        accept_sum=f0, depth_sum=f0, div_count=i0,
         pos_n=f0, pos_mean=zeros, pos_m2=zeros,
-        fresh=jnp.asarray(True), key=key,
+        fresh=(i0 == 0), key=key,
         # trajectory level
         energy0=f0,
         left_theta=theta0, left_r=zeros, left_grad=grad0,
         right_theta=theta0, right_r=zeros, right_grad=grad0,
         rho_tree=zeros, cand_theta=theta0, cand_logp=logp0, cand_grad=grad0,
-        logw_tree=f0, depth=jnp.int32(0), alpha_sum=f0, nlf=jnp.int32(0),
+        logw_tree=f0, depth=i0, alpha_sum=f0, nlf=i0,
         # subtree level
-        dir_eps=eps, sub_n=jnp.int32(0), num_leaves=jnp.int32(1),
+        dir_eps=f0 + eps, sub_n=i0, num_leaves=i0 + 1,
         pt_theta=theta0, pt_r=zeros, pt_grad=grad0,
         rho_sub=zeros, cand_sub=theta0, cand_sub_logp=logp0,
-        cand_sub_grad=grad0, logw_sub=-jnp.inf * jnp.ones((), dt),
-        r_ckpt=jnp.zeros((max_depth + 1, dim), dtype=dt),
-        rsum_ckpt=jnp.zeros((max_depth + 1, dim), dtype=dt),
+        cand_sub_grad=grad0, logw_sub=f0 - jnp.inf,
+        r_ckpt=jnp.zeros((max_depth + 1, dim), dtype=dt) + f0,
+        rsum_ckpt=jnp.zeros((max_depth + 1, dim), dtype=dt) + f0,
     )
 
     def sel(c, a, b):

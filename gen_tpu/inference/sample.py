@@ -217,7 +217,7 @@ def sample_posterior(key, model: GenerativeFunction, args: Tuple,
                     inv_mass=winfo["inv_mass"],
                     mean_accept=jnp.mean(accs) / num_samples)
     elif engine == "nuts_fused":
-        from ..ops.nuts_fused import (nuts_chains_fused,
+        from ..ops.nuts_fused import (nuts_chains_fused_chunked,
                                       extract_completed_draws)
         from .chees import chees_hmc_warmup_and_sample
         from .target import FlatTarget
@@ -239,36 +239,24 @@ def sample_posterior(key, model: GenerativeFunction, args: Tuple,
         d = int(warm_flat.shape[1])
         ticks = num_ticks or 8 * num_samples
         # phase 2: the fused FSM-NUTS kernel (ops/nuts_fused.py; XLA FSM
-        # fallback off-TPU), in tick CHUNKS so the all-coordinate history
-        # block stays within VMEM (a chunk boundary just restarts the
-        # in-flight trajectory from the current sample — a valid
-        # transition boundary; only its partial leapfrogs are discarded)
-        chunk = max(64, min(ticks, (24 << 20) // (d * 1024 * 4)))
-        draws_parts, total = [], 0
-        values, mean_depths, divs = warm_flat, [], 0
-        k_c = k_run2
-        while total < ticks:
-            k_c, k_use = jax.random.split(k_c)
-            values, hist, hcnt, cnt, fstats = nuts_chains_fused(
-                k_use, target.logp, values, num_ticks=chunk,
-                eps=eps_adapted, max_depth=max_depth,
-                inv_mass_diag=winfo["inv_mass"], collect_idx=None)
-            m = int(jnp.min(cnt))
-            if m > 0:
-                draws_parts.append(extract_completed_draws(hist, hcnt, m))
-            mean_depths.append(fstats["mean_depth"])
-            divs = divs + fstats["num_divergent"]
-            total += chunk
-        if not draws_parts or sum(p.shape[0] for p in draws_parts) < 2:
+        # fallback off-TPU), chunked so the all-coordinate history block
+        # stays within Mosaic's scoped-VMEM limit
+        del d
+        _, hist, hcnt, cnt, fstats = nuts_chains_fused_chunked(
+            k_run2, target.logp, warm_flat, num_ticks=ticks,
+            eps=eps_adapted, max_depth=max_depth,
+            inv_mass_diag=winfo["inv_mass"], collect_idx=None)
+        m = int(jnp.min(cnt))
+        if m < 2:
             raise ValueError(
-                f"nuts_fused completed <2 trajectories on the slowest "
-                f"chain in {ticks} ticks; raise num_ticks")
-        flat_dc = jnp.concatenate(draws_parts, axis=0)  # (draws, chains, d)
+                f"nuts_fused completed only {m} trajectories on the "
+                f"slowest chain in {ticks} ticks; raise num_ticks")
+        flat_dc = extract_completed_draws(hist, hcnt, m)
         flat = jnp.swapaxes(flat_dc, 0, 1)[:, :num_samples]
         final_traces = None
         info = dict(step_size=eps_adapted, inv_mass=winfo["inv_mass"],
-                    mean_depth=jnp.mean(jnp.stack(mean_depths), axis=0),
-                    num_divergent=divs)
+                    mean_depth=fstats["mean_depth"],
+                    num_divergent=fstats["num_divergent"])
     elif engine == "nuts_fsm":
         from .nuts_fsm import nuts_fsm_warmup_and_sample
         from .target import FlatTarget

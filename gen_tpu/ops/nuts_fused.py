@@ -60,6 +60,50 @@ def extract_completed_draws(hist, hist_cnt, m: int):
         0, 1)
 
 
+def nuts_chains_fused_chunked(key, logp, values0, num_ticks: int,
+                              eps: float, chunk_ticks: Optional[int] = None,
+                              vmem_budget_bytes: int = 7 << 20, **kw):
+    """Drive :func:`nuts_chains_fused` in tick chunks and stitch the
+    streams: the kernel's per-tick history lives in a VMEM output block
+    (Mosaic's scoped-vmem limit is ~16 MB), so long runs must be split. A
+    chunk boundary restarts the in-flight trajectory from the current
+    sample — a valid transition boundary; only the partial trajectory's
+    leapfrogs are discarded. ``hist_counts`` is returned CUMULATIVE across
+    chunks, so ``extract_completed_draws`` works on the stitched streams
+    unchanged. Stats are count-weighted across chunks."""
+    values0 = jnp.asarray(values0, jnp.float32)
+    n, d = values0.shape
+    ci = kw.get("collect_idx", 0)
+    per_tick = (d + 1 if ci is None else 2) * 1024 * 4
+    if chunk_ticks is None:
+        chunk_ticks = max(64, min(num_ticks, vmem_budget_bytes // per_tick))
+    hists, hcnts = [], []
+    cnt_total = jnp.zeros((n,), jnp.int32)
+    acc_w = jnp.zeros((n,), jnp.float32)
+    depth_w = jnp.zeros((n,), jnp.float32)
+    div_total = jnp.zeros((n,), jnp.int32)
+    values = values0
+    done = 0
+    while done < num_ticks:
+        t = min(chunk_ticks, num_ticks - done)
+        key, k_use = jax.random.split(key)
+        values, hist, hcnt, cnt, stats = nuts_chains_fused(
+            k_use, logp, values, num_ticks=t, eps=eps, **kw)
+        hists.append(hist)
+        hcnts.append(hcnt + cnt_total[None, :])
+        cntf = cnt.astype(jnp.float32)
+        acc_w = acc_w + stats["mean_accept"] * cntf
+        depth_w = depth_w + stats["mean_depth"] * cntf
+        div_total = div_total + stats["num_divergent"]
+        cnt_total = cnt_total + cnt
+        done += t
+    denom = jnp.maximum(cnt_total.astype(jnp.float32), 1.0)
+    stats = dict(mean_accept=acc_w / denom, mean_depth=depth_w / denom,
+                 num_divergent=div_total)
+    return (values, jnp.concatenate(hists, axis=0),
+            jnp.concatenate(hcnts, axis=0), cnt_total, stats)
+
+
 def _kernel(num_ticks, max_depth, eps, div_threshold, collect_idx, n_res,
             plane_fn, injected, *refs):
     import jax.experimental.pallas as pl

@@ -200,3 +200,47 @@ def sharded_hmc_chains_fused(key, logp, values0, n_steps: int, mesh: Mesh,
                    in_specs=(P(axis), P(), P()),
                    out_specs=(P(axis), coll_spec, P(axis)))
     return jax.jit(fn)(values0, jax.random.key_data(key), inv_mass)
+
+
+def sharded_nuts_chains_fused(key, logp, values0, num_ticks: int, mesh: Mesh,
+                              axis: str = "chains", eps: float = 0.1,
+                              max_depth: int = 8, collect_idx=0,
+                              inv_mass_diag=None, use_pallas=None):
+    """The fused FSM-NUTS kernel (ops/nuts_fused.py) sharded over a mesh:
+    same zero-collective chain-parallel structure as
+    :func:`sharded_hmc_chains_fused` — each device runs the full tick loop
+    on its local chain shard with a device-folded key. Returns the same
+    ``(values, hist, hist_counts, counts, stats)`` tuple, sharded on the
+    chain axis (stats values per chain)."""
+    from jax import shard_map
+    from ..ops.nuts_fused import nuts_chains_fused
+
+    n_dev = mesh.shape[axis]
+    n, d = values0.shape
+    if n % n_dev != 0:
+        raise ValueError(f"n_chains={n} not divisible by mesh axis "
+                         f"{axis}={n_dev}")
+    inv_mass = (jnp.ones((d,), jnp.float32) if inv_mass_diag is None
+                else jnp.asarray(inv_mass_diag, jnp.float32))
+
+    def local(vals, raw_key, inv_m):
+        idx = jax.lax.axis_index(axis)
+        k = jax.random.fold_in(jax.random.wrap_key_data(raw_key), idx)
+        vout, hist, hcnt, cnt, stats = nuts_chains_fused(
+            k, logp, vals, num_ticks=num_ticks, eps=eps,
+            max_depth=max_depth, inv_mass_diag=inv_m,
+            collect_idx=collect_idx, use_pallas=use_pallas)
+        return vout, hist, hcnt, cnt, (stats["mean_accept"],
+                                       stats["mean_depth"],
+                                       stats["num_divergent"])
+
+    hist_spec = P(None, axis) if collect_idx is not None \
+        else P(None, axis, None)
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(P(axis), P(), P()),
+                   out_specs=(P(axis), hist_spec, P(None, axis), P(axis),
+                              (P(axis), P(axis), P(axis))))
+    vout, hist, hcnt, cnt, (ma, md, nd) = jax.jit(fn)(
+        values0, jax.random.key_data(key), inv_mass)
+    return vout, hist, hcnt, cnt, dict(mean_accept=ma, mean_depth=md,
+                                       num_divergent=nd)

@@ -156,3 +156,29 @@ def _run_fallback_gaussian_moments():
     assert int(cnt.min()) > 0
     np.testing.assert_array_equal(np.asarray(hcnt[-1]), np.asarray(cnt))
     assert float(jnp.mean(stats["mean_accept"])) > 0.6
+
+
+def test_chunked_driver_stitches_streams():
+    """Chunked driver: cumulative counts nondecreasing across chunk
+    boundaries, final counts equal the last count row, extraction works on
+    the stitched streams, and moments stay correct."""
+    from gen_tpu.ops.nuts_fused import (nuts_chains_fused_chunked,
+                                        extract_completed_draws)
+    with jax.enable_x64(False):
+        def logp(x):
+            return -0.5 * jnp.sum(x * x)
+
+        vals0 = jax.random.normal(KEY, (64, 2)) * 2.0
+        vals, hist, hcnt, cnt, stats = nuts_chains_fused_chunked(
+            jax.random.PRNGKey(3), logp, vals0, num_ticks=600, eps=0.5,
+            chunk_ticks=150, max_depth=6, collect_idx=1, use_pallas=False)
+        assert hist.shape == (600, 64) and hcnt.shape == (600, 64)
+        dif = np.diff(np.asarray(hcnt), axis=0)
+        assert (dif >= 0).all()
+        np.testing.assert_array_equal(np.asarray(hcnt[-1]), np.asarray(cnt))
+        m = int(cnt.min())
+        assert m > 10
+        draws = np.asarray(extract_completed_draws(hist, hcnt, m))
+        assert draws.shape == (m, 64)
+        assert abs(draws[m // 4:].mean()) < 0.3
+        np.testing.assert_allclose(draws[m // 4:].std(), 1.0, rtol=0.12)

@@ -151,3 +151,24 @@ def test_multihost_mesh_constructors():
     h = hierarchical_mesh()
     assert h.shape["replicas"] == jax.process_count() == 1
     assert h.shape["particles"] == jax.local_device_count()
+
+
+def test_sharded_nuts_chains_fused_matches_shapes():
+    """Sharded fused FSM-NUTS (XLA fallback per shard on the CPU mesh):
+    shapes and basic sanity; chains independent -> no collectives."""
+    from gen_tpu.parallel import chain_mesh, sharded_nuts_chains_fused
+    mesh = chain_mesh(8)
+
+    def logp(x):
+        return -0.5 * jnp.sum(x * x)
+
+    vals0 = jax.random.normal(jax.random.PRNGKey(0), (32, 2))
+    v, hist, hcnt, cnt, stats = sharded_nuts_chains_fused(
+        jax.random.PRNGKey(1), logp, vals0, num_ticks=64, mesh=mesh,
+        eps=0.5, max_depth=5)
+    assert v.shape == (32, 2)
+    assert hist.shape == (64, 32)
+    assert hcnt.shape == (64, 32)
+    assert int(jnp.min(cnt)) > 0
+    np.testing.assert_array_equal(np.asarray(hcnt[-1]), np.asarray(cnt))
+    assert float(jnp.mean(stats["mean_accept"])) > 0.5
