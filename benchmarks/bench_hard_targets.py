@@ -316,11 +316,13 @@ def main(small=False, only=None):
     # suite under fixed-L HMC (R-hat 1.021 at 2000 validation steps, decays
     # with length as expected for a convergence-DIAGNOSTIC-limited run —
     # the cross-chain moments above are the bias gate and pass at 0.016 sd)
+    # (measured trend: R-hat(v) 1.021 @ 2000 steps, 1.010 @ 8000 — the
+    # run is diagnostic-length-limited, not bias-limited)
     if want("funnel"):
         rows.append(run_target(
             "funnel_d10", funnel, (9,), choicemap(), select("v", "x"),
             funnel_exact(), ("v",), sd_tol=0.06, target_accept=0.9,
-            **dict(cfg, num_warmup=800, rhat_steps=4 * hard_steps)))
+            **dict(cfg, num_warmup=800, rhat_steps=16 * hard_steps)))
 
     print("\n| target | d | eps | L | accept | us/step | ESS/s | worst R-hat "
           "| validated |")
