@@ -124,6 +124,11 @@ def run_target(name, model, args, obs, sel, exact, *, n_chains, n_ticks,
             _, hist_c, hcnt_c, cnt_c, _ = run(c, values,
                                               jax.random.fold_in(k_run, c))
             m = int(jnp.min(cnt_c))
+            if m < 8:
+                print(f"  {str(p):16s} only {m} completed draws on the "
+                      "slowest chain — raise n_ticks / cap max_depth")
+                ok = False
+                continue
             draws = np.asarray(extract_draws(hist_c, hcnt_c, m))
             burn = max(1, m // 4)
             dr = draws[burn:].astype(np.float64)
@@ -184,12 +189,17 @@ def main(small=False):
         select("mu", "log_tau", "theta_std"), eight_schools_exact(),
         n_chains=131072 // div, n_ticks=2000 // (4 if small else 1),
         num_warmup=400, use_pallas=None if not small else False,
-        xla_compare_chains=8192 // div))
+        # SAME chain count for the XLA comparison: at small counts the
+        # XLA FSM sits in cache and the per-chain ratio misleads
+        xla_compare_chains=131072 // div))
+    # funnel: depth capped at 7 — neck chains otherwise sit in 512-leapfrog
+    # max-depth trajectories and the slowest chain completes almost no
+    # draws within the tick budget (min count 2 at depth 9 / 2000 ticks)
     rows.append(run_target(
         "funnel_d10", funnel, (9,), choicemap(), select("v", "x"),
         funnel_exact(), n_chains=131072 // div,
-        n_ticks=2000 // (4 if small else 1), num_warmup=800,
-        max_depth=9, sd_tol=0.08, target_accept=0.9,
+        n_ticks=6000 // (4 if small else 1), num_warmup=800,
+        max_depth=7, sd_tol=0.08, target_accept=0.9,
         use_pallas=None if not small else False))
 
     print("\n| target | d | eps | mean depth | us/tick | ESS/s | "
