@@ -232,11 +232,25 @@ def run_target(name, model, args, obs, sel, exact, collect_addr, *,
     # hide is what the R-hat run itself then has to clear)
     finite_row = jnp.all(jnp.isfinite(val_flat), axis=1)
     n_nf = int(jnp.sum(~finite_row))
+    if n_nf > max(2, rhat_chains // 20):
+        # mass stranding would let donor-restarts manufacture the very
+        # over-dispersion collapse R-hat is supposed to detect — fail hard
+        raise AssertionError(
+            f"{n_nf}/{rhat_chains} validation chains non-finite after "
+            "warmup — too many to restart without weakening the R-hat "
+            "gate; tune warmup for this target instead")
     if n_nf:
         print(f"  WARNING: {n_nf}/{rhat_chains} validation chains "
-              "non-finite after warmup; restarting them from chain 0")
-        donor = val_flat[jnp.argmax(finite_row)]
-        val_flat = jnp.where(finite_row[:, None], val_flat, donor[None])
+              "non-finite after warmup; restarting each from a distinct "
+              "random finite chain")
+        # distinct random donors preserve the cross-chain over-dispersion
+        # split-R-hat depends on (a single donor would collapse it)
+        fin_idx = jnp.nonzero(finite_row)[0]
+        donors = fin_idx[jax.random.permutation(
+            jax.random.fold_in(k_val, 17), fin_idx.shape[0])[:n_nf]
+            % fin_idx.shape[0]]
+        nf_idx = jnp.nonzero(~finite_row)[0]
+        val_flat = val_flat.at[nf_idx].set(val_flat[donors])
 
     @jax.jit
     def run_val(values, k):

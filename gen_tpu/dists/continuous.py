@@ -302,6 +302,13 @@ class PiecewisePoissonProcess(Distribution):
     simulations and fixed-length observations share one density. Zero-
     length segments are allowed (the coal_sort arena pins inactive
     changepoint slots at t_end, making their segments empty).
+
+    .. warning:: ``sample`` TRUNCATES the Poisson event count at
+       ``max_events`` (the padded shape is static under XLA), which biases
+       simulation when the total intensity approaches ``max_events``.
+       Choose ``max_events >= total + 6 * sqrt(total)`` (truncation
+       probability < 1e-8); a truncated draw is detectable as a padded
+       vector with NO +inf tail entries (all ``max_events`` slots finite).
     """
 
     arg_grads = (False, True)

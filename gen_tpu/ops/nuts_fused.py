@@ -74,7 +74,8 @@ def nuts_chains_fused_chunked(key, logp, values0, num_ticks: int,
     values0 = jnp.asarray(values0, jnp.float32)
     n, d = values0.shape
     ci = kw.get("collect_idx", 0)
-    per_tick = (d + 1 if ci is None else 2) * 1024 * 4
+    tile = kw.get("tile", _DEF_TILE)
+    per_tick = (d + 1 if ci is None else 2) * tile * 4
     if chunk_ticks is None:
         chunk_ticks = max(64, min(num_ticks, vmem_budget_bytes // per_tick))
     hists, hcnts = [], []
@@ -84,6 +85,7 @@ def nuts_chains_fused_chunked(key, logp, values0, num_ticks: int,
     div_total = jnp.zeros((n,), jnp.int32)
     values = values0
     done = 0
+    last_stats = None
     while done < num_ticks:
         t = min(chunk_ticks, num_ticks - done)
         key, k_use = jax.random.split(key)
@@ -96,9 +98,15 @@ def nuts_chains_fused_chunked(key, logp, values0, num_ticks: int,
         depth_w = depth_w + stats["mean_depth"] * cntf
         div_total = div_total + stats["num_divergent"]
         cnt_total = cnt_total + cnt
+        last_stats = stats
         done += t
     denom = jnp.maximum(cnt_total.astype(jnp.float32), 1.0)
-    stats = dict(mean_accept=acc_w / denom, mean_depth=depth_w / denom,
+    # a chain with zero completed trajectories falls back to the last
+    # chunk's in-flight accept statistic, matching nuts_chains_fused /
+    # nuts_fsm semantics (their mean_accept does the same where cnt == 0)
+    mean_accept = jnp.where(cnt_total > 0, acc_w / denom,
+                            last_stats["mean_accept"])
+    stats = dict(mean_accept=mean_accept, mean_depth=depth_w / denom,
                  num_divergent=div_total)
     return (values, jnp.concatenate(hists, axis=0),
             jnp.concatenate(hcnts, axis=0), cnt_total, stats)

@@ -582,7 +582,12 @@ def _apply(name: str, params: dict, args: Sequence[ScalarArray]):
             lower = not lower
         b_shape = b.shape
         if len(b_shape) == 1:
-            B = [[b.elems[i]] for i in range(n)] if left else None
+            if not left:
+                raise NotImplementedError(
+                    "scalarize triangular_solve: 1-D b with "
+                    "left_side=False (lax always emits left_side for "
+                    "vector solves)")
+            B = [[b.elems[i]] for i in range(n)]
             m = 1
         elif left:
             m = b_shape[1]
