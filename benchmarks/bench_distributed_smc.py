@@ -51,7 +51,7 @@ def hmm_kernel(t, prev_z):
     return z
 
 
-def main(n_total=65536, T=16, reps=3):
+def main(n_total=65536, T=16, reps=3, devices=(1, 2, 4, 8)):
     rng = np.random.default_rng(0)
     obs = VectorChoiceMap(
         gt.ChoiceMap().set_value("y", jnp.asarray(rng.integers(0, 2, T))), T)
@@ -61,7 +61,7 @@ def main(n_total=65536, T=16, reps=3):
     print("|---|---|---|---|---|---|")
     base = {}
     for mode in ("all_gather", "ring"):
-        for n_dev in (1, 2, 4, 8):
+        for n_dev in devices:
             mesh = chain_mesh(n_dev, axis="particles")
 
             def run(key):

@@ -88,11 +88,12 @@ def _timeit(f, *args, reps=20):
     return (time.time() - t0) / reps
 
 
-def main():
-    print("| T | single-site ms/move | per-site (dense tax) | "
-          "blocked ms/half-sweep | per-site | vmapx1024 per-site-chain |")
+def main(Ts=(256, 1024, 4096, 16384, 65536), n_ch=1024):
+    print(f"| T | single-site ms/move | per-site (dense tax) | "
+          f"blocked ms/half-sweep | per-site | vmapx{n_ch} "
+          f"per-site-chain |")
     print("|---|---|---|---|---|---|")
-    for T in (256, 1024, 4096, 16384, 65536):
+    for T in Ts:
         key = jax.random.PRNGKey(0)
         trace = chain.simulate(key, (T, 0.0))
 
@@ -101,7 +102,6 @@ def main():
         t_single = _timeit(single, jax.random.PRNGKey(1), trace)
         t_blocked = _timeit(blocked, jax.random.PRNGKey(2), trace)
 
-        n_ch = 1024
         keys = jax.random.split(jax.random.PRNGKey(3), n_ch)
         traces = jax.vmap(lambda k: chain.simulate(k, (T, 0.0)))(keys)
         vb = jax.jit(jax.vmap(lambda k, tr: blocked_move(k, tr, T, 0)))

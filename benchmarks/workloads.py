@@ -231,37 +231,32 @@ def bench_bbvi(samples_per_iter=16384, iters=50):
                       "sample_grads_per_sec": round(samples_per_iter / el)}))
 
 
-def bench_gp_structure(n_chains=256, n_sweeps=100):
-    """GP structure-learning moves/sec, many chains vmapped."""
+def bench_gp_structure(n_chains=4096, n_sweeps=100, max_depth=3,
+                       n_points=30):
+    """GP covariance-structure learning moves/sec: the jitted tree-arena
+    engine (examples/gp_structure_arena.py — subtree-replace as masked
+    regenerate over the bounded-depth heap), many chains vmapped. One
+    sweep = a subtree-replace move + a noise move."""
     import jax
-    import jax.numpy as jnp
     import sys, os
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
                                     "examples"))
     import gp_structure as g
-    import gen_tpu as gt
+    import gp_structure_arena as ga
 
-    xs, ys = g.make_dataset(n=30)
-    obs = gt.choicemap(ys=ys)
-    key = jax.random.PRNGKey(0)
-    init_keys = jax.random.split(key, n_chains)
-    traces, _ = jax.vmap(
-        lambda k: g.gp_model.generate(k, (xs,), obs))(init_keys)
+    xs, ys = g.make_dataset(n=n_points)
+    model = ga.make_arena_model(max_depth)
+    traces = ga.init_chains(jax.random.PRNGKey(0), model, xs, ys, n_chains)
 
-    @jax.jit
-    def run(traces, k):
-        def body(trs, sk):
-            ks = jax.vmap(lambda i: jax.random.fold_in(sk, i))(
-                jnp.arange(n_chains))
-            return jax.vmap(g.sweep)(ks, trs), None
-        trs, _ = jax.lax.scan(body, traces,
-                              jax.random.split(k, n_sweeps))
-        return trs.get_score()
+    def run(trs, k):
+        trs, _, acc = ga.run_chains(k, trs, max_depth, n_sweeps, False)
+        return trs.get_score(), acc
 
-    el, _ = _timeit(run, traces, jax.random.PRNGKey(1), reps=3)
-    moves = n_chains * n_sweeps * 3
+    el, (_, acc) = _timeit(run, traces, jax.random.PRNGKey(1), reps=3)
+    moves = n_chains * n_sweeps * 2
     print(json.dumps({"workload": "gp_structure",
-                      "chains": n_chains,
+                      "chains": n_chains, "max_depth": max_depth,
+                      "mean_subtree_accept": round(float(acc), 3),
                       "moves_per_sec": round(moves / el),
                       "sec_per_run": round(el, 3)}))
 

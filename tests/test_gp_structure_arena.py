@@ -1,0 +1,125 @@
+"""Tests for the jitted tree-arena gp_structure engine
+(examples/gp_structure_arena.py).
+
+Reference workload: /root/reference/examples/gp_structure/involution_mh.jl
+and incremental.jl. The key claims under test:
+
+1. the full-universe arena model's ACTIVE-tree marginal is exactly the
+   truncated PCFG (inactive slots integrate out),
+2. the masked-selection regenerate weight on a subtree move equals the data
+   log-likelihood ratio (prior terms cancel),
+3. the vectorized sampler's cross-chain structure posterior matches the
+   enumerated oracle (TV gate — the same gate as the eager example).
+"""
+
+import os
+import sys
+from collections import Counter
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                "examples"))
+
+import gen_tpu as gt
+from gen_tpu import choicemap
+
+import gp_structure_arena as A
+import gp_structure as eager
+
+
+def _dataset(n=10, seed=3):
+    rng = np.random.default_rng(seed)
+    xs = jnp.asarray(np.linspace(0, 1, n))
+    ys = jnp.asarray(0.9 * (np.asarray(xs) - 0.4)
+                     + 0.07 * rng.standard_normal(n))
+    return xs, ys
+
+
+def test_active_marginal_is_pcfg_prior():
+    """Skeleton marginal of the arena prior == PCFG prior (max_depth=1)."""
+    xs, _ = _dataset(6)
+    model = A.make_arena_model(1)
+    n = 20000
+    keys = jax.random.split(jax.random.PRNGKey(0), n)
+    traces = jax.jit(jax.vmap(lambda k: model.simulate(k, (xs,))))(keys)
+    types = traces.get_retval()
+    act = jax.vmap(lambda t: A.active_mask(t, 1))(types)
+    skels = np.asarray(jnp.where(act, types + 1, 0).astype(jnp.int8))
+    counts = Counter(map(tuple, skels.tolist()))
+
+    exact = {}
+    for s, lp in eager.enumerate_structures(0, 1):
+        exact[A.skeleton_to_key(s, 1)] = float(np.exp(lp))
+    assert abs(sum(exact.values()) - 1.0) < 1e-6
+    tv = 0.5 * sum(abs(counts.get(k, 0) / n - p) for k, p in exact.items())
+    tv += 0.5 * sum(c / n for k, c in counts.items() if k not in exact)
+    assert tv < 0.03, tv
+
+
+def test_subtree_regen_weight_is_lik_ratio():
+    """Masked regenerate weight on the region == loglik(new) - loglik(old)."""
+    from jax.scipy.stats import multivariate_normal
+
+    xs, ys = _dataset(8)
+    max_depth = 2
+    N = A.n_slots(max_depth)
+    model = A.make_arena_model(max_depth)
+
+    def loglik(trace):
+        types = trace.get_retval()
+        p0 = jnp.stack([trace[(c, "p0")] for c in range(1, N + 1)])
+        p1 = jnp.stack([trace[(c, "p1")] for c in range(1, N + 1)])
+        cov = A.eval_cov_arena(types, p0, p1, xs)
+        cov = cov + (trace["noise"] + 0.01) * jnp.eye(xs.shape[0])
+        return multivariate_normal.logpdf(ys, jnp.zeros(xs.shape[0]), cov)
+
+    key = jax.random.PRNGKey(7)
+    trace, _ = model.generate(key, (xs,), choicemap(ys=ys))
+    for i, r in enumerate([1, 2, 3]):
+        sel = gt.MaskedSelection(A.region_flags(jnp.asarray(r), max_depth))
+        new_trace, w, _ = trace.regenerate(jax.random.fold_in(key, i), sel)
+        expect = loglik(new_trace) - loglik(trace)
+        np.testing.assert_allclose(float(w), float(expect), rtol=0, atol=1e-8)
+
+
+def test_region_flags():
+    flags = A.region_flags(jnp.asarray(2), 2)
+    got = {i for i in range(1, 8) if bool(flags[(i, "type")])}
+    assert got == {2, 4, 5}
+    flags = A.region_flags(jnp.asarray(1), 2)
+    assert {i for i in range(1, 8) if bool(flags[(i, "type")])} == set(
+        range(1, 8))
+
+
+def test_posterior_matches_enumerated_oracle():
+    """Cross-chain structure posterior vs the enumerated oracle, TV gate
+    (the eager example's gate, at vectorized scale)."""
+    xs, ys = _dataset(10)
+    exact = eager.exact_structure_posterior(xs, ys, max_depth=1,
+                                            num_mc=8000)
+    exact_by_key = {A.skeleton_to_key(s, 1): p for s, p in exact.items()}
+    emp, acc = A.structure_posterior_arena(
+        jax.random.PRNGKey(0), xs, ys, max_depth=1, n_chains=384,
+        n_burn=300, n_collect=150)
+    assert 0.05 < acc < 0.95
+    tv = 0.5 * sum(abs(emp.get(k, 0.0) - p)
+                   for k, p in exact_by_key.items())
+    tv += 0.5 * sum(p for k, p in emp.items() if k not in exact_by_key)
+    assert tv < 0.08, (tv, acc)
+
+
+def test_depth3_smoke():
+    """Depth-3 arena sweeps run jitted and keep a plausible accept rate."""
+    xs, ys = _dataset(12)
+    model = A.make_arena_model(3)
+    traces = A.init_chains(jax.random.PRNGKey(0), model, xs, ys, 32)
+    traces, skels, acc = A.run_chains(jax.random.PRNGKey(1), traces, 3, 20,
+                                      True)
+    assert skels.shape == (20, 32, A.n_slots(3))
+    assert 0.0 <= float(acc) <= 1.0
+    # root slot always active
+    assert np.all(np.asarray(skels)[:, :, 0] > 0)
