@@ -171,13 +171,76 @@ def main():
                        "note": "first-light measurement; later runs report "
                                "the ratio to this"}, f)
 
+    # -- second driver-tracked metric: the GENERAL-model engine ------------
+    # fused Pallas FSM-NUTS on eight_schools (non-conjugate hierarchical,
+    # d=10): NUTS chooses trajectory lengths itself, so this tracks the
+    # engine a user gets for arbitrary models (sample_posterior
+    # engine='auto'/'nuts_fused'), not just the fixed-L conjugate headline.
+    # Config and validation: benchmarks/bench_nuts_fused.py (moments vs
+    # analytic + split-R-hat gates run there; here we only time).
+    nuts_ess_per_sec, nuts_unit = _nuts_fused_metric()
+
     print(json.dumps({
         "metric": "hmc_ess_per_sec_per_chip",
         "value": round(ess_per_sec, 2),
         "unit": "effective samples/sec/chip (regression model, "
                 f"{n_chains} chains, L={L}, accept={accept_rate:.2f})",
         "vs_baseline": round(ess_per_sec / baseline, 3),
+        "metric2": "nuts_fused_ess_per_sec_per_chip",
+        "value2": round(nuts_ess_per_sec, 2),
+        "unit2": nuts_unit,
     }))
+
+
+def _nuts_fused_metric(n_chains=131072, n_ticks=2000, num_warmup=400):
+    import sys
+    import jax
+    import jax.numpy as jnp
+    import gen_tpu  # noqa: F401
+    from gen_tpu import choicemap, select
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(
+        __file__)), "benchmarks"))
+    from bench_hard_targets import (YS_8, SIGMAS_8, eight_schools,
+                                    eight_schools_exact)  # noqa: F401
+    from gen_tpu.inference.chees import chees_hmc_warmup_and_sample
+    from gen_tpu.inference.target import FlatTarget
+    from gen_tpu.ops.nuts_fused import nuts_chains_fused_chunked
+
+    sig = jnp.asarray(SIGMAS_8, jnp.float32)
+    obs = choicemap(ys=jnp.asarray(YS_8, jnp.float32))
+    sel = select("mu", "log_tau", "theta_std")
+    key = jax.random.PRNGKey(0)
+    k_init, k_warm, k_run, k_time = jax.random.split(key, 4)
+
+    traces, _ = jax.jit(jax.vmap(
+        lambda k: eight_schools.generate(k, (sig,), obs)))(
+        jax.random.split(k_init, n_chains))
+    one_trace = jax.tree_util.tree_map(lambda x: x[0], traces)
+    target = FlatTarget(one_trace, sel)
+    _, warm_flat, winfo = jax.jit(
+        lambda trs, k: chees_hmc_warmup_and_sample(
+            k, trs, sel, num_warmup=num_warmup, num_samples=1,
+            target_accept=0.8))(traces, k_warm)
+    eps = float(winfo["step_size"])
+
+    def run(values, k):
+        return nuts_chains_fused_chunked(
+            k, target.logp, values, num_ticks=n_ticks, eps=eps,
+            max_depth=8, inv_mass_diag=winfo["inv_mass"], collect_idx=0)
+
+    values, hist, _, _, stats = run(warm_flat, k_run)   # compile+decorrelate
+    float(jnp.sum(hist[-1]))
+    t0 = time.time()
+    _, hist_t, _, cnt_t, _ = run(values, k_time)
+    float(jnp.sum(hist_t[-1]))
+    elapsed = time.time() - t0
+    ess = autocorr_ess(np.asarray(hist_t))
+    depth = float(np.mean(np.asarray(stats["mean_depth"])))
+    unit = ("effective samples/sec/chip (fused FSM-NUTS, eight_schools "
+            f"d=10, {n_chains} chains, {n_ticks} ticks, eps={eps:.3f}, "
+            f"mean depth={depth:.1f})")
+    return ess / elapsed, unit
 
 
 if __name__ == "__main__":

@@ -145,10 +145,20 @@ def make_correlated(d=16, cond=1e3, seed=0, rotate=True):
 def run_target(name, model, args, obs, sel, exact, collect_addr, *,
                n_chains, n_steps, num_warmup, rhat_chains, rhat_steps,
                mean_tol=0.05, sd_tol=0.05, seed=0, use_pallas=None,
-               target_accept=0.8):
+               target_accept=0.8, mass="diag"):
     """ChEES warmup -> fused kernel sampling -> validation. Returns a row
-    dict (and prints the evidence)."""
-    from gen_tpu.inference.chees import chees_hmc_warmup_and_sample
+    dict (and prints the evidence).
+
+    ``mass="dense"``: after the diagonal warmup, estimate a dense metric
+    from the cross-chain covariance and run the SAME fused kernel on the
+    Cholesky-whitened target with identity mass
+    (gen_tpu/inference/mass.py) — moments are validated in x-space
+    (unwhitened), R-hat per whitened coordinate (a linear bijection of the
+    same chain)."""
+    from gen_tpu.inference.chees import (chees_hmc_warmup_and_sample,
+                                         chees_warmup_flat)
+    from gen_tpu.inference.mass import (dense_mass_chol, unwhiten, whiten,
+                                        whiten_logp)
     from gen_tpu.inference.hmc import hmc_chains
     from gen_tpu.inference.target import FlatTarget
     from gen_tpu.ops.hmc_fused import hmc_chains_fused
@@ -185,8 +195,29 @@ def run_target(name, model, args, obs, sel, exact, collect_addr, *,
           f"inv_mass range [{float(jnp.min(inv_mass)):.3g}, "
           f"{float(jnp.max(inv_mass)):.3g}]")
 
+    L_chol = None
+    logp_use = target.logp
+    if mass == "dense":
+        # dense metric by whitening: Sigma from the warmed population,
+        # kernel runs on pi_y(y) = pi_x(L y) with identity mass
+        t_d = time.time()
+        L_chol = dense_mass_chol(warm_flat)
+        logp_use = whiten_logp(target.logp, L_chol)
+        vag_w = jax.value_and_grad(logp_use)
+        ys0 = whiten(L_chol, warm_flat)
+        _, warm_flat, winfo = jax.jit(
+            lambda y, k: chees_warmup_flat(
+                k, vag_w, y, num_warmup=max(50, num_warmup // 2),
+                num_samples=1, target_accept=target_accept,
+                adapt_mass=False))(ys0, jax.random.fold_in(k_warm, 99))
+        eps = float(winfo["step_size"])
+        n_leap = max(1, int(winfo["num_leapfrogs"]))
+        inv_mass = jnp.ones(d, jnp.float32)
+        print(f"dense-mass re-warmup {time.time()-t_d:.1f}s: "
+              f"eps={eps:.4f} L={n_leap} (whitened coordinates)")
+
     def run_fused(values, k):
-        return hmc_chains_fused(k, target.logp, values, n_steps=n_steps,
+        return hmc_chains_fused(k, logp_use, values, n_steps=n_steps,
                                 L=n_leap, eps=eps, collect_idx=i_collect,
                                 inv_mass_diag=inv_mass,
                                 use_pallas=use_pallas)
@@ -202,8 +233,9 @@ def run_target(name, model, args, obs, sel, exact, collect_addr, *,
     print(f"fused: {elapsed*1e3:.0f} ms / {n_steps} steps "
           f"({elapsed*1e6/n_steps:.0f} us/step), accept={accept:.2f}")
 
-    # cross-chain moments of the final population vs exact
-    vv = np.asarray(values, np.float64)
+    # cross-chain moments of the final population vs exact (x-space)
+    vv = np.asarray(values if L_chol is None
+                    else unwhiten(L_chol, values), np.float64)
     ok = True
     for p in paths:
         lo, hi = offsets[paths.index(p)], offsets[paths.index(p) + 1]
@@ -252,10 +284,19 @@ def run_target(name, model, args, obs, sel, exact, collect_addr, *,
         nf_idx = jnp.nonzero(~finite_row)[0]
         val_flat = val_flat.at[nf_idx].set(val_flat[donors])
 
+    val_target = target
+    if L_chol is not None:
+        val_flat = whiten(L_chol, val_flat)
+
+        class _Shim:
+            value_and_grad = staticmethod(jax.value_and_grad(logp_use))
+
+        val_target = _Shim()
+
     @jax.jit
     def run_val(values, k):
-        return hmc_chains(k, target, values, n_steps=rhat_steps, L=n_leap,
-                          eps=eps, inv_mass_diag=inv_mass)
+        return hmc_chains(k, val_target, values, n_steps=rhat_steps,
+                          L=n_leap, eps=eps, inv_mass_diag=inv_mass)
 
     _, hv, _ = run_val(val_flat, jax.random.fold_in(k_val, 3))
     hv = np.asarray(hv)                  # (rhat_steps, rhat_chains, d)
@@ -281,12 +322,15 @@ def run_target(name, model, args, obs, sel, exact, collect_addr, *,
 
     ess = B.autocorr_ess(np.asarray(hist))
     ess_s = ess / elapsed
-    print(f"  ESS({collect_addr}) = {ess/1e6:.2f}M of "
+    coord = (collect_addr if L_chol is None
+             else f"whitened[{i_collect}]")
+    print(f"  ESS({coord}) = {ess/1e6:.2f}M of "
           f"{n_steps*n_chains/1e6:.1f}M draws -> {ess_s/1e6:.1f}M ESS/s")
     print(f"  => {name}: {'ALL CHECKS PASS' if ok else 'CHECKS FAILED'}")
     return dict(name=name, d=d, eps=eps, L=n_leap, accept=accept,
                 us_per_step=elapsed * 1e6 / n_steps, ess=ess,
-                ess_per_sec=ess_s, rhat_worst=rhat_worst, ok=bool(ok))
+                ess_per_sec=ess_s, rhat_worst=rhat_worst, ok=bool(ok),
+                mass=mass)
 
 
 def main(small=False, only=None):
@@ -318,6 +362,13 @@ def main(small=False, only=None):
             "correlated_gauss_cond1e3", linear_gauss, (A,),
             choicemap(ys=ys), select("x"), exact, ("x",),
             **dict(cfg, num_warmup=800, rhat_steps=hard_steps)))
+        # dense mass (whitened-coordinate kernel run): the diag row pays
+        # L=34 trajectories for the rotated cond-1e3 geometry; the dense
+        # metric should flatten it toward the axis-aligned row's cost
+        rows.append(run_target(
+            "correlated_gauss_cond1e3_dense", linear_gauss, (A,),
+            choicemap(ys=ys), select("x"), exact, ("x",), mass="dense",
+            **dict(cfg, num_warmup=800, rhat_steps=easy_steps)))
 
     if want("aniso"):
         A2, ys2 = make_correlated(16, 1e3, rotate=False, seed=1)

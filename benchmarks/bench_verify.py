@@ -60,7 +60,10 @@ def exact_posterior_moments(X, ys, prior_beta_sd=2.0, prior_ln_sd=1.0,
     return mean_beta, sd_beta, mean_ln, sd_ln
 
 
-def main():
+def main(smoke=False):
+    """``smoke=True`` shrinks every size for a CPU API-drift check
+    (tests/test_benchmarks.py): statistics gates are skipped, the point is
+    that every call in the pipeline still composes."""
     import gen_tpu as gt
     from gen_tpu import gen, choicemap, select
     from gen_tpu.inference import hmc_chains
@@ -89,7 +92,7 @@ def main():
 
     obs = choicemap(ys=true_ys)
     sel = select("slope", "intercept", "log_noise")
-    n_chains = 524288
+    n_chains = 1024 if smoke else 524288
     L, eps = 10, 0.035
 
     key = jax.random.PRNGKey(0)
@@ -120,13 +123,14 @@ def main():
         return values, slopes, accs, jnp.sum(values)
 
     values = init(init_keys)
-    values, _, _, cs = run(values, jax.random.fold_in(k_run, 0), 100, 10)
+    values, _, _, cs = run(values, jax.random.fold_in(k_run, 0),
+                           10 if smoke else 100, 5 if smoke else 10)
     float(cs)
 
     # timed phase mirrors bench.py: the fused Pallas kernel with the
     # scalarized assess-logp (ops/hmc_fused.py + ops/scalarize.py)
     from gen_tpu.ops.hmc_fused import hmc_chains_fused
-    n_timed = 500
+    n_timed = 10 if smoke else 500
 
     def run_fused(values, key):
         return hmc_chains_fused(key, target.logp, values, n_steps=n_timed,
@@ -162,18 +166,21 @@ def main():
     # draws the between-chain estimator's own noise is ~1.02): a separate
     # 8192-chain x 500-step validation run, same kernel settings
     from gen_tpu.diagnostics import summarize
-    val0 = init(jax.random.split(jax.random.fold_in(k_init, 1), 8192))
+    val0 = init(jax.random.split(jax.random.fold_in(k_init, 1),
+                                 256 if smoke else 8192))
+    n_val = 50 if smoke else 500
 
     @jax.jit
     def run_val(values, key):
         k_w, k_s = jax.random.split(key)
-        values, _, _ = hmc_chains(k_w, target, values, n_steps=100, L=L,
+        values, _, _ = hmc_chains(k_w, target, values,
+                                  n_steps=10 if smoke else 100, L=L,
                                   eps=eps, collect=lambda v: 0.0,
-                                  teleport_after=10)
-        return hmc_chains(k_s, target, values, n_steps=500, L=L, eps=eps)
+                                  teleport_after=5 if smoke else 10)
+        return hmc_chains(k_s, target, values, n_steps=n_val, L=L, eps=eps)
 
     _, hist_val, _ = run_val(val0, jax.random.fold_in(k_run, 3))
-    hv = np.asarray(hist_val)                    # (500, 8192, d)
+    hv = np.asarray(hist_val)                    # (n_val, chains, d)
     summ = summarize({p[0]: jnp.asarray(hv[:, :, i])
                       for i, p in enumerate(paths)})
     for name, st in summ.items():
@@ -185,9 +192,12 @@ def main():
     print(f"total ESS: {ess/1e6:.2f}M of {hist.shape[0]*n_chains/1e6:.2f}M "
           f"draws (ESS/draw {ess/(hist.shape[0]*n_chains):.3f})")
     print(f"ESS/s: {ess/elapsed/1e6:.1f}M")
+    if smoke:
+        print("SMOKE RUN COMPLETE (statistics gates not evaluated)")
+        return 0
     print("ALL CHECKS PASS" if ok else "CHECKS FAILED")
     return 0 if ok else 1
 
 
 if __name__ == "__main__":
-    raise SystemExit(main())
+    raise SystemExit(main(smoke="--smoke" in sys.argv))

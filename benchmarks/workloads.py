@@ -188,6 +188,73 @@ def bench_coal(n_chains=1024, n_sweeps=200):
                       "sec_per_run": round(el, 3)}))
 
 
+def bench_coal_sort(n_chains=1024, n_sweeps=200, n_burn=200,
+                    tv_gate=None, n_mc=None):
+    """Sorted-parameterization coal RJMCMC (examples/coal_sort.py — Green
+    weighted-geometric birth/death with the non-unit Jacobian, permutation
+    + position + rate moves; reference examples/coal/coal_sort.jl:1-605):
+    branchless many-chain moves/sec + exact-k-posterior TV gate."""
+    import jax
+    import jax.numpy as jnp
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "examples"))
+    import coal_sort as cs
+    import gen_tpu as gt
+
+    events = cs.make_dataset()
+    obs = gt.choicemap(events=events)
+    key = jax.random.PRNGKey(0)
+    k_init, k_burn, k_run = jax.random.split(key, 3)
+    traces, _ = jax.vmap(
+        lambda k: cs.coal_sort_model.generate(k, (cs.T_END,), obs))(
+        jax.random.split(k_init, n_chains))
+
+    def chain_sweep(key, trace):
+        ks = jax.random.split(key, 9)
+        trace = cs.refresh_inactive(ks[0], trace)
+        for i in range(1, 5):
+            trace, _ = cs.birth_death_move(ks[i], trace)
+        trace, _ = cs.rate_move(ks[5], trace)
+        trace, _ = cs.rate_move(ks[6], trace)
+        trace, _ = cs.position_move(ks[7], trace)
+        trace, _ = cs.permutation_move(ks[8], trace)
+        return trace
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnums=2)
+    def run(traces, key, n):
+        def body(trs, sk):
+            ks = jax.vmap(lambda i: jax.random.fold_in(sk, i))(
+                jnp.arange(n_chains))
+            trs = jax.vmap(chain_sweep)(ks, trs)
+            return trs, jax.vmap(lambda t: t["k"])(trs)
+        return jax.lax.scan(body, traces, jax.random.split(key, n))
+
+    traces, _ = run(traces, k_burn, n_burn)       # burn + compile
+    el, (_, k_hist) = _timeit(lambda trs, k: run(trs, k, n_sweeps),
+                              traces, k_run, reps=3)
+    moves = n_chains * n_sweeps * 9
+
+    # exactness: TV of the cross-chain k posterior vs semi-exact MC
+    k_hist = np.asarray(k_hist).reshape(-1)
+    emp = np.bincount(k_hist, minlength=cs.K_MAX + 1) / k_hist.size
+    if n_mc is None:
+        n_mc = 50_000 if n_chains <= 64 else 200_000
+    exact_d = cs.exact_k_posterior(events, n_mc=n_mc)
+    exact = np.asarray([exact_d[k] for k in range(cs.K_MAX + 1)])
+    tv = 0.5 * float(np.abs(emp - exact).sum())
+    out = {"workload": "coal_sort_rjmcmc", "chains": n_chains,
+           "moves_per_sec": round(moves / el),
+           "k_posterior_tv": round(tv, 4),
+           "sec_per_run": round(el, 3)}
+    print(json.dumps(out))
+    if tv_gate is not None:
+        assert tv < tv_gate, (tv, emp, exact)
+    return out
+
+
 def bench_bbvi(samples_per_iter=16384, iters=50):
     """BBVI gradient steps/sec."""
     import jax
@@ -508,13 +575,16 @@ def bench_lgssm_collapsed_hmc(n_chains=8192, T=64, d=4, p=4,
     from gen_tpu.inference import hmc
 
     rng = np.random.default_rng(1)
-    a_true = jnp.asarray((0.7 * np.eye(d) +
-                          0.1 * rng.standard_normal((d, d))).astype(np.float32))
-    q = jnp.asarray((0.3 * np.eye(d)).astype(np.float32))
-    c = jnp.asarray(rng.standard_normal((p, d)).astype(np.float32))
-    r = jnp.asarray((0.2 * np.eye(p)).astype(np.float32))
-    mu0 = jnp.zeros(d, jnp.float32)
-    p0 = jnp.asarray(np.eye(d, dtype=np.float32))
+    # default float dtype throughout (f32 on TPU, f64 under the test
+    # suite's x64 mode) — a mixed-dtype carry fails lax.scan under x64
+    ft = jnp.zeros(()).dtype
+    a_true = jnp.asarray(0.7 * np.eye(d)
+                         + 0.1 * rng.standard_normal((d, d)), ft)
+    q = jnp.asarray(0.3 * np.eye(d), ft)
+    c = jnp.asarray(rng.standard_normal((p, d)), ft)
+    r = jnp.asarray(0.2 * np.eye(p), ft)
+    mu0 = jnp.zeros(d, ft)
+    p0 = jnp.asarray(np.eye(d), ft)
     dist = lgssm(T)
     ys = dist.sample(jax.random.PRNGKey(2), a_true, q, c, r, mu0, p0)
 

@@ -87,15 +87,31 @@ def chees_hmc_warmup_and_sample(key, traces, selection: Selection,
     :func:`gen_tpu.ops.hmc_fused.hmc_chains_fused` as ``inv_mass_diag``."""
     example = jax.tree_util.tree_map(lambda x: x[0], traces)
     target = FlatTarget(example, selection)
-    vag = target.value_and_grad
-    n_chains = jax.tree_util.tree_leaves(traces)[0].shape[0]
-    dim = target.dim
+    xs0 = jax.vmap(
+        lambda tr: tr.get_choices().filter(selection).to_array())(traces)
+    return chees_warmup_flat(
+        key, target.value_and_grad, xs0, num_warmup=num_warmup,
+        num_samples=num_samples, target_accept=target_accept,
+        init_step_size=init_step_size, init_traj_length=init_traj_length,
+        adam_lr=adam_lr, adapt_mass=adapt_mass,
+        mass_ema_decay=mass_ema_decay)
 
-    def batch_flat(trs):
-        return jax.vmap(
-            lambda tr: tr.get_choices().filter(selection).to_array())(trs)
 
-    xs0 = batch_flat(traces)
+def chees_warmup_flat(key, vag, xs0,
+                      num_warmup: int = 300,
+                      num_samples: int = 500,
+                      target_accept: float = 0.75,
+                      init_step_size: float = 0.1,
+                      init_traj_length: float = 1.0,
+                      adam_lr: float = 0.025,
+                      adapt_mass: bool = True,
+                      mass_ema_decay: Optional[float] = None):
+    """Flat-coordinate core of :func:`chees_hmc_warmup_and_sample`:
+    ``vag(x) -> (logp, grad)`` on a (d,) vector, ``xs0`` the (chains, d)
+    initial population. This is the entry the dense-mass machinery uses to
+    re-adapt the step size in WHITENED coordinates
+    (:mod:`gen_tpu.inference.mass`)."""
+    n_chains, dim = xs0.shape
     logps0, grads0 = jax.vmap(vag)(xs0)
 
     mass_floor = jnp.asarray(1e-12, xs0.dtype)
@@ -127,7 +143,7 @@ def chees_hmc_warmup_and_sample(key, traces, selection: Selection,
         n_leap = jnp.round(jnp.clip(ratio, 1.0, 1000.0)).astype(jnp.int32)
 
         k_mom, k_acc, k_tel = jax.random.split(k, 3)
-        mom_scale = 1.0 / jnp.sqrt(inv_mass)
+        mom_scale = _sqrt_mass_safe(inv_mass)
         momenta = mom_scale * jax.random.normal(
             k_mom, (n_chains, dim), xs.dtype)
 
@@ -215,7 +231,7 @@ def chees_hmc_warmup_and_sample(key, traces, selection: Selection,
     def sample_iteration(inv_mass, carry, inp):
         (xs, logps, grads, eps, n_leap), k = carry, inp
         k_mom, k_acc = jax.random.split(k)
-        mom_scale = 1.0 / jnp.sqrt(inv_mass)
+        mom_scale = _sqrt_mass_safe(inv_mass)
         momenta = mom_scale * jax.random.normal(
             k_mom, (n_chains, dim), xs.dtype)
 
@@ -274,3 +290,13 @@ def chees_hmc_warmup_and_sample(key, traces, selection: Selection,
                 num_leapfrogs=n_leap_final,
                 mean_accept=jnp.mean(accepts), inv_mass=inv_mass)
     return samples, xs, info
+
+
+def _sqrt_mass_safe(inv_mass):
+    """Momentum scale with frozen-coordinate support: inv_mass == 0 means
+    infinite mass (the coordinate is frozen for Gibbs-within-HMC/NUTS
+    blocks or per-chain conditioning); its momentum draw is zero and every
+    other momentum use is inv_mass-weighted, so it never moves."""
+    import jax.numpy as jnp
+    return jnp.where(inv_mass > 0,
+                     1.0 / jnp.sqrt(jnp.maximum(inv_mass, 1e-30)), 0.0)

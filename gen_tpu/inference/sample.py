@@ -60,6 +60,68 @@ def _default_selection(trace, observations: ChoiceMap):
     return select(*paths), paths
 
 
+def _auto_engine(one_trace, observations, selection, num_chains) -> str:
+    """``engine="auto"`` dispatch: the fused Pallas FSM-NUTS engine
+    (1000x-class throughput at scale) whenever its preconditions hold —
+    the selection covers every unobserved continuous address, >= 2 chains
+    for ChEES warmup, and the model's assess-logp stages through
+    :func:`gen_tpu.ops.scalarize.stage_scalarized` (e.g. no
+    ``while_loop``); otherwise per-chain XLA NUTS, which has no
+    preconditions."""
+    if num_chains < 2:
+        return "nuts"
+    try:
+        default_sel, _ = _default_selection(one_trace, observations)
+    except ValueError:
+        return "nuts"
+    covered = {p for p, _ in
+               one_trace.get_choices().filter(selection).leaf_items()}
+    needed = {p for p, _ in
+              one_trace.get_choices().filter(default_sel).leaf_items()}
+    if covered != needed:
+        return "nuts"
+    from ..ops.scalarize import stage_scalarized
+    from .target import FlatTarget
+    target = FlatTarget(one_trace, selection)
+    d = int(one_trace.get_choices().filter(selection).to_array().shape[0])
+    try:
+        # staging raises on oversized/non-float residuals; unsupported
+        # residual primitives (while_loop, large gathers, ...) raise when
+        # the plane function is evaluated — probe both on a tiny plane
+        plane_fn, res_consts = stage_scalarized(target.logp, d)
+        res = [res_consts[i] for i in range(int(res_consts.shape[0]))]
+        plane_fn(jnp.zeros((d, 8, 8), jnp.float32), res)
+    except Exception:
+        return "nuts"
+    return "nuts_fused"
+
+
+def _maybe_dense(mass, target, warm_flat, winfo, k_warm, num_warmup,
+                 target_accept):
+    """Dense-metric plumbing for the fused engines: returns
+    (logp, inv_mass_diag, L_chol_or_None, values0) — whitened when
+    ``mass == "dense"`` (gen_tpu/inference/mass.py), pass-through for
+    ``"diag"``."""
+    if mass == "diag":
+        return target.logp, winfo["inv_mass"], None, warm_flat
+    if mass != "dense":
+        raise ValueError(f"unknown mass {mass!r} (use 'diag' or 'dense')")
+    from .mass import dense_mass_chol, whiten, whiten_logp
+    L = dense_mass_chol(warm_flat)
+    logp_w = whiten_logp(target.logp, L)
+    d = warm_flat.shape[1]
+    return logp_w, jnp.ones((d,), jnp.float32), L, whiten(L, warm_flat)
+
+
+def _dense_rewarmup(logp_w, ys0, key, num_warmup, target_accept):
+    """Short step-size re-adaptation in whitened coordinates."""
+    from .chees import chees_warmup_flat
+    return chees_warmup_flat(
+        key, jax.value_and_grad(logp_w), ys0,
+        num_warmup=max(50, num_warmup // 2), num_samples=1,
+        target_accept=target_accept, adapt_mass=False)
+
+
 def sample_posterior(key, model: GenerativeFunction, args: Tuple,
                      observations: ChoiceMap, *,
                      selection: Optional[Selection] = None,
@@ -68,6 +130,7 @@ def sample_posterior(key, model: GenerativeFunction, args: Tuple,
                      target_accept: float = 0.8,
                      engine: str = "nuts",
                      adapt_mass: bool = True,
+                     mass: str = "diag",
                      num_ticks: Optional[int] = None,
                      mesh=None, mesh_axis: str = "chains",
                      summarize: bool = True) -> PosteriorSamples:
@@ -76,6 +139,23 @@ def sample_posterior(key, model: GenerativeFunction, args: Tuple,
     Returns :class:`PosteriorSamples`; ``samples[path]`` has shape
     ``(num_samples, num_chains, *event_shape)`` — exactly what
     :func:`gen_tpu.diagnostics.summarize` and downstream estimators expect.
+
+    ``engine="auto"`` dispatches to the fastest engine whose preconditions
+    hold: ``nuts_fused`` (the fused Pallas FSM-NUTS kernel) when the
+    selection covers every unobserved continuous address, there are >= 2
+    chains, and the model's assess-logp stages through
+    :mod:`gen_tpu.ops.scalarize` (probed automatically); otherwise the
+    per-chain XLA ``nuts`` engine. Note the fused engine returns
+    completed-trajectory draws — possibly fewer than ``num_samples`` —
+    so code that requires exactly ``num_samples`` draws should pin
+    ``engine="nuts"``.
+
+    ``mass="dense"`` (fused engines only) estimates a dense metric from
+    the cross-chain covariance after the diagonal ChEES warmup and runs
+    the SAME fused kernel on the Cholesky-whitened target with identity
+    mass (:mod:`gen_tpu.inference.mass`) — the right choice for densely
+    correlated posteriors where a diagonal mass cannot flatten the
+    geometry; draws are returned in the original coordinates.
 
     ``engine="chees"`` uses cross-chain-adaptive ChEES-HMC
     (:mod:`gen_tpu.inference.chees` — one shared step size and trajectory
@@ -155,6 +235,10 @@ def sample_posterior(key, model: GenerativeFunction, args: Tuple,
                 f"{sorted(needed - covered)!r}); use engine='nuts' for "
                 "partial selections")
 
+    if engine == "auto":
+        engine = _auto_engine(one_trace, observations, selection,
+                              num_chains)
+
     if engine == "nuts":
         @jax.jit
         def run(traces, key):
@@ -207,10 +291,22 @@ def sample_posterior(key, model: GenerativeFunction, args: Tuple,
         # (ops/hmc_fused.py; XLA fallback off-TPU), collecting every
         # coordinate each step
         target = FlatTarget(one_trace, selection)
+        logp_use, inv_mass_use, L_chol, warm_flat = _maybe_dense(
+            mass, target, warm_flat, winfo, k_warm, num_warmup,
+            target_accept)
+        if L_chol is not None:
+            _, _, winfo2 = jax.jit(lambda y, k: _dense_rewarmup(
+                logp_use, y, k, num_warmup, target_accept))(
+                warm_flat, jax.random.fold_in(k_warm, 99))
+            eps_adapted = float(winfo2["step_size"])
+            n_leap = max(1, int(winfo2["num_leapfrogs"]))
         _, collected, accs = hmc_chains_fused(
-            k_fused, target.logp, warm_flat, n_steps=num_samples,
+            k_fused, logp_use, warm_flat, n_steps=num_samples,
             L=n_leap, eps=eps_adapted, collect_idx=None,
-            inv_mass_diag=winfo["inv_mass"])
+            inv_mass_diag=inv_mass_use)
+        if L_chol is not None:
+            from .mass import unwhiten
+            collected = unwhiten(L_chol, collected)
         flat = jnp.swapaxes(collected, 0, 1)     # -> (chains, draws, dim)
         final_traces = None
         info = dict(step_size=eps_adapted, num_leapfrogs=n_leap,
@@ -242,10 +338,21 @@ def sample_posterior(key, model: GenerativeFunction, args: Tuple,
         # fallback off-TPU), chunked so the all-coordinate history block
         # stays within Mosaic's scoped-VMEM limit
         del d
+        logp_use, inv_mass_use, L_chol, warm_flat = _maybe_dense(
+            mass, target, warm_flat, winfo, k_warm, num_warmup,
+            target_accept)
+        if L_chol is not None:
+            _, _, winfo2 = jax.jit(lambda y, k: _dense_rewarmup(
+                logp_use, y, k, num_warmup, target_accept))(
+                warm_flat, jax.random.fold_in(k_warm, 99))
+            eps_adapted = float(winfo2["step_size"])
         _, hist, hcnt, cnt, fstats = nuts_chains_fused_chunked(
-            k_run2, target.logp, warm_flat, num_ticks=ticks,
+            k_run2, logp_use, warm_flat, num_ticks=ticks,
             eps=eps_adapted, max_depth=max_depth,
-            inv_mass_diag=winfo["inv_mass"], collect_idx=None)
+            inv_mass_diag=inv_mass_use, collect_idx=None)
+        if L_chol is not None:
+            from .mass import unwhiten
+            hist = unwhiten(L_chol, hist)     # (ticks, n, d), d last
         m = int(jnp.min(cnt))
         if m < 2:
             raise ValueError(

@@ -120,7 +120,8 @@ def hmm_forward_batched(params: HMMParams, ys_batch, dtype=None):
 
     k = init.shape[0]
     (_, log_mls, _), filtered = jax.lax.scan(
-        step, (jnp.zeros((n, k)), jnp.zeros(n), jnp.asarray(True)),
+        step, (jnp.zeros((n, k), init.dtype), jnp.zeros(n, init.dtype),
+               jnp.asarray(True)),
         ys_batch.T)
     return log_mls, filtered
 

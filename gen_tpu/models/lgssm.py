@@ -70,6 +70,12 @@ def kalman_filter(params: LGSSMParams, ys) -> KalmanResult:
     """
     A, Q, C, R, mu0, P0 = (jnp.asarray(_f(p)) for p in params)
     ys = jnp.asarray(_f(ys))
+    # harmonize dtypes: mixed f32/f64 inputs (e.g. f32 data with f64 traced
+    # params under x64) would give the lax.scan a carry whose input/output
+    # dtypes differ
+    dt = jnp.result_type(A, Q, C, R, mu0, P0, ys)
+    A, Q, C, R, mu0, P0, ys = (x.astype(dt)
+                               for x in (A, Q, C, R, mu0, P0, ys))
     d = A.shape[-1]
     p = C.shape[-2]
     eye_d = jnp.eye(d, dtype=A.dtype)

@@ -114,7 +114,11 @@ def _kernel(n_steps, L, eps, eps_jitter, collect_idx, n_res, plane_fn,
     # diagonal mass: per-coordinate scalars from SMEM, applied by unrolled
     # per-plane ops (full-tile elementwise; no tiny broadcasts)
     inv_m = [mass_ref[i] for i in range(d)]
-    mom_scale = [1.0 / jnp.sqrt(inv_m[i]) for i in range(d)]
+    # inv_mass == 0 freezes a coordinate (infinite mass; zero momentum
+    # draw here, every other momentum use is inv_m-weighted)
+    mom_scale = [jnp.where(inv_m[i] > 0,
+                           1.0 / jnp.sqrt(jnp.maximum(inv_m[i], 1e-30)),
+                           0.0) for i in range(d)]
 
     def kin(m):
         return 0.5 * sum(inv_m[i] * m[i] * m[i] for i in range(d))

@@ -153,7 +153,15 @@ def _kernel(num_ticks, max_depth, eps, div_threshold, collect_idx, n_res,
     feps = jnp.float32(eps)
 
     inv_m = [mass_ref[i] for i in range(d)]
-    mom_scale = [1.0 / jnp.sqrt(inv_m[i]) for i in range(d)]
+    # inv_mass == 0 freezes a coordinate (infinite mass): its momentum
+    # draw is zeroed here, and every other use of momentum flows through
+    # inv_m-weighted products (position update, kinetic, U-turn dots),
+    # so the coordinate never moves and contributes nothing -- this is
+    # how Gibbs-within-NUTS blocks and per-chain conditioning values
+    # ride inside the kernel state (see docs/api.md)
+    mom_scale = [jnp.where(inv_m[i] > 0,
+                           1.0 / jnp.sqrt(jnp.maximum(inv_m[i], 1e-30)),
+                           0.0) for i in range(d)]
 
     def scale_mass(z):
         return jnp.stack([mom_scale[i] * z[i] for i in range(d)])

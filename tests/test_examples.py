@@ -215,3 +215,12 @@ def test_coal_sort_exactness_gate():
     emp = {k: float(np.mean(post == k)) for k in range(cs.K_MAX + 1)}
     tv = 0.5 * sum(abs(emp[k] - exact[k]) for k in exact)
     assert tv < 0.15, (emp, exact)
+
+
+def test_inverse_graphics_amortized_smoke():
+    """Trained-neural-proposal inverse graphics (reference
+    examples/inverse_graphics/train.jl + test.jl): a short training run
+    must improve the held-out amortization metrics monotonically-ish
+    (final better than initial on error and weight variance)."""
+    import inverse_graphics as ig
+    ig.main(smoke=True)

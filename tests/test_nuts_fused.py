@@ -182,3 +182,144 @@ def test_chunked_driver_stitches_streams():
         assert draws.shape == (m, 64)
         assert abs(draws[m // 4:].mean()) < 0.3
         np.testing.assert_allclose(draws[m // 4:].std(), 1.0, rtol=0.12)
+
+
+def test_interpret_kernel_frozen_coordinates_match_fsm():
+    """Frozen-coordinate masking (inv_mass == 0 => infinite mass): the
+    kernel with a frozen coordinate must (a) never move it, (b) remain
+    tick-exact against the XLA FSM with the same mask — this is the
+    mechanism carrying Gibbs-within-NUTS blocks and per-chain conditioning
+    values through the fused kernel (VERDICT r2 item 7; reference
+    selection contract: gen_fn_interface.jl:292-334)."""
+    with jax.enable_x64(False):
+        _run_interpret_frozen()
+
+
+def _run_interpret_frozen():
+    sds = jnp.array([1.0, 3.0, 0.5, 2.0])
+
+    def logp(x):
+        # coordinate 2 enters the density (it conditions the others)
+        return (-0.5 * jnp.sum((x / sds) ** 2)
+                - 0.3 * x[0] * x[2] - 0.1 * x[1] * x[2])
+
+    n, d, ticks, max_depth = 128, 4, 40, 5
+    vals0 = jax.random.normal(KEY, (n, d)) * sds
+    inv_mass = (sds ** 2).at[2].set(0.0)     # freeze coordinate 2
+    rng = _injected(jax.random.PRNGKey(3), ticks, n, d)
+
+    vals_k, hist_k, hcnt_k, cnt_k, stats_k = nuts_chains_fused(
+        jax.random.PRNGKey(1), logp, vals0, num_ticks=ticks, eps=0.5,
+        max_depth=max_depth, inv_mass_diag=inv_mass, collect_idx=2,
+        injected_rng=rng, interpret=True)
+    res_r, hist_r, hcnt_r = _reference_fsm_injected(
+        logp, vals0, rng, 0.5, ticks, max_depth, inv_mass, 2)
+
+    # the frozen coordinate never moves, in either engine
+    np.testing.assert_allclose(np.asarray(vals_k[:, 2]),
+                               np.asarray(vals0[:, 2]), rtol=0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(res_r.theta[:, 2]),
+                               np.asarray(vals0[:, 2]), rtol=0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(hist_k),
+                               np.asarray(vals0[:, 2])[None, :].repeat(
+                                   ticks, 0), rtol=0, atol=1e-6)
+    # free coordinates: kernel ticks pin to the FSM exactly
+    np.testing.assert_array_equal(np.asarray(cnt_k),
+                                  np.asarray(res_r.counts))
+    np.testing.assert_array_equal(np.asarray(hcnt_k), np.asarray(hcnt_r))
+    np.testing.assert_allclose(np.asarray(vals_k), np.asarray(res_r.theta),
+                               rtol=1e-5, atol=1e-5)
+    assert int(cnt_k.min()) > 0
+
+
+def test_frozen_mask_gibbs_within_nuts_gmm():
+    """Mixed discrete/continuous inference THROUGH the fused-NUTS engine:
+    2-component GMM where the means move by NUTS (free coordinates) while
+    per-chain sufficient statistics of the current assignments (counts,
+    sums) ride in the SAME state vector as frozen coordinates
+    (inv_mass = 0), updated between NUTS calls by an exact discrete Gibbs
+    step. Cross-chain moments of the means must match EXACT enumeration
+    over all 2^N assignment vectors (conjugate per-cluster evidence).
+    This is the 'observed-subset conditioning reaches the kernel' contract:
+    per-chain conditioning values live in kernel state, not in the shared
+    staged residual."""
+    with jax.enable_x64(False):
+        _run_gibbs_within_nuts_gmm()
+
+
+def _run_gibbs_within_nuts_gmm():
+    from gen_tpu.ops.nuts_fused import nuts_chains_fused
+
+    sigma, tau = 1.0, 3.0
+    ys = jnp.asarray([-2.3, -1.8, -2.1, -1.6, 1.7, 2.2, 1.9, 2.4],
+                     jnp.float32)
+    N = ys.shape[0]
+
+    # exact symmetric posterior moments of mu_0 by enumeration
+    import itertools
+    y_np = np.asarray(ys, np.float64)
+    logws, m0s, v0s = [], [], []
+    for z in itertools.product([0, 1], repeat=N):
+        z = np.asarray(z)
+        lw, ms, vs = 0.0, [], []
+        for k in (0, 1):
+            yk = y_np[z == k]
+            nk = len(yk)
+            vk = 1.0 / (1.0 / tau ** 2 + nk / sigma ** 2)
+            mk = vk * yk.sum() / sigma ** 2
+            lw += 0.5 * np.log(vk / tau ** 2) + 0.5 * mk ** 2 / vk
+            ms.append(mk)
+            vs.append(vk)
+        logws.append(lw)
+        m0s.append(ms[0])
+        v0s.append(vs[0])
+    w = np.exp(np.asarray(logws) - max(logws))
+    w /= w.sum()
+    ex_mean = float(w @ np.asarray(m0s))
+    ex_var = float(w @ (np.asarray(v0s) + np.asarray(m0s) ** 2)
+                   - ex_mean ** 2)
+
+    # state: [mu0, mu1, c0, c1, s0, s1]; counts/sums frozen
+    def logp(v):
+        mu = v[:2]
+        c = v[2:4]
+        s = v[4:6]
+        prior = -0.5 * jnp.sum(mu ** 2) / tau ** 2
+        lik = jnp.sum(-0.5 * c * mu ** 2 / sigma ** 2
+                      + mu * s / sigma ** 2)
+        return prior + lik
+
+    inv_mass = jnp.asarray([1.0, 1.0, 0.0, 0.0, 0.0, 0.0], jnp.float32)
+    n_chains, outer, ticks = 512, 60, 12
+
+    @jax.jit
+    def gibbs_assignments(key, v):
+        mu = v[:, :2]                                    # (n, 2)
+        lp = -0.5 * (ys[None, :, None] - mu[:, None, :]) ** 2 / sigma ** 2
+        z = jax.random.categorical(key, lp, axis=-1)     # (n, N)
+        one = (z[..., None] == jnp.arange(2)).astype(jnp.float32)
+        c = jnp.sum(one, axis=1)                         # (n, 2)
+        s = jnp.sum(one * ys[None, :, None], axis=1)     # (n, 2)
+        return v.at[:, 2:4].set(c).at[:, 4:6].set(s)
+
+    key = jax.random.PRNGKey(0)
+    k_init, key = jax.random.split(key)
+    v = jnp.concatenate([
+        jax.random.normal(k_init, (n_chains, 2)) * tau,
+        jnp.zeros((n_chains, 4))], axis=1)
+    v = gibbs_assignments(jax.random.fold_in(key, 10_000), v)
+    for it in range(outer):
+        k_n, k_g = jax.random.split(jax.random.fold_in(key, it))
+        v, _, _, _, _ = nuts_chains_fused(
+            k_n, logp, v, num_ticks=ticks, eps=0.3, max_depth=4,
+            inv_mass_diag=inv_mass, collect_idx=0, use_pallas=False)
+        v = gibbs_assignments(k_g, v)
+
+    mu0 = np.asarray(v[:, 0], np.float64)
+    # symmetric init + label symmetry: cross-chain mu0 targets the exact
+    # symmetric (bimodal) posterior
+    assert abs(mu0.mean() - ex_mean) < 0.12, (mu0.mean(), ex_mean)
+    assert abs(mu0.var() / ex_var - 1.0) < 0.12, (mu0.var(), ex_var)
+    # frozen stats stayed exactly what Gibbs wrote (NUTS never moved them)
+    c = np.asarray(v[:, 2:4])
+    assert np.all(c.sum(axis=1) == N)

@@ -216,3 +216,120 @@ def test_nuts_fused_engine_matches_conjugate():
     assert abs(float(s["sd"]) - 1 / np.sqrt(post_prec)) < 0.04
     assert float(s["rhat"]) < 1.05
     assert float(np.mean(np.asarray(out.info["mean_depth"]))) >= 1.0
+
+
+def test_auto_engine_picks_fused_on_scalarizable_model():
+    """engine='auto' dispatches nuts_fused when the logp stages (the
+    conjugate-normal model scalarizes: sufficient-statistic likelihood)."""
+    from gen_tpu.inference.sample import _auto_engine
+
+    n = 12
+    ys = jnp.full(n, 2.0)
+
+    @gen
+    def model(n):
+        mu = gt.normal(0.0, 3.0) @ "mu"
+        gt.normal(mu * jnp.ones(n), 1.0) @ "ys"
+
+    obs = choicemap(ys=ys)
+    tr, _ = model.generate(jax.random.PRNGKey(0), (n,), obs)
+    from gen_tpu.inference.sample import _default_selection
+    sel, _ = _default_selection(tr, obs)
+    assert _auto_engine(tr, obs, sel, 8) == "nuts_fused"
+    # single chain cannot warm up with ChEES
+    assert _auto_engine(tr, obs, sel, 1) == "nuts"
+
+    out = sample_posterior(jax.random.PRNGKey(0), model, (n,), obs,
+                           num_chains=8, num_warmup=150, num_samples=150,
+                           engine="auto")
+    mu = np.asarray(out.samples["mu"])
+    assert mu.shape[1] == 8 and mu.shape[0] >= 2
+    post_mean = (float(ys.sum())) / (1 / 9 + n)
+    assert abs(mu.mean() - post_mean) < 0.1
+
+
+def test_auto_engine_falls_back_on_unscalarizable_model():
+    """Models whose assess-logp cannot stage into the fused kernel must
+    dispatch to the XLA nuts engine: (a) a non-sufficient-statistic
+    likelihood whose x-dependent residual touches a large array (staging
+    itself raises), (b) an unsupported residual primitive (sort), which
+    only raises when the plane function is evaluated — the auto probe
+    must catch both."""
+    from gen_tpu.inference.sample import (_auto_engine,
+                                          _default_selection)
+
+    xs_big = jnp.linspace(0.0, 1.0, 2048)
+
+    @gen
+    def big_residual_model():
+        mu = gt.normal(0.0, 1.0) @ "mu"
+        gt.normal(jnp.sin(mu * xs_big), 1.0) @ "ys"
+
+    obs = choicemap(ys=jnp.zeros(2048))
+    tr, _ = big_residual_model.generate(jax.random.PRNGKey(0), (), obs)
+    sel, _ = _default_selection(tr, obs)
+    assert _auto_engine(tr, obs, sel, 8) == "nuts"
+
+    @gen
+    def sort_model():
+        a = gt.normal(0.0, 1.0) @ "a"
+        b = gt.normal(0.0, 1.0) @ "b"
+        lo = jnp.sort(jnp.stack([a, b]))[0]
+        gt.normal(lo, 0.5) @ "y"
+
+    obs2 = choicemap(y=jnp.asarray(0.3))
+    tr2, _ = sort_model.generate(jax.random.PRNGKey(0), (), obs2)
+    sel2, _ = _default_selection(tr2, obs2)
+    assert _auto_engine(tr2, obs2, sel2, 8) == "nuts"
+
+    out = sample_posterior(jax.random.PRNGKey(1), sort_model, (), obs2,
+                           num_chains=4, num_warmup=100, num_samples=100,
+                           engine="auto")
+    assert out.samples["a"].shape == (100, 4)
+
+
+def test_auto_engine_partial_selection_falls_back():
+    from gen_tpu.inference.sample import _auto_engine
+
+    @gen
+    def model():
+        a = gt.normal(0.0, 1.0) @ "a"
+        b = gt.normal(0.0, 1.0) @ "b"
+        gt.normal(a + b, 0.5) @ "y"
+
+    obs = choicemap(y=jnp.asarray(0.3))
+    tr, _ = model.generate(jax.random.PRNGKey(0), (), obs)
+    assert _auto_engine(tr, obs, select("a"), 8) == "nuts"
+
+
+def test_dense_mass_fused_engines_on_correlated_gaussian():
+    """mass='dense' (Cholesky-whitened kernel run, gen_tpu/inference/mass.py)
+    recovers a densely correlated Gaussian posterior through both fused
+    engines; the diagonal-mass moments are the baseline it must match."""
+    d = 6
+    rng = np.random.default_rng(0)
+    Q, _ = np.linalg.qr(rng.standard_normal((d, d)))
+    lams = np.geomspace(1.0, 300.0, d) - 1.0
+    A = jnp.asarray(np.sqrt(lams)[:, None] * Q.T, jnp.float32)
+    ys = jnp.asarray(A @ rng.standard_normal(d)
+                     + rng.standard_normal(d), jnp.float32)
+    S = np.linalg.inv(np.eye(d) + np.asarray(A, np.float64).T @ A)
+    mean_ex = S @ (np.asarray(A, np.float64).T @ np.asarray(ys, np.float64))
+    sd_ex = np.sqrt(np.diag(S))
+
+    @gen
+    def model():
+        x = gt.normal(jnp.zeros(d), 1.0) @ "x"
+        gt.normal_linear(A, x, 1.0) @ "ys"
+
+    for engine in ("hmc_fused", "nuts_fused"):
+        out = sample_posterior(
+            jax.random.PRNGKey(3), model, (), choicemap(ys=ys),
+            num_chains=256, num_warmup=300, num_samples=64,
+            engine=engine, mass="dense")
+        xs = np.asarray(out.samples["x"], np.float64).reshape(-1, d)
+        # cross-chain-and-draw moments vs exact
+        np.testing.assert_allclose(xs.mean(axis=0), mean_ex,
+                                   atol=4.0 * sd_ex.max() * 0.25)
+        np.testing.assert_allclose(xs.std(axis=0) / sd_ex,
+                                   np.ones(d), rtol=0, atol=0.25)
