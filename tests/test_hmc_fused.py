@@ -377,3 +377,29 @@ def _run_interpret_kalman_case():
     match = np.isclose(np.asarray(vals_k), np.asarray(vals_r),
                        rtol=2e-3, atol=2e-3).all(axis=1)
     assert np.mean(match) > 0.99, np.mean(match)
+
+
+def test_vmem_envelope_estimator():
+    """Dimension/VMEM envelope (measured on v5e, RESULTS.md round-3 table):
+    the estimator must pass the measured-OK configurations and raise a
+    clear error for the measured-fail ones BEFORE compilation."""
+    import pytest
+    from gen_tpu.ops.hmc_fused import check_vmem_envelope
+
+    # measured OK on hardware
+    check_vmem_envelope("hmc", 256, 1024, num_ticks=16)
+    check_vmem_envelope("nuts", 64, 1024, max_depth=8, hist_planes=2,
+                        num_ticks=32)
+    # measured Mosaic aborts -> must raise with actionable advice
+    with pytest.raises(ValueError, match="tile"):
+        check_vmem_envelope("hmc", 384, 1024, num_ticks=16)
+    with pytest.raises(ValueError, match="max_depth"):
+        check_vmem_envelope("nuts", 96, 1024, max_depth=8, hist_planes=2,
+                            num_ticks=32)
+    # tile < 1024 is structurally invalid (Pallas minor-dim constraint,
+    # measured: tile=512 dies in BlockSpec validation) -> clear error
+    with pytest.raises(ValueError, match="multiple of 1024"):
+        check_vmem_envelope("hmc", 64, 512, num_ticks=16)
+    # lowering max_depth widens the NUTS envelope
+    check_vmem_envelope("nuts", 96, 1024, max_depth=2, hist_planes=2,
+                        num_ticks=32)
