@@ -67,3 +67,64 @@ def unwhiten(L, y):
     """y -> x = L y; works on (chains, d) and (steps, chains, d)."""
     y = jnp.asarray(y)
     return jnp.einsum("ij,...j->...i", L, y)
+
+
+# -- diagonal + low-rank metric ----------------------------------------------
+# A dense L stages d^2 residual scalars into the kernel; the scalarization
+# residual cap (ops/scalarize.py, 1024 scalars) limits that to d <~ 30.
+# The production-standard fallback is diag + rank-k: Sigma ~ D^1/2 (s0^2 I
+# + U diag(lam_k - s0^2) U^T) D^1/2, whose whitening transform costs
+# d + d*k + k + 1 staged scalars and covers the kernels' full dimension
+# envelope (ops/hmc_fused.py:check_vmem_envelope).
+
+def lowrank_mass_factors(flat, k: int, inv_mass_diag=None):
+    """Estimate a diag + rank-k metric from the warmed population.
+
+    Returns ``(sqrt_d, U, sk, s0)``: ``sqrt_d = sqrt(inv_mass_diag)^-1``
+    standardizes per-coordinate scale first (pass the ChEES diagonal);
+    ``U (d, k)`` top-k eigenvectors of the standardized covariance,
+    ``sk (k,)`` their singular values (sqrt eigenvalues), ``s0`` the sqrt
+    of the average residual eigenvalue."""
+    flat = jnp.asarray(flat, jnp.float32)
+    n, d = flat.shape
+    if not 0 < k < d:
+        raise ValueError(f"lowrank rank k={k} must be in (0, {d})")
+    sqrt_d = (jnp.ones(d, jnp.float32) if inv_mass_diag is None
+              else jnp.sqrt(jnp.asarray(inv_mass_diag, jnp.float32)))
+    x = (flat - jnp.mean(flat, axis=0)) / jnp.maximum(sqrt_d, 1e-12)
+    # right singular vectors of X/sqrt(n-1) are eigenvectors of Sigma_std
+    _, s, vt = jnp.linalg.svd(x / jnp.sqrt(jnp.maximum(n - 1, 1)),
+                              full_matrices=False)
+    lam = s ** 2
+    lam_k = lam[:k]
+    lam_bar = (jnp.sum(lam) - jnp.sum(lam_k)) / jnp.maximum(d - k, 1)
+    lam_bar = jnp.maximum(lam_bar, 1e-10)
+    return sqrt_d, vt[:k].T, jnp.sqrt(lam_k), jnp.sqrt(lam_bar)
+
+
+def lowrank_transform(sqrt_d, U, sk, s0, y):
+    """x = A y with A = diag(sqrt_d) (s0 I + U diag(sk - s0) U^T):
+    A A^T = diag(sqrt_d) (s0^2 I + U diag(sk^2 - s0^2) U^T) diag(sqrt_d)
+    = the estimated metric. Works on (..., d)."""
+    inner = jnp.einsum("dk,...d->...k", U, y)
+    z = s0 * y + jnp.einsum("dk,...k->...d", U, (sk - s0) * inner)
+    return sqrt_d * z
+
+
+def lowrank_inverse_transform(sqrt_d, U, sk, s0, x):
+    """y = A^-1 x (A is simultaneously diagonalized by (I, U))."""
+    z = x / jnp.maximum(sqrt_d, 1e-12)
+    inner = jnp.einsum("dk,...d->...k", U, z)
+    return z / s0 + jnp.einsum("dk,...k->...d", U,
+                               (1.0 / sk - 1.0 / s0) * inner)
+
+
+def lowrank_whiten_logp(logp, sqrt_d, U, sk, s0):
+    """pi_y(y) = pi_x(A y); log|A| constant dropped (cancels in MH)."""
+    sqrt_d, U = jnp.asarray(sqrt_d), jnp.asarray(U)
+    sk, s0 = jnp.asarray(sk), jnp.asarray(s0)
+
+    def logp_w(y):
+        return logp(lowrank_transform(sqrt_d, U, sk, s0, y))
+
+    return logp_w

@@ -97,20 +97,40 @@ def _auto_engine(one_trace, observations, selection, num_chains) -> str:
 
 
 def _maybe_dense(mass, target, warm_flat, winfo, k_warm, num_warmup,
-                 target_accept):
-    """Dense-metric plumbing for the fused engines: returns
-    (logp, inv_mass_diag, L_chol_or_None, values0) — whitened when
-    ``mass == "dense"`` (gen_tpu/inference/mass.py), pass-through for
-    ``"diag"``."""
+                 target_accept, mass_rank=8):
+    """Structured-metric plumbing for the fused engines: returns
+    (logp, inv_mass_diag, to_x_or_None, values0) where ``to_x`` maps
+    whitened draws back to model coordinates (None for the diagonal
+    pass-through). ``mass="dense"`` Cholesky-whitens against the full
+    cross-chain covariance (stages d^2 residual scalars — d <~ 30);
+    ``mass="lowrank"`` uses the diag + rank-``mass_rank`` metric
+    (d*k scalars — covers the kernels' full dimension envelope). See
+    gen_tpu/inference/mass.py."""
+    import functools
+    d = warm_flat.shape[1]
     if mass == "diag":
         return target.logp, winfo["inv_mass"], None, warm_flat
-    if mass != "dense":
-        raise ValueError(f"unknown mass {mass!r} (use 'diag' or 'dense')")
-    from .mass import dense_mass_chol, whiten, whiten_logp
-    L = dense_mass_chol(warm_flat)
-    logp_w = whiten_logp(target.logp, L)
-    d = warm_flat.shape[1]
-    return logp_w, jnp.ones((d,), jnp.float32), L, whiten(L, warm_flat)
+    if mass == "dense":
+        from .mass import dense_mass_chol, unwhiten, whiten, whiten_logp
+        if d * d > 900:
+            raise ValueError(
+                f"mass='dense' stages d^2 = {d * d} residual scalars into "
+                "the fused kernel, above the scalarization cap; use "
+                "mass='lowrank' (diag + rank-k metric) for d this large")
+        L = dense_mass_chol(warm_flat)
+        return (whiten_logp(target.logp, L), jnp.ones((d,), jnp.float32),
+                functools.partial(unwhiten, L), whiten(L, warm_flat))
+    if mass == "lowrank":
+        from .mass import (lowrank_inverse_transform, lowrank_mass_factors,
+                           lowrank_transform, lowrank_whiten_logp)
+        f = lowrank_mass_factors(warm_flat, min(mass_rank, d - 1),
+                                 inv_mass_diag=winfo["inv_mass"])
+        return (lowrank_whiten_logp(target.logp, *f),
+                jnp.ones((d,), jnp.float32),
+                functools.partial(lowrank_transform, *f),
+                lowrank_inverse_transform(*f, warm_flat))
+    raise ValueError(
+        f"unknown mass {mass!r} (use 'diag', 'dense' or 'lowrank')")
 
 
 def _dense_rewarmup(logp_w, ys0, key, num_warmup, target_accept):
@@ -130,7 +150,7 @@ def sample_posterior(key, model: GenerativeFunction, args: Tuple,
                      target_accept: float = 0.8,
                      engine: str = "nuts",
                      adapt_mass: bool = True,
-                     mass: str = "diag",
+                     mass: str = "diag", mass_rank: int = 8,
                      num_ticks: Optional[int] = None,
                      mesh=None, mesh_axis: str = "chains",
                      summarize: bool = True) -> PosteriorSamples:
@@ -155,7 +175,11 @@ def sample_posterior(key, model: GenerativeFunction, args: Tuple,
     the SAME fused kernel on the Cholesky-whitened target with identity
     mass (:mod:`gen_tpu.inference.mass`) — the right choice for densely
     correlated posteriors where a diagonal mass cannot flatten the
-    geometry; draws are returned in the original coordinates.
+    geometry; draws are returned in the original coordinates. The dense
+    transform stages d^2 residual scalars, so it is limited to d <~ 30;
+    ``mass="lowrank"`` (rank ``mass_rank``, default 8) uses the
+    diag + low-rank metric instead — d*k staged scalars, covering the
+    kernels' full dimension envelope.
 
     ``engine="chees"`` uses cross-chain-adaptive ChEES-HMC
     (:mod:`gen_tpu.inference.chees` — one shared step size and trajectory
@@ -296,10 +320,10 @@ def sample_posterior(key, model: GenerativeFunction, args: Tuple,
         # (ops/hmc_fused.py; XLA fallback off-TPU), collecting every
         # coordinate each step
         target = FlatTarget(one_trace, selection)
-        logp_use, inv_mass_use, L_chol, warm_flat = _maybe_dense(
+        logp_use, inv_mass_use, to_x, warm_flat = _maybe_dense(
             mass, target, warm_flat, winfo, k_warm, num_warmup,
-            target_accept)
-        if L_chol is not None:
+            target_accept, mass_rank)
+        if to_x is not None:
             _, _, winfo2 = jax.jit(lambda y, k: _dense_rewarmup(
                 logp_use, y, k, num_warmup, target_accept))(
                 warm_flat, jax.random.fold_in(k_warm, 99))
@@ -309,9 +333,8 @@ def sample_posterior(key, model: GenerativeFunction, args: Tuple,
             k_fused, logp_use, warm_flat, n_steps=num_samples,
             L=n_leap, eps=eps_adapted, collect_idx=None,
             inv_mass_diag=inv_mass_use)
-        if L_chol is not None:
-            from .mass import unwhiten
-            collected = unwhiten(L_chol, collected)
+        if to_x is not None:
+            collected = to_x(collected)
         flat = jnp.swapaxes(collected, 0, 1)     # -> (chains, draws, dim)
         final_traces = None
         info = dict(step_size=eps_adapted, num_leapfrogs=n_leap,
@@ -343,10 +366,10 @@ def sample_posterior(key, model: GenerativeFunction, args: Tuple,
         # fallback off-TPU), chunked so the all-coordinate history block
         # stays within Mosaic's scoped-VMEM limit
         del d
-        logp_use, inv_mass_use, L_chol, warm_flat = _maybe_dense(
+        logp_use, inv_mass_use, to_x, warm_flat = _maybe_dense(
             mass, target, warm_flat, winfo, k_warm, num_warmup,
-            target_accept)
-        if L_chol is not None:
+            target_accept, mass_rank)
+        if to_x is not None:
             _, _, winfo2 = jax.jit(lambda y, k: _dense_rewarmup(
                 logp_use, y, k, num_warmup, target_accept))(
                 warm_flat, jax.random.fold_in(k_warm, 99))
@@ -355,9 +378,8 @@ def sample_posterior(key, model: GenerativeFunction, args: Tuple,
             k_run2, logp_use, warm_flat, num_ticks=ticks,
             eps=eps_adapted, max_depth=max_depth,
             inv_mass_diag=inv_mass_use, collect_idx=None)
-        if L_chol is not None:
-            from .mass import unwhiten
-            hist = unwhiten(L_chol, hist)     # (ticks, n, d), d last
+        if to_x is not None:
+            hist = to_x(hist)                 # (ticks, n, d), d last
         m = int(jnp.min(cnt))
         if m < 2:
             raise ValueError(

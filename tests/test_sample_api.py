@@ -333,3 +333,40 @@ def test_dense_mass_fused_engines_on_correlated_gaussian():
                                    atol=4.0 * sd_ex.max() * 0.25)
         np.testing.assert_allclose(xs.std(axis=0) / sd_ex,
                                    np.ones(d), rtol=0, atol=0.25)
+
+
+def test_lowrank_mass_fused_engine_high_dim():
+    """mass='lowrank' (diag + rank-k whitening) handles a d=40 correlated
+    Gaussian where mass='dense' must refuse (d^2 residual scalars exceed
+    the scalarization cap); moments match the exact posterior."""
+    d, k_corr = 40, 4
+    rng = np.random.default_rng(1)
+    # strong correlations confined to a rank-k_corr subspace + mild diag
+    U = np.linalg.qr(rng.standard_normal((d, k_corr)))[0]
+    A = jnp.asarray((U * np.sqrt([900.0, 400.0, 100.0, 25.0])).T,
+                    jnp.float32)               # (k_corr, d) observation map
+    ys = jnp.asarray(A @ rng.standard_normal(d)
+                     + rng.standard_normal(k_corr), jnp.float32)
+    S = np.linalg.inv(np.eye(d) + np.asarray(A, np.float64).T @ A)
+    mean_ex = S @ (np.asarray(A, np.float64).T @ np.asarray(ys, np.float64))
+    sd_ex = np.sqrt(np.diag(S))
+
+    @gen
+    def model():
+        x = gt.normal(jnp.zeros(d), 1.0) @ "x"
+        gt.normal_linear(A, x, 1.0) @ "ys"
+
+    with pytest.raises(ValueError, match="lowrank"):
+        sample_posterior(jax.random.PRNGKey(0), model, (),
+                         choicemap(ys=ys), num_chains=64, num_warmup=50,
+                         num_samples=8, engine="hmc_fused", mass="dense")
+
+    out = sample_posterior(
+        jax.random.PRNGKey(3), model, (), choicemap(ys=ys),
+        num_chains=256, num_warmup=300, num_samples=64,
+        engine="hmc_fused", mass="lowrank", mass_rank=6)
+    xs = np.asarray(out.samples["x"], np.float64).reshape(-1, d)
+    np.testing.assert_allclose(xs.mean(axis=0), mean_ex,
+                               atol=4.0 * sd_ex.max() * 0.25)
+    np.testing.assert_allclose(xs.std(axis=0) / sd_ex, np.ones(d),
+                               rtol=0, atol=0.25)
