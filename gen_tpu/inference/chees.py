@@ -60,7 +60,8 @@ def chees_hmc_warmup_and_sample(key, traces, selection: Selection,
                                 init_traj_length: float = 1.0,
                                 adam_lr: float = 0.025,
                                 adapt_mass: bool = True,
-                                mass_ema_decay: Optional[float] = None):
+                                mass_ema_decay: Optional[float] = None,
+                                free_mask=None):
     """Run ChEES-adapted HMC on a BATCH of traces (leading chain axis).
 
     Returns (samples (num_samples, chains, d), final_flat (chains, d),
@@ -94,7 +95,7 @@ def chees_hmc_warmup_and_sample(key, traces, selection: Selection,
         num_samples=num_samples, target_accept=target_accept,
         init_step_size=init_step_size, init_traj_length=init_traj_length,
         adam_lr=adam_lr, adapt_mass=adapt_mass,
-        mass_ema_decay=mass_ema_decay)
+        mass_ema_decay=mass_ema_decay, free_mask=free_mask)
 
 
 def chees_warmup_flat(key, vag, xs0,
@@ -105,12 +106,21 @@ def chees_warmup_flat(key, vag, xs0,
                       init_traj_length: float = 1.0,
                       adam_lr: float = 0.025,
                       adapt_mass: bool = True,
-                      mass_ema_decay: Optional[float] = None):
+                      mass_ema_decay: Optional[float] = None,
+                      free_mask=None):
     """Flat-coordinate core of :func:`chees_hmc_warmup_and_sample`:
     ``vag(x) -> (logp, grad)`` on a (d,) vector, ``xs0`` the (chains, d)
     initial population. This is the entry the dense-mass machinery uses to
     re-adapt the step size in WHITENED coordinates
-    (:mod:`gen_tpu.inference.mass`)."""
+    (:mod:`gen_tpu.inference.mass`).
+
+    ``free_mask``: optional (d,) 0/1 array — zero entries are FROZEN
+    coordinates (the adapted inverse mass is zeroed there, so they never
+    move and their momentum draws are zero; carries per-chain conditioning
+    values, see the fused engines' partial-selection support). Warmup-only
+    stuck-chain teleport is disabled when a mask is given (teleporting
+    would copy one chain's conditioning values onto another — each chain
+    has its OWN target)."""
     n_chains, dim = xs0.shape
     logps0, grads0 = jax.vmap(vag)(xs0)
 
@@ -120,12 +130,17 @@ def chees_warmup_flat(key, vag, xs0,
         mass_ema_decay = 1.0 - 1.0 / max(10.0, 128.0 / n_chains)
     ema_new = 1.0 - mass_ema_decay
 
+    fmask = (None if free_mask is None
+             else jnp.asarray(free_mask, xs0.dtype))
+
     def cur_inv_mass(ema, m):
         """Geometric ease-in from identity: exp(w log ema), w = m/(m+10)."""
         if not adapt_mass:
-            return jnp.ones(dim, xs0.dtype)
-        w = m.astype(xs0.dtype) / (m.astype(xs0.dtype) + 10.0)
-        return jnp.exp(w * jnp.log(jnp.maximum(ema, mass_floor)))
+            base = jnp.ones(dim, xs0.dtype)
+        else:
+            w = m.astype(xs0.dtype) / (m.astype(xs0.dtype) + 10.0)
+            base = jnp.exp(w * jnp.log(jnp.maximum(ema, mass_floor)))
+        return base if fmask is None else base * fmask
 
     def warmup_iteration(carry, inp):
         """One ChEES warmup step under the current diagonal inverse mass
@@ -203,12 +218,13 @@ def chees_warmup_flat(key, vag, xs0,
         # to a uniformly random other chain's position.  Warmup need not
         # preserve the target; the sampling phase below is pure MH.
         streak = jnp.where(accept, 0, streak + 1)
-        stuck = streak >= 10
-        idx = jax.random.randint(k_tel, (n_chains,), 0, n_chains)
-        xs_out = jnp.where(stuck[:, None], xs_out[idx], xs_out)
-        logps_out = jnp.where(stuck, logps_out[idx], logps_out)
-        grads_out = jnp.where(stuck[:, None], grads_out[idx], grads_out)
-        streak = jnp.where(stuck, 0, streak)
+        if fmask is None:
+            stuck = streak >= 10
+            idx = jax.random.randint(k_tel, (n_chains,), 0, n_chains)
+            xs_out = jnp.where(stuck[:, None], xs_out[idx], xs_out)
+            logps_out = jnp.where(stuck, logps_out[idx], logps_out)
+            grads_out = jnp.where(stuck[:, None], grads_out[idx], grads_out)
+            streak = jnp.where(stuck, 0, streak)
         # normalized-gradient Adam ascent on log T
         g_norm = ghat / (jnp.abs(ghat) + 1e-12) * jnp.minimum(
             jnp.abs(ghat), 1e3)

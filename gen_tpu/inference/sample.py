@@ -60,6 +60,33 @@ def _default_selection(trace, observations: ChoiceMap):
     return select(*paths), paths
 
 
+def _free_mask_layout(one_trace, observations, selection):
+    """Partial-selection support for the flat engines: returns
+    ``(full_sel, free_mask (d_full,), sel_idx, partial)`` over the
+    FULL-universe flat layout (every unobserved continuous address).
+    Unselected coordinates get mask 0 — frozen in the kernels (infinite
+    mass), so each chain conditions on its OWN generate-sampled values,
+    matching the per-chain ``nuts`` engine's partial-selection
+    semantics."""
+    import math
+    full_sel, _ = _default_selection(one_trace, observations)
+    full_items = list(
+        one_trace.get_choices().filter(full_sel).leaf_items())
+    sel_paths = {p for p, _ in
+                 one_trace.get_choices().filter(selection).leaf_items()}
+    mask_parts, sel_idx, off = [], [], 0
+    for path, v in full_items:
+        size = max(1, math.prod(jnp.shape(v)))
+        is_sel = path in sel_paths
+        mask_parts.append(
+            jnp.full((size,), 1.0 if is_sel else 0.0, jnp.float32))
+        if is_sel:
+            sel_idx.extend(range(off, off + size))
+        off += size
+    mask = jnp.concatenate(mask_parts)
+    return full_sel, mask, jnp.asarray(sel_idx), len(sel_idx) != off
+
+
 def _auto_engine(one_trace, observations, selection, num_chains) -> str:
     """``engine="auto"`` dispatch: the fused Pallas FSM-NUTS engine
     (1000x-class throughput at scale) whenever its preconditions hold —
@@ -185,9 +212,15 @@ def sample_posterior(key, model: GenerativeFunction, args: Tuple,
     (:mod:`gen_tpu.inference.chees` — one shared step size and trajectory
     length adapted from cross-chain statistics; every chain runs the same
     leapfrog count, so there is no NUTS tree lockstep and the program is
-    perfectly shaped for vmap/TPU). Requires >= 2 chains; like
-    ``nuts_fsm`` it requires the selection to cover every unobserved
-    continuous address. ``adapt_mass`` (default True) controls the
+    perfectly shaped for vmap/TPU). Requires >= 2 chains.
+
+    **Partial selections** (chees / hmc_fused / nuts_fused): the engines
+    run over the full flat universe with the UNSELECTED coordinates
+    frozen (inverse mass 0), so each chain conditions on its own
+    generate-sampled values — the same semantics as the per-chain
+    ``nuts`` engine; only the selected addresses are returned. (The
+    ``nuts_fsm`` engine still requires a full selection; structured mass
+    metrics require one too.) ``adapt_mass`` (default True) controls the
     cross-chain diagonal-mass adaptation in the ``chees`` and
     ``hmc_fused`` engines; set False for the pre-round-2 identity-mass
     behavior (it is ignored by the ``nuts``/``nuts_fsm`` engines, which
@@ -280,7 +313,8 @@ def sample_posterior(key, model: GenerativeFunction, args: Tuple,
         flat, final_traces, info = run(traces, k_run)
     elif engine == "chees":
         from .chees import chees_hmc_warmup_and_sample
-        _require_full_selection("chees")
+        full_sel, free_mask, sel_idx, partial = _free_mask_layout(
+            one_trace, observations, selection)
         if num_chains < 2:
             raise ValueError("engine='chees' adapts from cross-chain "
                              "statistics and needs num_chains >= 2")
@@ -288,18 +322,27 @@ def sample_posterior(key, model: GenerativeFunction, args: Tuple,
         @jax.jit
         def run_chees(traces, key):
             return chees_hmc_warmup_and_sample(
-                key, traces, selection, num_warmup=num_warmup,
+                key, traces, full_sel, num_warmup=num_warmup,
                 num_samples=num_samples, target_accept=target_accept,
-                adapt_mass=adapt_mass)
+                adapt_mass=adapt_mass,
+                free_mask=free_mask if partial else None)
 
         samples_sm, final_flat, info = run_chees(traces, k_run)
+        if partial:
+            samples_sm = samples_sm[:, :, sel_idx]
         flat = jnp.swapaxes(samples_sm, 0, 1)    # -> (chains, draws, dim)
         final_traces = None
     elif engine == "hmc_fused":
         from ..ops.hmc_fused import hmc_chains_fused
         from .chees import chees_hmc_warmup_and_sample
         from .target import FlatTarget
-        _require_full_selection("hmc_fused")
+        full_sel, free_mask, sel_idx, partial = _free_mask_layout(
+            one_trace, observations, selection)
+        if partial and mass != "diag":
+            raise ValueError(
+                "structured mass metrics (mass='dense'/'lowrank') are not "
+                "supported with a partial selection (whitening would mix "
+                "frozen conditioning coordinates into the free subspace)")
         if num_chains < 2:
             raise ValueError("engine='hmc_fused' warms up with ChEES and "
                              "needs num_chains >= 2")
@@ -307,19 +350,21 @@ def sample_posterior(key, model: GenerativeFunction, args: Tuple,
         # trajectory length + diagonal mass (cross-chain variance) from
         # cross-chain statistics; fetch eps/L to host so phase 2 compiles
         # with them baked in (the mass enters the kernel as SMEM scalars
-        # and may stay on device)
+        # and may stay on device). Partial selections run over the FULL
+        # flat universe with unselected coordinates frozen (inv_mass 0) —
+        # each chain conditions on its own values.
         k_warm, k_fused = jax.random.split(k_run)
         _, warm_flat, winfo = jax.jit(
             lambda trs, k: chees_hmc_warmup_and_sample(
-                k, trs, selection, num_warmup=num_warmup, num_samples=1,
-                target_accept=target_accept,
-                adapt_mass=adapt_mass))(traces, k_warm)
+                k, trs, full_sel, num_warmup=num_warmup, num_samples=1,
+                target_accept=target_accept, adapt_mass=adapt_mass,
+                free_mask=free_mask if partial else None))(traces, k_warm)
         eps_adapted = float(winfo["step_size"])
         n_leap = max(1, int(winfo["num_leapfrogs"]))
         # phase 2: the fused Pallas kernel samples from the warm state
         # (ops/hmc_fused.py; XLA fallback off-TPU), collecting every
         # coordinate each step
-        target = FlatTarget(one_trace, selection)
+        target = FlatTarget(one_trace, full_sel)
         logp_use, inv_mass_use, to_x, warm_flat = _maybe_dense(
             mass, target, warm_flat, winfo, k_warm, num_warmup,
             target_accept, mass_rank)
@@ -335,6 +380,8 @@ def sample_posterior(key, model: GenerativeFunction, args: Tuple,
             inv_mass_diag=inv_mass_use)
         if to_x is not None:
             collected = to_x(collected)
+        if partial:
+            collected = collected[:, :, sel_idx]
         flat = jnp.swapaxes(collected, 0, 1)     # -> (chains, draws, dim)
         final_traces = None
         info = dict(step_size=eps_adapted, num_leapfrogs=n_leap,
@@ -345,21 +392,28 @@ def sample_posterior(key, model: GenerativeFunction, args: Tuple,
                                       extract_completed_draws)
         from .chees import chees_hmc_warmup_and_sample
         from .target import FlatTarget
-        _require_full_selection("nuts_fused")
+        full_sel, free_mask, sel_idx, partial = _free_mask_layout(
+            one_trace, observations, selection)
+        if partial and mass != "diag":
+            raise ValueError(
+                "structured mass metrics (mass='dense'/'lowrank') are not "
+                "supported with a partial selection (whitening would mix "
+                "frozen conditioning coordinates into the free subspace)")
         if num_chains < 2:
             raise ValueError("engine='nuts_fused' warms up with ChEES and "
                              "needs num_chains >= 2")
         # phase 1 (XLA): ChEES warmup supplies the shared step size +
         # diagonal mass (its trajectory-length output is unused — NUTS
-        # chooses trajectory lengths itself)
+        # chooses trajectory lengths itself). Partial selections freeze
+        # the unselected coordinates (inv_mass 0): per-chain conditioning.
         k_warm, k_run2 = jax.random.split(k_run)
         _, warm_flat, winfo = jax.jit(
             lambda trs, k: chees_hmc_warmup_and_sample(
-                k, trs, selection, num_warmup=num_warmup, num_samples=1,
-                target_accept=target_accept,
-                adapt_mass=adapt_mass))(traces, k_warm)
+                k, trs, full_sel, num_warmup=num_warmup, num_samples=1,
+                target_accept=target_accept, adapt_mass=adapt_mass,
+                free_mask=free_mask if partial else None))(traces, k_warm)
         eps_adapted = float(winfo["step_size"])
-        target = FlatTarget(one_trace, selection)
+        target = FlatTarget(one_trace, full_sel)
         d = int(warm_flat.shape[1])
         ticks = num_ticks or 8 * num_samples
         # phase 2: the fused FSM-NUTS kernel (ops/nuts_fused.py; XLA FSM
@@ -386,6 +440,8 @@ def sample_posterior(key, model: GenerativeFunction, args: Tuple,
                 f"nuts_fused completed only {m} trajectories on the "
                 f"slowest chain in {ticks} ticks; raise num_ticks")
         flat_dc = extract_completed_draws(hist, hcnt, m)
+        if partial:
+            flat_dc = flat_dc[:, :, sel_idx]
         flat = jnp.swapaxes(flat_dc, 0, 1)[:, :num_samples]
         final_traces = None
         info = dict(step_size=eps_adapted, inv_mass=winfo["inv_mass"],

@@ -150,17 +150,21 @@ def test_chees_engine_matches_conjugate():
     assert abs(float(s["sd"]) - 1 / np.sqrt(post_prec)) < 0.04
     assert float(s["rhat"]) < 1.05
     assert float(out.info["mean_accept"]) > 0.5
-    # partial-selection refusal (same trap as nuts_fsm)
+    # partial selections are supported since round 3 (frozen coordinates:
+    # each chain conditions on its own unselected values) — returns only
+    # the selected address
     @gen
     def model2(n):
         mu = gt.normal(0.0, prior_std) @ "mu"
         tau = gt.normal(0.0, 1.0) @ "tau"
         gt.normal(mu * jnp.ones(n), jnp.exp(tau)) @ "ys"
 
-    with pytest.raises(ValueError, match="cover every unobserved"):
-        sample_posterior(jax.random.PRNGKey(6), model2, (n,),
-                         choicemap(ys=ys), selection=select("mu"),
-                         num_chains=4, engine="chees")
+    out2 = sample_posterior(jax.random.PRNGKey(6), model2, (n,),
+                            choicemap(ys=ys), selection=select("mu"),
+                            num_chains=4, num_warmup=30, num_samples=20,
+                            engine="chees")
+    assert set(out2.samples) == {"mu"}
+    assert out2.samples["mu"].shape == (20, 4)
     with pytest.raises(ValueError, match="num_chains >= 2"):
         sample_posterior(jax.random.PRNGKey(6), model, (n,),
                          choicemap(ys=ys), num_chains=1, engine="chees")
@@ -370,3 +374,46 @@ def test_lowrank_mass_fused_engine_high_dim():
                                atol=4.0 * sd_ex.max() * 0.25)
     np.testing.assert_allclose(xs.std(axis=0) / sd_ex, np.ones(d),
                                rtol=0, atol=0.25)
+
+
+def test_partial_selection_fused_engines_condition_per_chain():
+    """Partial selections through the fused/chees engines: unselected
+    coordinates are frozen per chain (each chain conditions on its OWN
+    generate-sampled value). Validation: a ~ N(0,1), b ~ N(0,1),
+    y ~ N(a+b, s); sampling only "a" must leave each chain's b at its
+    initial draw, and the standardized residual (a - m(b_i)) / sd must be
+    N(0, 1) across chains x draws."""
+    s = 0.5
+    y_obs = jnp.asarray(0.8)
+
+    @gen
+    def model():
+        a = gt.normal(0.0, 1.0) @ "a"
+        b = gt.normal(0.0, 1.0) @ "b"
+        gt.normal(a + b, s) @ "y"
+
+    obs = choicemap(y=y_obs)
+    # per-chain conditional: a | b, y ~ N(m(b), v), v = 1/(1 + 1/s^2)
+    v = 1.0 / (1.0 + 1.0 / s ** 2)
+    sd = np.sqrt(v)
+
+    # recover each chain's frozen b from the init path (same key stream)
+    for engine in ("chees", "hmc_fused", "nuts_fused"):
+        key = jax.random.PRNGKey(11)
+        n_chains = 128
+        out = sample_posterior(
+            key, model, (), obs, selection=select("a"),
+            num_chains=n_chains, num_warmup=200, num_samples=64,
+            engine=engine)
+        assert set(out.samples) == {"a"}, (engine, set(out.samples))
+        a = np.asarray(out.samples["a"], np.float64)  # (draws, chains)
+        # replicate the engine's init to get the per-chain frozen b
+        k_init, _ = jax.random.split(key)
+        init_keys = jax.random.split(k_init, n_chains)
+        traces, _ = jax.vmap(
+            lambda k: model.generate(k, (), obs))(init_keys)
+        b = np.asarray(traces["b"], np.float64)
+        m = v * (float(y_obs) - b) / s ** 2
+        z = (a - m[None, :]) / sd
+        assert abs(z.mean()) < 0.08, (engine, z.mean())
+        assert abs(z.std() - 1.0) < 0.08, (engine, z.std())
