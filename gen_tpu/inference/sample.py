@@ -90,27 +90,23 @@ def _free_mask_layout(one_trace, observations, selection):
 def _auto_engine(one_trace, observations, selection, num_chains) -> str:
     """``engine="auto"`` dispatch: the fused Pallas FSM-NUTS engine
     (1000x-class throughput at scale) whenever its preconditions hold —
-    the selection covers every unobserved continuous address, >= 2 chains
-    for ChEES warmup, and the model's assess-logp stages through
-    :func:`gen_tpu.ops.scalarize.stage_scalarized` (e.g. no
+    >= 2 chains for ChEES warmup and the model's assess-logp stages
+    through :func:`gen_tpu.ops.scalarize.stage_scalarized` (e.g. no
     ``while_loop``); otherwise per-chain XLA NUTS, which has no
-    preconditions."""
+    preconditions. Partial selections dispatch to the fused engine too
+    (frozen-coordinate conditioning — same per-chain semantics as
+    ``nuts``); the staging probe always runs over the full flat universe,
+    which is what the fused engine samples."""
     if num_chains < 2:
         return "nuts"
     try:
-        default_sel, _ = _default_selection(one_trace, observations)
+        full_sel, _ = _default_selection(one_trace, observations)
     except ValueError:
-        return "nuts"
-    covered = {p for p, _ in
-               one_trace.get_choices().filter(selection).leaf_items()}
-    needed = {p for p, _ in
-              one_trace.get_choices().filter(default_sel).leaf_items()}
-    if covered != needed:
         return "nuts"
     from ..ops.scalarize import stage_scalarized
     from .target import FlatTarget
-    target = FlatTarget(one_trace, selection)
-    d = int(one_trace.get_choices().filter(selection).to_array().shape[0])
+    target = FlatTarget(one_trace, full_sel)
+    d = int(one_trace.get_choices().filter(full_sel).to_array().shape[0])
     try:
         # staging raises on oversized/non-float residuals; unsupported
         # residual primitives (while_loop, large gathers, ...) raise when

@@ -292,7 +292,11 @@ def test_auto_engine_falls_back_on_unscalarizable_model():
     assert out.samples["a"].shape == (100, 4)
 
 
-def test_auto_engine_partial_selection_falls_back():
+def test_auto_engine_partial_selection_dispatches_fused():
+    """Since round 3 partial selections reach the fused engine (frozen
+    coordinates), so auto dispatches it for a scalarizable model even
+    with a partial selection — and the run returns only the selected
+    address."""
     from gen_tpu.inference.sample import _auto_engine
 
     @gen
@@ -303,7 +307,11 @@ def test_auto_engine_partial_selection_falls_back():
 
     obs = choicemap(y=jnp.asarray(0.3))
     tr, _ = model.generate(jax.random.PRNGKey(0), (), obs)
-    assert _auto_engine(tr, obs, select("a"), 8) == "nuts"
+    assert _auto_engine(tr, obs, select("a"), 8) == "nuts_fused"
+    out = sample_posterior(jax.random.PRNGKey(1), model, (), obs,
+                           selection=select("a"), num_chains=8,
+                           num_warmup=50, num_samples=30, engine="auto")
+    assert set(out.samples) == {"a"}
 
 
 def test_dense_mass_fused_engines_on_correlated_gaussian():
