@@ -69,3 +69,5 @@ __all__ = [
     "primitive_kernel", "reversal", "seq", "repeat", "for_range", "mixture",
     "cond_kernel", "check_observations", "checked",
 ]
+
+from .resumable import resumable_run  # noqa: E402,F401
