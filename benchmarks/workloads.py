@@ -188,6 +188,38 @@ def bench_coal(n_chains=1024, n_sweeps=200):
                       "sec_per_run": round(el, 3)}))
 
 
+def bench_amortized(n_steps=100, batch=4096):
+    """Amortized-inference training throughput: the inverse_graphics MLP
+    proposal (reference examples/inverse_graphics/train.jl) trained on
+    simulated (image, latents) pairs — measures scene-gradients/sec of
+    the fused simulate->render->assess->grad->ADAM step (the reference
+    loops per example; here the whole minibatch is one program)."""
+    import time
+    import jax
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "examples"))
+    import inverse_graphics as ig
+
+    t0 = time.time()
+    ig.train_proposal(jax.random.PRNGKey(0), n_steps=n_steps, batch=batch,
+                      eval_every=None)
+    total = time.time() - t0
+    # second call re-jits (fresh closure) — subtract a 1-step call to
+    # estimate the compile+init overhead and report steady-state
+    t0 = time.time()
+    ig.train_proposal(jax.random.PRNGKey(1), n_steps=1, batch=batch,
+                      eval_every=None)
+    overhead = time.time() - t0
+    steady = max(total - overhead, 1e-9)
+    print(json.dumps({
+        "workload": "amortized_training",
+        "batch": batch, "steps": n_steps,
+        "scene_grads_per_sec": round(n_steps * batch / steady),
+        "steps_per_sec": round(n_steps / steady, 2),
+        "sec_total": round(total, 2)}))
+
+
 def bench_coal_sort(n_chains=1024, n_sweeps=200, n_burn=200,
                     tv_gate=None, n_mc=None):
     """Sorted-parameterization coal RJMCMC (examples/coal_sort.py — Green

@@ -135,3 +135,7 @@ def test_bench_py_compiles():
 def test_bench_coal_sort():
     _wl().bench_coal_sort(n_chains=16, n_sweeps=4, n_burn=4,
                           n_mc=2000)
+
+
+def test_bench_amortized():
+    _wl().bench_amortized(n_steps=3, batch=32)
