@@ -229,13 +229,14 @@ def _nuts_fused_metric(n_chains=131072, n_ticks=2000, num_warmup=400):
             k, target.logp, values, num_ticks=n_ticks, eps=eps,
             max_depth=8, inv_mass_diag=winfo["inv_mass"], collect_idx=0)
 
-    values, hist, _, _, stats = run(warm_flat, k_run)   # compile+decorrelate
+    values, hist, _, _, _ = run(warm_flat, k_run)   # compile+decorrelate
     float(jnp.sum(hist[-1]))
     t0 = time.time()
-    _, hist_t, _, cnt_t, _ = run(values, k_time)
+    _, hist_t, _, cnt_t, stats = run(values, k_time)
     float(jnp.sum(hist_t[-1]))
     elapsed = time.time() - t0
     ess = autocorr_ess(np.asarray(hist_t))
+    # annotate with the TIMED run's own statistics
     depth = float(np.mean(np.asarray(stats["mean_depth"])))
     unit = ("effective samples/sec/chip (fused FSM-NUTS, eight_schools "
             f"d=10, {n_chains} chains, {n_ticks} ticks, eps={eps:.3f}, "

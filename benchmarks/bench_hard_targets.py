@@ -343,7 +343,7 @@ def main(small=False, only=None):
     easy_steps, hard_steps = 500, 2000
 
     def want(name):
-        return not only or any(o in name for o in only)
+        return not only or any(o in name or name in o for o in only)
 
     rows = []
 
@@ -389,6 +389,10 @@ def main(small=False, only=None):
             funnel_exact(), ("v",), sd_tol=0.06, target_accept=0.9,
             **dict(cfg, num_warmup=800, rhat_steps=16 * hard_steps)))
 
+    if only and not rows:
+        raise ValueError(f"only={only!r} matched no targets "
+                         "(names: eight_schools, correlated, aniso, "
+                         "funnel)")
     print("\n| target | d | eps | L | accept | us/step | ESS/s | worst R-hat "
           "| validated |")
     print("|---|---|---|---|---|---|---|---|---|")

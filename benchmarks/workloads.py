@@ -201,15 +201,26 @@ def bench_amortized(n_steps=100, batch=4096):
                                     "examples"))
     import inverse_graphics as ig
 
+    def run(key):
+        # host-fetch a trained parameter as the completion barrier (the
+        # tunneled backend's dispatch is async and block_until_ready can
+        # return early — CLAUDE.md measurement protocol)
+        fns, bdyn, _, _ = ig.train_proposal(key, n_steps=n_steps,
+                                            batch=batch, eval_every=None)
+        np.asarray(jax.tree_util.tree_leaves(bdyn)[0])
+
+    def run1(key):
+        fns, bdyn, _, _ = ig.train_proposal(key, n_steps=1, batch=batch,
+                                            eval_every=None)
+        np.asarray(jax.tree_util.tree_leaves(bdyn)[0])
+
     t0 = time.time()
-    ig.train_proposal(jax.random.PRNGKey(0), n_steps=n_steps, batch=batch,
-                      eval_every=None)
+    run(jax.random.PRNGKey(0))
     total = time.time() - t0
     # second call re-jits (fresh closure) — subtract a 1-step call to
     # estimate the compile+init overhead and report steady-state
     t0 = time.time()
-    ig.train_proposal(jax.random.PRNGKey(1), n_steps=1, batch=batch,
-                      eval_every=None)
+    run1(jax.random.PRNGKey(1))
     overhead = time.time() - t0
     steady = max(total - overhead, 1e-9)
     print(json.dumps({

@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from ..selection import Selection
+from ..utils import sqrt_mass_safe
 from .nuts import DAState, da_init, da_update
 from .target import FlatTarget
 
@@ -158,7 +159,7 @@ def chees_warmup_flat(key, vag, xs0,
         n_leap = jnp.round(jnp.clip(ratio, 1.0, 1000.0)).astype(jnp.int32)
 
         k_mom, k_acc, k_tel = jax.random.split(k, 3)
-        mom_scale = _sqrt_mass_safe(inv_mass)
+        mom_scale = sqrt_mass_safe(inv_mass)
         momenta = mom_scale * jax.random.normal(
             k_mom, (n_chains, dim), xs.dtype)
 
@@ -247,7 +248,7 @@ def chees_warmup_flat(key, vag, xs0,
     def sample_iteration(inv_mass, carry, inp):
         (xs, logps, grads, eps, n_leap), k = carry, inp
         k_mom, k_acc = jax.random.split(k)
-        mom_scale = _sqrt_mass_safe(inv_mass)
+        mom_scale = sqrt_mass_safe(inv_mass)
         momenta = mom_scale * jax.random.normal(
             k_mom, (n_chains, dim), xs.dtype)
 
@@ -307,12 +308,3 @@ def chees_warmup_flat(key, vag, xs0,
                 mean_accept=jnp.mean(accepts), inv_mass=inv_mass)
     return samples, xs, info
 
-
-def _sqrt_mass_safe(inv_mass):
-    """Momentum scale with frozen-coordinate support: inv_mass == 0 means
-    infinite mass (the coordinate is frozen for Gibbs-within-HMC/NUTS
-    blocks or per-chain conditioning); its momentum draw is zero and every
-    other momentum use is inv_mass-weighted, so it never moves."""
-    import jax.numpy as jnp
-    return jnp.where(inv_mass > 0,
-                     1.0 / jnp.sqrt(jnp.maximum(inv_mass, 1e-30)), 0.0)

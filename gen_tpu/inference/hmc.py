@@ -20,6 +20,7 @@ import jax.numpy as jnp
 
 from ..gfi import Trace
 from ..selection import Selection
+from ..utils import sqrt_mass_safe
 from .common import mh_accept, select_trace
 from .target import FlatTarget
 
@@ -40,7 +41,7 @@ def hmc(key, trace: Trace, selection: Selection, L: int = 10,
     logp0, grad0 = target.value_and_grad(values0)
     inv_mass = (jnp.ones_like(values0) if inv_mass_diag is None
                 else jnp.asarray(inv_mass_diag))
-    sqrt_mass = _sqrt_mass_safe(inv_mass)
+    sqrt_mass = sqrt_mass_safe(inv_mass)
 
     def kinetic(m):
         return 0.5 * jnp.dot(m, inv_mass * m)
@@ -121,7 +122,7 @@ def hmc_chains(key, target: FlatTarget, values0, n_steps: int, L: int = 10,
     vg = jax.vmap(target.value_and_grad)
     inv_mass = (jnp.ones(values0.shape[-1], values0.dtype)
                 if inv_mass_diag is None else jnp.asarray(inv_mass_diag))
-    sqrt_mass = _sqrt_mass_safe(inv_mass)
+    sqrt_mass = sqrt_mass_safe(inv_mass)
 
     def step(carry, step_key):
         values, logp, grad, streak = carry
@@ -214,12 +215,3 @@ def hmc_chain(key, trace: Trace, selection: Selection, n_steps: int,
         step, (values0, logp0, grad0), jnp.arange(n_steps))
     return target.rebuild(values), samples, accepts
 
-
-def _sqrt_mass_safe(inv_mass):
-    """Momentum scale with frozen-coordinate support: inv_mass == 0 means
-    infinite mass (the coordinate is frozen for Gibbs-within-HMC/NUTS
-    blocks or per-chain conditioning); its momentum draw is zero and every
-    other momentum use is inv_mass-weighted, so it never moves."""
-    import jax.numpy as jnp
-    return jnp.where(inv_mass > 0,
-                     1.0 / jnp.sqrt(jnp.maximum(inv_mass, 1e-30)), 0.0)

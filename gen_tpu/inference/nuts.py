@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from ..selection import Selection
+from ..utils import sqrt_mass_safe
 from .target import FlatTarget
 
 
@@ -42,7 +43,7 @@ def nuts_flat(key, value_and_grad, theta0, step_size, max_depth=10,
     dim = theta0.shape[0]
     inv_mass = (jnp.ones(dim, dtype=theta0.dtype) if inv_mass_diag is None
                 else jnp.asarray(inv_mass_diag))
-    sqrt_mass = _sqrt_mass_safe(inv_mass)
+    sqrt_mass = sqrt_mass_safe(inv_mass)
 
     logp0, grad0 = value_and_grad(theta0)
     k_mom, k_loop = jax.random.split(key)
@@ -244,7 +245,7 @@ def find_reasonable_step_size(key, value_and_grad, theta0, inv_mass=None):
     dim = theta0.shape[0]
     inv_mass = jnp.ones(dim, theta0.dtype) if inv_mass is None else inv_mass
     logp0, grad0 = value_and_grad(theta0)
-    r0 = _sqrt_mass_safe(inv_mass) * jax.random.normal(
+    r0 = sqrt_mass_safe(inv_mass) * jax.random.normal(
         key, (dim,), theta0.dtype)
     h0 = logp0 - 0.5 * jnp.dot(r0, inv_mass * r0)
     log_half = jnp.log(0.5)
@@ -325,12 +326,3 @@ def nuts_warmup_and_sample(key, trace, selection: Selection, num_warmup=500,
                 total_leapfrogs=jnp.sum(leapfrogs))
     return samples, final_trace, info
 
-
-def _sqrt_mass_safe(inv_mass):
-    """Momentum scale with frozen-coordinate support: inv_mass == 0 means
-    infinite mass (the coordinate is frozen for Gibbs-within-HMC/NUTS
-    blocks or per-chain conditioning); its momentum draw is zero and every
-    other momentum use is inv_mass-weighted, so it never moves."""
-    import jax.numpy as jnp
-    return jnp.where(inv_mass > 0,
-                     1.0 / jnp.sqrt(jnp.maximum(inv_mass, 1e-30)), 0.0)

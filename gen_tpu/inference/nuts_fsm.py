@@ -33,6 +33,7 @@ import jax
 import jax.numpy as jnp
 
 from .nuts import _uturn
+from ..utils import sqrt_mass_safe
 
 
 class FSMResult(NamedTuple):
@@ -75,7 +76,7 @@ def nuts_fsm(key, value_and_grad, theta0, step_size, num_ticks: int,
     dt = theta0.dtype
     inv_mass = (jnp.ones(dim, dtype=dt) if inv_mass_diag is None
                 else jnp.asarray(inv_mass_diag, dtype=dt))
-    sqrt_mass = _sqrt_mass_safe(inv_mass)
+    sqrt_mass = sqrt_mass_safe(inv_mass)
     eps = jnp.asarray(step_size, dtype=dt)
     B = num_sample_slots
 
@@ -415,12 +416,3 @@ def nuts_fsm_warmup_and_sample(key, value_and_grad, theta0,
                 mean_accept=res.mean_accept)
     return res, info
 
-
-def _sqrt_mass_safe(inv_mass):
-    """Momentum scale with frozen-coordinate support: inv_mass == 0 means
-    infinite mass (the coordinate is frozen for Gibbs-within-HMC/NUTS
-    blocks or per-chain conditioning); its momentum draw is zero and every
-    other momentum use is inv_mass-weighted, so it never moves."""
-    import jax.numpy as jnp
-    return jnp.where(inv_mass > 0,
-                     1.0 / jnp.sqrt(jnp.maximum(inv_mass, 1e-30)), 0.0)

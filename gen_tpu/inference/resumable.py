@@ -94,9 +94,17 @@ def resumable_run(workdir: str, key, segment_fn: Callable, state0,
                 f"workdir {workdir!r} holds a run with "
                 f"{meta['num_segments']} segments; this run asked for "
                 f"{num_segments} (use a fresh workdir)")
-        start_seg = meta["next_segment"]
-        if start_seg > 0:
-            state = restore_pytree(_state_path(workdir), state0)
+        if os.path.exists(_state_path(workdir)):
+            # the segment index lives INSIDE the state checkpoint (one
+            # atomic file): a crash between two separate state/meta writes
+            # would otherwise let resume re-apply a segment to the
+            # already-advanced state, silently breaking the bit-for-bit
+            # contract
+            ckpt = restore_pytree(
+                _state_path(workdir),
+                {"next_segment": np.asarray(0), "state": state0})
+            start_seg = int(ckpt["next_segment"])
+            state = ckpt["state"]
             resumed = True
             if verbose:
                 print(f"[resumable] resuming at segment {start_seg}")
@@ -121,11 +129,14 @@ def resumable_run(workdir: str, key, segment_fn: Callable, state0,
                 "times — deterministic failure; inspect "
                 f"{_state_path(workdir)}")
         state = new_state
+        # draws first (deterministic: a crash before the state checkpoint
+        # re-runs the segment and rewrites identical draws), then the
+        # single atomic state+index checkpoint
         _atomic_save(_draws_path(workdir, seg), draws)
-        _atomic_save(_state_path(workdir), state)
+        _atomic_save(_state_path(workdir),
+                     {"next_segment": np.asarray(seg + 1), "state": state})
         with open(meta_p + ".tmp", "w") as f:
-            json.dump({"next_segment": seg + 1,
-                       "num_segments": num_segments}, f)
+            json.dump({"num_segments": num_segments}, f)
         os.replace(meta_p + ".tmp", meta_p)
 
     # assemble all segments' draws (template from the last one)

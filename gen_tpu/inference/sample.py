@@ -74,6 +74,13 @@ def _free_mask_layout(one_trace, observations, selection):
         one_trace.get_choices().filter(full_sel).leaf_items())
     sel_paths = {p for p, _ in
                  one_trace.get_choices().filter(selection).leaf_items()}
+    universe = {p for p, _ in full_items}
+    outside = sorted(sel_paths - universe)
+    if outside:
+        raise ValueError(
+            f"selection includes addresses outside the unobserved "
+            f"continuous universe: {outside!r} (observed and discrete "
+            "addresses cannot be sampled by the flat engines)")
     mask_parts, sel_idx, off = [], [], 0
     for path, v in full_items:
         size = max(1, math.prod(jnp.shape(v)))
@@ -365,7 +372,9 @@ def sample_posterior(key, model: GenerativeFunction, args: Tuple,
             mass, target, warm_flat, winfo, k_warm, num_warmup,
             target_accept, mass_rank)
         if to_x is not None:
-            _, _, winfo2 = jax.jit(lambda y, k: _dense_rewarmup(
+            # keep the re-warmed POPULATION too — the 50+ whitened ChEES
+            # iterations are real warmup, not just eps adaptation
+            _, warm_flat, winfo2 = jax.jit(lambda y, k: _dense_rewarmup(
                 logp_use, y, k, num_warmup, target_accept))(
                 warm_flat, jax.random.fold_in(k_warm, 99))
             eps_adapted = float(winfo2["step_size"])
@@ -420,7 +429,7 @@ def sample_posterior(key, model: GenerativeFunction, args: Tuple,
             mass, target, warm_flat, winfo, k_warm, num_warmup,
             target_accept, mass_rank)
         if to_x is not None:
-            _, _, winfo2 = jax.jit(lambda y, k: _dense_rewarmup(
+            _, warm_flat, winfo2 = jax.jit(lambda y, k: _dense_rewarmup(
                 logp_use, y, k, num_warmup, target_accept))(
                 warm_flat, jax.random.fold_in(k_warm, 99))
             eps_adapted = float(winfo2["step_size"])

@@ -115,10 +115,10 @@ def _kernel(n_steps, L, eps, eps_jitter, collect_idx, n_res, plane_fn,
     # per-plane ops (full-tile elementwise; no tiny broadcasts)
     inv_m = [mass_ref[i] for i in range(d)]
     # inv_mass == 0 freezes a coordinate (infinite mass; zero momentum
-    # draw here, every other momentum use is inv_m-weighted)
-    mom_scale = [jnp.where(inv_m[i] > 0,
-                           1.0 / jnp.sqrt(jnp.maximum(inv_m[i], 1e-30)),
-                           0.0) for i in range(d)]
+    # draw here, every other momentum use is inv_m-weighted) — the shared
+    # frozen-coordinate convention lives in utils.sqrt_mass_safe
+    from ..utils import sqrt_mass_safe
+    mom_scale = [sqrt_mass_safe(inv_m[i]) for i in range(d)]
 
     def kin(m):
         return 0.5 * sum(inv_m[i] * m[i] * m[i] for i in range(d))
@@ -333,6 +333,16 @@ def hmc_chains_fused(key, logp: Callable, values0, n_steps: int,
     return values, collected, acc_counts
 
 
+def state_plane_bytes(kernel: str, d: int, tile: int,
+                      max_depth: int = 0) -> int:
+    """VMEM footprint of the kernel's live chain-block state (excluding
+    the per-tick history block) — shared by :func:`check_vmem_envelope`
+    and the chunked NUTS driver, which must size history chunks out of
+    the SAME budget."""
+    planes_live = 8 if kernel == "hmc" else 25 + 2 * (max_depth + 1)
+    return planes_live * d * tile * 4
+
+
 def check_vmem_envelope(kernel: str, d: int, tile: int, max_depth: int = 0,
                         hist_planes: int = 1, num_ticks: int = 0,
                         budget_bytes: int = 12 << 20):
@@ -363,11 +373,8 @@ def check_vmem_envelope(kernel: str, d: int, tile: int, max_depth: int = 0,
             "the minor block dimension (tile/8) to be a multiple of 128, "
             "so tile must be a multiple of 1024")
     plane_bytes = tile * 4
-    if kernel == "hmc":
-        planes_live = 8               # v, g, v_new, g_new, mom, z + vjp ws
-    else:
-        planes_live = 25 + 2 * (max_depth + 1)   # FSM state + checkpoints
-    est = planes_live * d * plane_bytes + hist_planes * num_ticks * plane_bytes
+    est = (state_plane_bytes(kernel, d, tile, max_depth)
+           + hist_planes * num_ticks * plane_bytes)
     if est > budget_bytes:
         raise ValueError(
             f"{kernel}_fused estimated VMEM footprint {est / 2**20:.1f} MB "

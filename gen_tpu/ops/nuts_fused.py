@@ -62,7 +62,7 @@ def extract_completed_draws(hist, hist_cnt, m: int):
 
 def nuts_chains_fused_chunked(key, logp, values0, num_ticks: int,
                               eps: float, chunk_ticks: Optional[int] = None,
-                              vmem_budget_bytes: int = 7 << 20, **kw):
+                              vmem_budget_bytes: int = 12 << 20, **kw):
     """Drive :func:`nuts_chains_fused` in tick chunks and stitch the
     streams: the kernel's per-tick history lives in a VMEM output block
     (Mosaic's scoped-vmem limit is ~16 MB), so long runs must be split. A
@@ -77,7 +77,14 @@ def nuts_chains_fused_chunked(key, logp, values0, num_ticks: int,
     tile = kw.get("tile", _DEF_TILE)
     per_tick = (d + 1 if ci is None else 2) * tile * 4
     if chunk_ticks is None:
-        chunk_ticks = max(64, min(num_ticks, vmem_budget_bytes // per_tick))
+        # the history chunk and the kernel's live state share ONE scoped-
+        # VMEM budget: size chunks from what the state leaves over, so the
+        # envelope check never rejects a d the measured table says works
+        from .hmc_fused import state_plane_bytes
+        state_b = state_plane_bytes("nuts", d, tile,
+                                    kw.get("max_depth", 8))
+        hist_budget = max(vmem_budget_bytes - state_b, 64 * per_tick)
+        chunk_ticks = max(64, min(num_ticks, hist_budget // per_tick))
     hists, hcnts = [], []
     cnt_total = jnp.zeros((n,), jnp.int32)
     acc_w = jnp.zeros((n,), jnp.float32)
@@ -159,9 +166,8 @@ def _kernel(num_ticks, max_depth, eps, div_threshold, collect_idx, n_res,
     # so the coordinate never moves and contributes nothing -- this is
     # how Gibbs-within-NUTS blocks and per-chain conditioning values
     # ride inside the kernel state (see docs/api.md)
-    mom_scale = [jnp.where(inv_m[i] > 0,
-                           1.0 / jnp.sqrt(jnp.maximum(inv_m[i], 1e-30)),
-                           0.0) for i in range(d)]
+    from ..utils import sqrt_mass_safe
+    mom_scale = [sqrt_mass_safe(inv_m[i]) for i in range(d)]
 
     def scale_mass(z):
         return jnp.stack([mom_scale[i] * z[i] for i in range(d)])

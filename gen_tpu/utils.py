@@ -79,3 +79,16 @@ def logsumexp(x, axis=None):
     """Numerically stable logsumexp (reference:
     /root/reference/src/inference/inference.jl:3-7)."""
     return jax.scipy.special.logsumexp(jnp.asarray(x), axis=axis)
+
+
+def sqrt_mass_safe(inv_mass):
+    """Momentum scale with frozen-coordinate support: inv_mass == 0 means
+    infinite mass (the coordinate is frozen for Gibbs-within-HMC/NUTS
+    blocks or per-chain conditioning); its momentum draw is zero and every
+    other momentum use is inv_mass-weighted, so it never moves. Works on
+    arrays and (SMEM) scalars — the ONE definition every engine and
+    kernel shares (divergence here would silently change which
+    coordinates count as frozen)."""
+    import jax.numpy as jnp
+    return jnp.where(inv_mass > 0,
+                     1.0 / jnp.sqrt(jnp.maximum(inv_mass, 1e-30)), 0.0)

@@ -94,7 +94,7 @@ def test_bench_hard_targets_small_one_target():
     # one easy target keeps this minutes-scale; the full small run is the
     # documented CPU check (python benchmarks/bench_hard_targets.py --small)
     assert bench_hard_targets.main(small=True,
-                                   only=["anisotropic"]) in (0, None)
+                                   only=["aniso"]) in (0, None)
 
 
 def test_bench_unfold_update():

@@ -425,3 +425,19 @@ def test_partial_selection_fused_engines_condition_per_chain():
         z = (a - m[None, :]) / sd
         assert abs(z.mean()) < 0.08, (engine, z.mean())
         assert abs(z.std() - 1.0) < 0.08, (engine, z.std())
+
+
+def test_selection_outside_universe_rejected():
+    """Selecting an observed address through a flat engine must raise a
+    clear validation error, not crash in reshape (round-3 review)."""
+    @gen
+    def model():
+        mu = gt.normal(0.0, 1.0) @ "mu"
+        gt.normal(mu, 0.5) @ "y"
+
+    obs = choicemap(y=jnp.asarray(0.3))
+    with pytest.raises(ValueError, match="outside the unobserved"):
+        sample_posterior(jax.random.PRNGKey(0), model, (), obs,
+                         selection=select("mu", "y"), num_chains=4,
+                         num_warmup=10, num_samples=10,
+                         engine="hmc_fused")
