@@ -338,14 +338,17 @@ def state_plane_bytes(kernel: str, d: int, tile: int,
     """VMEM footprint of the kernel's live chain-block state (excluding
     the per-tick history block) — shared by :func:`check_vmem_envelope`
     and the chunked NUTS driver, which must size history chunks out of
-    the SAME budget."""
-    planes_live = 8 if kernel == "hmc" else 25 + 2 * (max_depth + 1)
+    the SAME budget. Plane counts are calibrated against the measured
+    hardware boundary (hmc: 12 live planes fits both OK-at-d=256 and
+    abort-at-d=384; nuts: the 25 + 2(max_depth+1) state layout fits
+    OK-at-d=64 / abort-at-d=96 at max_depth=8)."""
+    planes_live = 12 if kernel == "hmc" else 25 + 2 * (max_depth + 1)
     return planes_live * d * tile * 4
 
 
 def check_vmem_envelope(kernel: str, d: int, tile: int, max_depth: int = 0,
                         hist_planes: int = 1, num_ticks: int = 0,
-                        budget_bytes: int = 12 << 20):
+                        budget_bytes: int = 15 << 20):
     """Pre-compile dimension/VMEM envelope check (VERDICT r2 item 9).
 
     The fused kernels keep the whole chain-block state VMEM-resident; the
@@ -373,8 +376,11 @@ def check_vmem_envelope(kernel: str, d: int, tile: int, max_depth: int = 0,
             "the minor block dimension (tile/8) to be a multiple of 128, "
             "so tile must be a multiple of 1024")
     plane_bytes = tile * 4
+    # the history output block is double-buffered by Mosaic (measured:
+    # a 10.5MB-history chunk showed up as a 20.8MB scoped allocation on
+    # a ~1.8MB-state kernel), so it counts twice
     est = (state_plane_bytes(kernel, d, tile, max_depth)
-           + hist_planes * num_ticks * plane_bytes)
+           + 2 * hist_planes * num_ticks * plane_bytes)
     if est > budget_bytes:
         raise ValueError(
             f"{kernel}_fused estimated VMEM footprint {est / 2**20:.1f} MB "

@@ -62,7 +62,7 @@ def extract_completed_draws(hist, hist_cnt, m: int):
 
 def nuts_chains_fused_chunked(key, logp, values0, num_ticks: int,
                               eps: float, chunk_ticks: Optional[int] = None,
-                              vmem_budget_bytes: int = 12 << 20, **kw):
+                              vmem_budget_bytes: int = 15 << 20, **kw):
     """Drive :func:`nuts_chains_fused` in tick chunks and stitch the
     streams: the kernel's per-tick history lives in a VMEM output block
     (Mosaic's scoped-vmem limit is ~16 MB), so long runs must be split. A
@@ -78,12 +78,14 @@ def nuts_chains_fused_chunked(key, logp, values0, num_ticks: int,
     per_tick = (d + 1 if ci is None else 2) * tile * 4
     if chunk_ticks is None:
         # the history chunk and the kernel's live state share ONE scoped-
-        # VMEM budget: size chunks from what the state leaves over, so the
-        # envelope check never rejects a d the measured table says works
+        # VMEM budget; the history block is double-buffered (counts 2x,
+        # measured — see check_vmem_envelope). Size chunks from what the
+        # state leaves over so the envelope check and the chunker agree.
         from .hmc_fused import state_plane_bytes
         state_b = state_plane_bytes("nuts", d, tile,
                                     kw.get("max_depth", 8))
-        hist_budget = max(vmem_budget_bytes - state_b, 64 * per_tick)
+        hist_budget = max((vmem_budget_bytes - state_b) // 2,
+                          64 * per_tick)
         chunk_ticks = max(64, min(num_ticks, hist_budget // per_tick))
     hists, hcnts = [], []
     cnt_total = jnp.zeros((n,), jnp.int32)

@@ -7,11 +7,17 @@ all hosts, chains/particles shard across the full slice, and XLA routes
 the logsumexp/resampling/gradient collectives over ICI within a host and
 DCN across hosts.
 
-This module cannot be exercised in the single-chip dev environment; it is
-the documented, reviewable path for v5e-16+ runs (BASELINE.md's scaling
-report points). The virtual-mesh tests (tests/test_parallel.py) pin the
-semantics; the driver's dryrun_multichip compiles the same programs over
-an N-device mesh."""
+Exercised for real (round 3): tests/test_multihost.py spawns TWO OS
+processes, each with two virtual CPU devices, joins them through
+``initialize_multihost`` over a local coordinator, and runs the
+distributed-SMC weight-normalization collective (pmax/psum logsumexp) and
+an all_gather across the cross-process (DCN) axis — actual Gloo
+collectives between controllers, verified against the host reference.
+On a v5e-16+ pod slice the same code paths run over DCN/ICI unchanged
+(BASELINE.md's scaling report points). The virtual-mesh tests
+(tests/test_parallel.py) pin the single-controller semantics; the
+driver's dryrun_multichip compiles the same programs over an N-device
+mesh."""
 
 from __future__ import annotations
 
