@@ -97,6 +97,10 @@ def run_target(name, model, args, obs, sel, exact, *, n_chains, n_ticks,
           f"mean_depth={float(jnp.mean(stats['mean_depth'])):.2f} "
           f"mean_accept={float(jnp.mean(stats['mean_accept'])):.2f} "
           f"divergent={int(jnp.sum(stats['num_divergent']))}")
+    # free the decorrelation pass's tick streams (multi-GB at 131k chains
+    # x 6000 ticks) before the timed run allocates its own — holding both
+    # OOMs HBM on the funnel config
+    del hist, hcnt
 
     # timed run (fresh key)
     t0 = time.time()
