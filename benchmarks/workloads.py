@@ -188,6 +188,44 @@ def bench_coal(n_chains=1024, n_sweeps=200):
                       "sec_per_run": round(el, 3)}))
 
 
+def bench_smc_genealogy(n_particles=131072, T=32, reps=3):
+    """Genealogy-SMC particle-steps/sec on a nonlinear state-space model —
+    the driver-reproducible form of the RESULTS.md "Sequential Monte
+    Carlo" rows (round 1 measured 63.9M @ 131k, 114.9M @ 1M particles;
+    whole filter = one program, rank-merge sort-based resampling,
+    cond-gated by ESS)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import gen_tpu as gt
+    from gen_tpu import gen
+    from gen_tpu.combinators.vector import VectorChoiceMap
+    from gen_tpu.inference import smc_genealogy
+
+    @gen
+    def ssm_kernel(t, prev):
+        x = gt.normal(0.8 * prev + 2.0 * jnp.sin(0.5 * prev), 0.5) @ "x"
+        gt.normal(x, 0.4) @ "y"
+        return x
+
+    rng = np.random.default_rng(0)
+    ys = jnp.asarray(np.cumsum(rng.standard_normal(T)) * 0.3,
+                     jnp.float32)
+    obs = VectorChoiceMap(gt.ChoiceMap().set_value("y", ys), T)
+
+    def run(k):
+        _, _, lw, lml = smc_genealogy(k, ssm_kernel, 0.0, (), obs,
+                                      n_particles)
+        return lml
+
+    el, lml = _timeit(run, jax.random.PRNGKey(0), reps=reps)
+    print(json.dumps({
+        "workload": "smc_genealogy", "particles": n_particles, "T": T,
+        "particle_steps_per_sec": round(n_particles * T / el),
+        "log_ml": round(float(lml), 3),
+        "sec_per_filter": round(el, 4)}))
+
+
 def bench_amortized(n_steps=100, batch=4096):
     """Amortized-inference training throughput: the inverse_graphics MLP
     proposal (reference examples/inverse_graphics/train.jl) trained on

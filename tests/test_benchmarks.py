@@ -139,3 +139,7 @@ def test_bench_coal_sort():
 
 def test_bench_amortized():
     _wl().bench_amortized(n_steps=3, batch=32)
+
+
+def test_bench_smc_genealogy():
+    _wl().bench_smc_genealogy(n_particles=256, T=4, reps=1)
