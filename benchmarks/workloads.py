@@ -213,6 +213,7 @@ def bench_smc_genealogy(n_particles=131072, T=32, reps=3):
                      jnp.float32)
     obs = VectorChoiceMap(gt.ChoiceMap().set_value("y", ys), T)
 
+    @jax.jit
     def run(k):
         _, _, lw, lml = smc_genealogy(k, ssm_kernel, 0.0, (), obs,
                                       n_particles)
