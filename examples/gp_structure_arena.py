@@ -271,6 +271,38 @@ def run_chains(key, traces, max_depth: int, n_sweeps: int, collect: bool):
     return traces, skels, jnp.mean(accs)
 
 
+# -- posterior predictive (reference shared.jl:182-200 workflow) -------------
+
+def extract_params(traces, max_depth: int):
+    """Batched (types (B, N), p0 (B, N), p1 (B, N), noise (B,)) from a
+    vmapped trace population."""
+    N = n_slots(max_depth)
+
+    def one(tr):
+        types = tr.get_retval()
+        p0 = jnp.stack([tr[(c, "p0")] for c in range(1, N + 1)])
+        p1 = jnp.stack([tr[(c, "p1")] for c in range(1, N + 1)])
+        return types, p0, p1, tr["noise"]
+
+    return jax.vmap(one)(traces)
+
+
+@partial(jax.jit, static_argnums=(5,))
+def posterior_predictive_mean(types, p0, p1, noise, xs, n_train, ys_train):
+    """Chain-averaged GP posterior predictive mean at xs[n_train:], each
+    chain using ITS OWN sampled covariance structure — the arena analogue
+    of the eager example's compute_predictive."""
+    n = xs.shape[0]
+
+    def one(t, a, b, nz):
+        cov = eval_cov_arena(t, a, b, xs) + (nz + 0.01) * jnp.eye(n)
+        c11 = cov[:n_train, :n_train]
+        c21 = cov[n_train:, :n_train]
+        return c21 @ jnp.linalg.solve(c11, ys_train)
+
+    return jnp.mean(jax.vmap(one)(types, p0, p1, noise), axis=0)
+
+
 # -- skeleton encoding (oracle cross-check) ----------------------------------
 
 def skeleton_to_key(s, max_depth: int):
@@ -357,6 +389,22 @@ def main(seed=0):
     print(f"depth-3 arena run: subtree accept {acc3:.3f}, "
           f"fraction containing PERIODIC: {frac_per:.2%}")
     assert frac_per > 0.5, frac_per
+
+    # 4. posterior predictive on the held-out tail, averaged over the
+    #    chain population's sampled structures (reference
+    #    shared.jl:182-200) — must beat the predict-the-mean baseline
+    model3 = make_arena_model(3)
+    k_i, k_b = jax.random.split(jax.random.PRNGKey(seed + 3))
+    trs = init_chains(k_i, model3, xs3[:30], ys3[:30], 128)
+    trs, _, _ = run_chains(k_b, trs, 3, 500, False)
+    types, p0, p1, noise = extract_params(trs, 3)
+    mu = posterior_predictive_mean(types, p0, p1, noise, xs3, 30,
+                                  ys3[:30])
+    mse = float(jnp.mean((mu - ys3[30:]) ** 2))
+    base = float(jnp.mean((ys3[30:] - jnp.mean(ys3[:30])) ** 2))
+    print(f"held-out predictive MSE: {mse:.4f} "
+          f"(mean-baseline {base:.4f})")
+    assert mse < 0.5 * base, (mse, base)
     print("gp_structure_arena example OK")
 
 

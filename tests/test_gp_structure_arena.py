@@ -123,3 +123,18 @@ def test_depth3_smoke():
     assert 0.0 <= float(acc) <= 1.0
     # root slot always active
     assert np.all(np.asarray(skels)[:, :, 0] > 0)
+
+
+def test_posterior_predictive_beats_mean_baseline():
+    """Arena posterior predictive (reference shared.jl:182-200 workflow):
+    chain-averaged held-out predictions must clearly beat the
+    predict-the-training-mean baseline."""
+    xs, ys = eager.make_dataset(40)
+    model = A.make_arena_model(2)
+    trs = A.init_chains(jax.random.PRNGKey(0), model, xs[:30], ys[:30], 32)
+    trs, _, _ = A.run_chains(jax.random.PRNGKey(1), trs, 2, 150, False)
+    t, p0, p1, nz = A.extract_params(trs, 2)
+    mu = A.posterior_predictive_mean(t, p0, p1, nz, xs, 30, ys[:30])
+    mse = float(jnp.mean((mu - ys[30:]) ** 2))
+    base = float(jnp.mean((ys[30:] - jnp.mean(ys[:30])) ** 2))
+    assert np.isfinite(mse) and mse < 0.5 * base, (mse, base)
