@@ -113,6 +113,10 @@ def run_target(name, model, args, obs, sel, exact, *, n_chains, n_ticks,
           f"trajectories {m_t}/{float(jnp.mean(cnt_t)):.1f}")
     ess = B.autocorr_ess(np.asarray(hist_t))
     ess_s = ess / elapsed
+    # drop the timed run's device streams before the per-coordinate
+    # validation allocates its own (each is ~6GB at 131k x 6000; holding
+    # two plus the in-flight one OOMs HBM)
+    del hist_t, hcnt_t
     leapfrogs_s = n_ticks * n_chains / elapsed
     print(f"ESS(coord 0) = {ess/1e6:.2f}M -> {ess_s/1e6:.1f}M ESS/s "
           f"({leapfrogs_s/1e6:.0f}M leapfrog-grads/s)")
@@ -134,6 +138,7 @@ def run_target(name, model, args, obs, sel, exact, *, n_chains, n_ticks,
                 ok = False
                 continue
             draws = np.asarray(extract_draws(hist_c, hcnt_c, m))
+            del hist_c, hcnt_c          # free before the next coordinate
             burn = max(1, m // 4)
             dr = draws[burn:].astype(np.float64)
             m_ex, s_ex = exact[p]
