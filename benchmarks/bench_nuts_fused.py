@@ -188,6 +188,87 @@ def run_target(name, model, args, obs, sel, exact, *, n_chains, n_ticks,
                 xla_ess_per_sec=xla_row, ok=bool(ok))
 
 
+def deep_validate_funnel(n_chains=2048, num_draws=8000, num_warmup=800,
+                         max_depth=7, target_accept=0.9, seed=0,
+                         use_pallas=False):
+    """The definitive fused-NUTS funnel validation, enabled by the
+    bounded-memory draw collector (ops/nuts_fused.py:nuts_collect_draws):
+    the stream-stitched driver walls out at the draw counts the funnel's
+    v coordinate needs for split-R-hat < 1.01 (the measured diagnostic
+    decay is 1.021 @ 2000 draws -> 1.0052 @ 32000 on the fixed-L run),
+    but collecting draws chunk-by-chunk keeps memory at
+    O(num_draws x chains) regardless of tick count. Every coordinate is
+    gated on analytic moments + split-R-hat.
+
+    Default engine here is the XLA FSM twin (``use_pallas=False``): the
+    kernel and the FSM are pinned tick-exact by the interpret-mode CI
+    (tests/test_nuts_fused.py), and driving ~130 sequential kernel chunks
+    per coordinate through the remote tunnel is minutes of round-trip
+    overhead; the FSM runs each coordinate's full tick budget as one
+    program. On-core-PRNG statistics are validated by the eight_schools
+    kernel run."""
+    from gen_tpu.inference.chees import chees_hmc_warmup_and_sample
+    from gen_tpu.inference.target import FlatTarget
+    from gen_tpu.ops.nuts_fused import nuts_collect_draws
+    from gen_tpu.diagnostics import summarize
+
+    print(f"\n=== funnel_d10 DEEP validation (fused FSM-NUTS, "
+          f"{n_chains} chains x {num_draws} draws/coordinate) ===")
+    key = jax.random.PRNGKey(seed)
+    k_init, k_warm, k_run = jax.random.split(key, 3)
+    model, args, obs, sel = funnel, (9,), choicemap(), select("v", "x")
+    exact = funnel_exact()
+
+    traces, _ = jax.jit(jax.vmap(
+        lambda k: model.generate(k, args, obs)))(
+        jax.random.split(k_init, n_chains))
+    one_trace = jax.tree_util.tree_map(lambda x: x[0], traces)
+    target = FlatTarget(one_trace, sel)
+    t_w = time.time()
+    _, warm_flat, winfo = jax.jit(
+        lambda trs, k: chees_hmc_warmup_and_sample(
+            k, trs, sel, num_warmup=num_warmup, num_samples=1,
+            target_accept=target_accept))(traces, k_warm)
+    eps = float(winfo["step_size"])
+    print(f"warmup {time.time()-t_w:.1f}s: eps={eps:.4f}")
+
+    paths = [("v",), ("x",)]
+    offsets = [0, 1, 10]
+    ok = True
+    burn = num_draws // 4
+    values = warm_flat
+    t0 = time.time()
+    for p_i, p in enumerate(paths):
+        worst_m = worst_s = rh_worst = 0.0
+        for c in range(offsets[p_i], offsets[p_i + 1]):
+            draws, values, counts, used = nuts_collect_draws(
+                jax.random.fold_in(k_run, c), target.logp, values,
+                num_draws=num_draws, eps=eps, max_depth=max_depth,
+                inv_mass_diag=winfo["inv_mass"], collect_idx=c,
+                use_pallas=use_pallas)
+            m = int(jnp.min(counts))
+            if m < num_draws:
+                print(f"  coord {c}: only {m}/{num_draws} draws in "
+                      f"{used} ticks")
+                ok = False
+            dr = np.asarray(draws[burn:], np.float64)
+            m_ex = np.atleast_1d(exact[p][0])[c - offsets[p_i]]
+            s_ex = np.atleast_1d(exact[p][1])[c - offsets[p_i]]
+            worst_m = max(worst_m, abs(np.nanmean(dr) - m_ex) / s_ex)
+            worst_s = max(worst_s, abs(np.nanstd(dr) / s_ex - 1.0))
+            rh = float(np.max(np.asarray(summarize(
+                {"c": jnp.asarray(dr)})["c"]["rhat"])))
+            rh_worst = max(rh_worst, rh)
+        good = worst_m < 0.05 and worst_s < 0.06 and rh_worst < 1.01
+        ok &= good
+        print(f"  {str(p):8s} worst |dmean|/sd={worst_m:.3f} "
+              f"|dsd|/sd={worst_s:.3f} split-R-hat={rh_worst:.4f} "
+              f"{'OK' if good else 'FAIL'}")
+    print(f"  ({time.time()-t0:.0f}s total) => funnel_d10 deep: "
+          f"{'ALL CHECKS PASS' if ok else 'CHECKS FAILED'}")
+    return 0 if ok else 1
+
+
 def main(small=False, div=None, tick_div=None, warm_div=1,
          targets=("eight_schools", "funnel_d10"), gates=True):
     """``small`` is the documented CPU check (64x fewer chains, 4x fewer

@@ -121,6 +121,83 @@ def nuts_chains_fused_chunked(key, logp, values0, num_ticks: int,
             jnp.concatenate(hcnts, axis=0), cnt_total, stats)
 
 
+def nuts_collect_draws(key, logp, values0, num_draws: int, eps: float,
+                       max_ticks: Optional[int] = None,
+                       chunk_ticks: Optional[int] = None, **kw):
+    """Bounded-memory draw collection: drive :func:`nuts_chains_fused` in
+    chunks, extract each chunk's COMPLETED draws into a fixed
+    ``(num_draws, n[, d])`` buffer, and DISCARD the tick streams — memory
+    is O(num_draws * n) regardless of how many ticks the slowest chain
+    needs (the stitched-stream driver holds O(total_ticks * n), which
+    walls out long diagnostics runs; two separate HBM OOMs this round
+    came from exactly that).
+
+    Returns ``(draws, values, counts, ticks_used)``; ``draws[j, i]`` is
+    chain i's (j+1)-th completed-trajectory endpoint (coordinate
+    ``collect_idx``, or the full vector when ``collect_idx=None``),
+    NaN-filled where a chain completed fewer than ``num_draws``
+    trajectories within ``max_ticks`` (default ``64 * num_draws``)."""
+    values0 = jnp.asarray(values0, jnp.float32)
+    n, d = values0.shape
+    ci = kw.get("collect_idx", 0)
+    tile = kw.get("tile", _DEF_TILE)
+    if chunk_ticks is None:
+        from .hmc_fused import state_plane_bytes
+        per_tick = (d + 1 if ci is None else 2) * tile * 4
+        state_b = state_plane_bytes("nuts", d, tile,
+                                    kw.get("max_depth", 8))
+        chunk_ticks = max(64, min(
+            ((15 << 20) - state_b) // 2 // per_tick, 4096))
+    if max_ticks is None:
+        max_ticks = 64 * num_draws
+    targets = jnp.arange(1, num_draws + 1)
+
+    if ci is None:
+        draws = jnp.full((num_draws, n, d), jnp.nan, jnp.float32)
+    else:
+        draws = jnp.full((num_draws, n), jnp.nan, jnp.float32)
+
+    @jax.jit
+    def fold_chunk(draws, base, hist, hcnt):
+        """Scatter this chunk's completed draws into the buffer."""
+        hcnt_abs = hcnt + base[None, :]                # (t, n) cumulative
+
+        def per_chain(col_cnt, base_i, new_i):
+            pos = jnp.clip(jnp.searchsorted(col_cnt, targets),
+                           0, col_cnt.shape[0] - 1)
+            mask = (targets > base_i) & (targets <= new_i)
+            return pos, mask
+
+        new_base = base + hcnt[-1]
+        pos, mask = jax.vmap(per_chain, in_axes=(1, 0, 0),
+                             out_axes=(0, 0))(hcnt_abs, base, new_base)
+        # pos/mask: (n, num_draws); gather hist[pos[i, j], i]
+        if hist.ndim == 2:
+            vals = jnp.take_along_axis(hist.T, pos, axis=1)  # (n, nd)
+            draws = jnp.where(mask.T, vals.T, draws)
+        else:
+            vals = jnp.take_along_axis(
+                jnp.moveaxis(hist, 0, 1), pos[:, :, None], axis=1)
+            draws = jnp.where(mask.T[:, :, None],
+                              jnp.moveaxis(vals, 0, 1), draws)
+        return draws, new_base
+
+    base = jnp.zeros((n,), jnp.int32)
+    values = values0
+    done = 0
+    while done < max_ticks:
+        t = int(min(chunk_ticks, max_ticks - done))
+        key, k_use = jax.random.split(key)
+        values, hist, hcnt, cnt, _stats = nuts_chains_fused(
+            k_use, logp, values, num_ticks=t, eps=eps, **kw)
+        draws, base = fold_chunk(draws, base, hist, hcnt)
+        del hist, hcnt
+        done += t
+        if int(jnp.min(base)) >= num_draws:
+            break
+    return draws, values, base, done
+
+
 def _kernel(num_ticks, max_depth, eps, div_threshold, collect_idx, n_res,
             plane_fn, injected, *refs):
     import jax.experimental.pallas as pl

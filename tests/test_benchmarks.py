@@ -143,3 +143,11 @@ def test_bench_amortized():
 
 def test_bench_smc_genealogy():
     _wl().bench_smc_genealogy(n_particles=256, T=4, reps=1)
+
+
+def test_deep_validate_funnel_liveness():
+    import bench_nuts_fused
+    # tiny config cannot pass the statistics gates; liveness only
+    assert bench_nuts_fused.deep_validate_funnel(
+        n_chains=32, num_draws=40, num_warmup=10,
+        use_pallas=False) in (0, 1)

@@ -323,3 +323,35 @@ def _run_gibbs_within_nuts_gmm():
     # frozen stats stayed exactly what Gibbs wrote (NUTS never moved them)
     c = np.asarray(v[:, 2:4])
     assert np.all(c.sum(axis=1) == N)
+
+
+def test_collect_draws_matches_stitched_extraction():
+    """nuts_collect_draws (bounded-memory chunk folding) reproduces the
+    stitched-stream extract_completed_draws exactly on the same keys."""
+    from gen_tpu.ops.nuts_fused import (extract_completed_draws,
+                                        nuts_chains_fused_chunked,
+                                        nuts_collect_draws)
+
+    sds = jnp.array([1.0, 2.0])
+
+    def logp(x):
+        return -0.5 * jnp.sum((x / sds) ** 2)
+
+    n, ticks = 64, 240
+    vals0 = jax.random.normal(KEY, (n, 2)) * sds
+    key = jax.random.PRNGKey(5)
+    kw = dict(eps=0.7, max_depth=4, collect_idx=1, use_pallas=False)
+
+    _, hist, hcnt, cnt, _ = nuts_chains_fused_chunked(
+        key, logp, vals0, num_ticks=ticks, chunk_ticks=80, **kw)
+    m = int(jnp.min(cnt))
+    ref = np.asarray(extract_completed_draws(hist, hcnt, m))
+
+    draws, _, counts, used = nuts_collect_draws(
+        key, logp, vals0, num_draws=m, chunk_ticks=80, max_ticks=ticks,
+        **kw)
+    assert used <= ticks
+    got = np.asarray(draws)
+    assert np.all(np.isfinite(got))
+    np.testing.assert_allclose(got, ref[:m], rtol=1e-6, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(counts) >= m, True)
