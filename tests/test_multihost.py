@@ -97,6 +97,17 @@ print(f"[{pid}] MULTIHOST_OK lse={lse:.6f}", flush=True)
 '''
 
 
+def _free_port() -> int:
+    """Ephemeral coordinator port: a hardcoded port makes the test flaky
+    on shared machines / against lingering TIME_WAIT sockets (ADVICE r3).
+    The small close-to-reuse race window is vastly smaller than a fixed
+    port collision."""
+    import socket
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
 @pytest.mark.skipif(sys.platform != "linux", reason="needs local gloo")
 def test_two_process_distributed_collectives(tmp_path):
     worker = tmp_path / "worker.py"
@@ -104,7 +115,7 @@ def test_two_process_distributed_collectives(tmp_path):
     env = dict(os.environ,
                PYTHONPATH=os.path.dirname(os.path.dirname(
                    os.path.abspath(__file__))))
-    port = "12399"
+    port = str(_free_port())
     procs = [subprocess.Popen(
         [sys.executable, str(worker), str(i), "2", port],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,

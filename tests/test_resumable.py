@@ -122,6 +122,53 @@ def test_mismatched_schedule_refused(tmp_path):
         resumable_run(d, jax.random.PRNGKey(0), segment, flat0, 3)
 
 
+def test_nan_in_draws_rolls_back(tmp_path):
+    """A segment whose STATE is finite but whose DRAWS contain NaN must be
+    rolled back (ADVICE r3: the draws are the artifact users consume)."""
+    segment, flat0 = _make_segment_fn()
+    poisoned = {"armed": True}
+
+    def flaky_draws_segment(k, values):
+        values, hist = segment(k, values)
+        if poisoned["armed"]:
+            poisoned["armed"] = False
+            hist = hist.at[0, 0].set(jnp.nan)   # state stays finite
+        return values, hist
+
+    state, draws, info = resumable_run(
+        str(tmp_path / "flakydraws"), jax.random.PRNGKey(7),
+        flaky_draws_segment, flat0, 3)
+    assert info["retries"] == [(0, 0)]
+    assert np.all(np.isfinite(np.asarray(draws)))
+
+
+def test_single_arg_health_check_still_works(tmp_path):
+    segment, flat0 = _make_segment_fn()
+    calls = {"n": 0}
+
+    def check_state_only(state):
+        calls["n"] += 1
+        return bool(np.all(np.isfinite(np.asarray(state))))
+
+    resumable_run(str(tmp_path / "onearg"), jax.random.PRNGKey(0), segment,
+                  flat0, 2, health_check=check_state_only)
+    assert calls["n"] == 2
+
+
+def test_mismatched_key_or_state_refused(tmp_path):
+    """Resuming with a different base key or state0 structure must be
+    refused (ADVICE r3: silent continuation under a new schedule breaks
+    the bit-for-bit contract)."""
+    segment, flat0 = _make_segment_fn()
+    d = str(tmp_path / "fp")
+    resumable_run(d, jax.random.PRNGKey(0), segment, flat0, 2)
+    with pytest.raises(ValueError, match="different base key"):
+        resumable_run(d, jax.random.PRNGKey(1), segment, flat0, 2)
+    with pytest.raises(ValueError, match="state0 structure"):
+        resumable_run(d, jax.random.PRNGKey(0), segment,
+                      flat0[:, :1], 2)
+
+
 def test_fully_completed_run_reloads(tmp_path):
     segment, flat0 = _make_segment_fn()
     d = str(tmp_path / "done")
