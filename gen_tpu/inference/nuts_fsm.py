@@ -52,7 +52,8 @@ def nuts_fsm(key, value_and_grad, theta0, step_size, num_ticks: int,
              max_depth: int = 10, inv_mass_diag=None,
              num_sample_slots: int = 256,
              divergence_threshold: float = 1000.0,
-             injected_rng=None, collect_idx=None) -> FSMResult:
+             injected_rng=None, collect_idx=None,
+             ckpt_bf16: bool = False) -> FSMResult:
     """Run ``num_ticks`` global leapfrog ticks of FSM-NUTS from ``theta0``.
 
     One chain; ``vmap`` over (key, theta0[, step_size, inv_mass_diag]) for
@@ -71,6 +72,16 @@ def nuts_fsm(key, value_and_grad, theta0, step_size, num_ticks: int,
     collection streams; the count stream marks trajectory-end ticks so
     each completed draw can be extracted exactly once). The string
     ``"all"`` collects the whole ``(ticks, dim)`` position history.
+
+    ``ckpt_bf16``: round the U-turn checkpoint stores (``r_ckpt``,
+    ``rsum_ckpt``) to bf16 via :func:`gen_tpu.utils.bf16_round` — the
+    semantics of the fused Pallas kernel, which packs each checkpoint
+    pair bf16x2 into one plane to halve its VMEM cost. Checkpoints feed
+    only the block-end U-turn dot products (a deterministic,
+    trajectory-reversal-symmetric stopping rule), so rounding them
+    changes WHEN trajectories stop, never the invariant distribution;
+    validated distribution-level in tests/test_nuts_fused.py and
+    benchmarks/bench_nuts_fused.py.
     """
     dim = theta0.shape[0]
     dt = theta0.dtype
@@ -159,11 +170,19 @@ def nuts_fsm(key, value_and_grad, theta0, step_size, num_ticks: int,
             s = dict(s, **{k_: sel(fresh, v_, s[k_])})
 
         n = s["sub_n"]
+        # checkpoint store rounding: identity in f32 mode, bf16 (the fused
+        # kernel's packed-checkpoint semantics) when ckpt_bf16
+        if ckpt_bf16:
+            from ..utils import bf16_round
+            _ckround = lambda x: bf16_round(x).astype(x.dtype)
+        else:
+            _ckround = lambda x: x
         # -- block-start rho checkpoints (level k when n % 2^k == 0) ------
         r_ck, rs_ck = s["r_ckpt"], s["rsum_ckpt"]
         for k in range(1, max_depth + 1):
             starts = (n % (2 ** k)) == 0
-            rs_ck = rs_ck.at[k].set(jnp.where(starts, s["rho_sub"],
+            rs_ck = rs_ck.at[k].set(jnp.where(starts,
+                                              _ckround(s["rho_sub"]),
                                               rs_ck[k]))
 
         # -- ONE leapfrog (the only gradient work; never masked out) ------
@@ -179,7 +198,7 @@ def nuts_fsm(key, value_and_grad, theta0, step_size, num_ticks: int,
         # matching comment + measurement in nuts.py::build_subtree)
         for k in range(1, max_depth + 1):
             starts = (n % (2 ** k)) == 0
-            r_ck = r_ck.at[k].set(jnp.where(starts, r, r_ck[k]))
+            r_ck = r_ck.at[k].set(jnp.where(starts, _ckround(r), r_ck[k]))
 
         # Welford over every leapfrog position (dense scale statistics for
         # mass-matrix warmup — completed samples are too sparse when
@@ -353,18 +372,28 @@ def nuts_fsm_warmup_and_sample(key, value_and_grad, theta0,
                                max_depth: int = 10,
                                target_accept: float = 0.8,
                                adapt_mass: bool = True,
-                               num_sample_slots: int = 256):
+                               num_sample_slots: int = 256,
+                               free_mask=None):
     """Full FSM pipeline for one chain (vmap over (key, theta0) for many):
     dual-averaging warmup in ``warmup_chunks`` fixed-tick chunks (one DA
     update per chunk from that chunk's mean accept statistic — chunked
     adaptation, since the FSM has no per-transition boundary across
     chains), diagonal mass from the second half of warmup samples, then a
     sampling run at the adapted (step size, mass). Returns
-    (FSMResult, info dict)."""
+    (FSMResult, info dict).
+
+    ``free_mask``: optional (dim,) 0/1 mask — coordinates with mask 0 are
+    FROZEN (inverse mass pinned to 0 through warmup AND the mass
+    adaptation, the shared frozen-coordinate convention of
+    utils.sqrt_mass_safe), which is how partial selections condition each
+    chain on its own unselected values (sample_posterior engine
+    parity with chees/hmc_fused/nuts_fused)."""
     from .nuts import da_init, da_update, find_reasonable_step_size
 
     dim = theta0.shape[0]
     dt = theta0.dtype
+    mask = (jnp.ones(dim, dt) if free_mask is None
+            else jnp.asarray(free_mask, dt))
     k_find1, k_w1, k_samp = jax.random.split(key, 3)
     half = max(warmup_chunks // 2, 1)
     chunk_ticks = max(num_warmup_ticks // (3 * half), 1)
@@ -397,7 +426,7 @@ def nuts_fsm_warmup_and_sample(key, value_and_grad, theta0,
     # (0.05, 1, 20)-scaled Gaussian the slow-dim mass goes 0.8 -> 80 ->
     # ~300 (true 400) over three stages.
     theta = theta0
-    inv_mass = jnp.ones(dim, dt)
+    inv_mass = mask
     eps_final = jnp.asarray(0.1, dt)
     for stage in range(3):
         k_find = jax.random.fold_in(k_find1, stage)
@@ -406,8 +435,11 @@ def nuts_fsm_warmup_and_sample(key, value_and_grad, theta0,
                                          inv_mass)
         theta, eps_final, var = da_stage(k_stage, theta, eps0, inv_mass)
         if stage < 2:
+            # frozen coordinates stay frozen through adaptation (their
+            # position variance is 0 anyway, but the 1e-8 floor would
+            # silently unfreeze them)
             inv_mass = jnp.where(jnp.asarray(adapt_mass),
-                                 jnp.maximum(var, 1e-8), inv_mass)
+                                 mask * jnp.maximum(var, 1e-8), inv_mass)
 
     res = nuts_fsm(k_samp, value_and_grad, theta, eps_final, num_ticks,
                    max_depth=max_depth, inv_mass_diag=inv_mass,

@@ -111,17 +111,21 @@ def _kernel(n_steps, L, eps, eps_jitter, collect_idx, n_res, plane_fn,
     acc0 = jnp.zeros_like(lp0)
     plane = lp0.shape
     d = v0.shape[0]
-    # diagonal mass: per-coordinate scalars from SMEM, applied by unrolled
-    # per-plane ops (full-tile elementwise; no tiny broadcasts)
-    inv_m = [mass_ref[i] for i in range(d)]
+    f0 = v0[0] * 0.0
+    # diagonal mass: per-coordinate scalars from SMEM, broadcast ONCE into
+    # a loop-invariant (d, 8, tc) plane; every use is then a single
+    # leading-axis array op instead of a d-way Python unroll (the round-4
+    # de-unroll — keeps the compiled step body O(1) in d, which is what
+    # caused the multi-minute Mosaic compiles near the envelope wall)
+    inv_plane = jnp.stack([f0 + mass_ref[i] for i in range(d)])
     # inv_mass == 0 freezes a coordinate (infinite mass; zero momentum
     # draw here, every other momentum use is inv_m-weighted) — the shared
     # frozen-coordinate convention lives in utils.sqrt_mass_safe
     from ..utils import sqrt_mass_safe
-    mom_scale = [sqrt_mass_safe(inv_m[i]) for i in range(d)]
+    mom_plane = sqrt_mass_safe(inv_plane)
 
     def kin(m):
-        return 0.5 * sum(inv_m[i] * m[i] * m[i] for i in range(d))
+        return 0.5 * jnp.sum(inv_plane * m * m, axis=0)
 
     def step(i, carry):
         v, lp, g, acc = carry
@@ -133,13 +137,12 @@ def _kernel(n_steps, L, eps, eps_jitter, collect_idx, n_res, plane_fn,
             eps_i = eps * (1.0 - eps_jitter
                            + 2.0 * eps_jitter * jit_bits[0, 0])
             z = _normals(d, plane)
-        mom0 = jnp.stack([mom_scale[i] * z[i] for i in range(d)])
+        mom0 = mom_plane * z
 
         def leap(_, c):
             v, m, g, lp = c
             m = m + (eps_i * 0.5) * g
-            v = jnp.stack([v[i] + eps_i * inv_m[i] * m[i]
-                           for i in range(d)])
+            v = v + eps_i * (inv_plane * m)
             lp, g = vag_planes(v)
             m = m + (eps_i * 0.5) * g
             return (v, m, g, lp)
@@ -333,43 +336,101 @@ def hmc_chains_fused(key, logp: Callable, values0, n_steps: int,
     return values, collected, acc_counts
 
 
+def hmc_chains_fused_chunked(key, logp: Callable, values0, n_steps: int,
+                             chunk_steps: Optional[int] = None,
+                             vmem_budget_bytes: int = 13 << 20, **kw):
+    """Drive :func:`hmc_chains_fused` in step chunks and concatenate the
+    collected histories (ADVICE r3: with ``collect_idx=None`` the
+    per-step all-coordinate history block is double-buffered in scoped
+    VMEM, so ``n_steps`` at any d >= 2 blows the envelope in one call —
+    the fused ENGINE must chunk, exactly like the NUTS chunker). A chunk
+    boundary is exact for fixed-L HMC: the chain state is the full
+    sampler state, each chunk continues with a fresh fold of ``key``.
+    Chunks are sized so history + live state fit the same budget
+    :func:`check_vmem_envelope` enforces. Returns the same
+    ``(values, collected, accept_counts)`` as one fused call."""
+    values0 = jnp.asarray(values0, jnp.float32)
+    n, d = values0.shape
+    ci = kw.get("collect_idx", 0)
+    tile = kw.get("tile", _DEF_TILE)
+    per_step = (d if ci is None else 1) * tile * 4
+    if chunk_steps is None:
+        state_b = state_plane_bytes("hmc", d, tile)
+        hist_budget = (vmem_budget_bytes - state_b) // 2
+        if hist_budget < per_step:
+            raise ValueError(
+                f"hmc_chains_fused_chunked: even a 1-step history chunk "
+                f"({per_step / 2**20:.1f} MB double-buffered) does not fit "
+                f"next to the live state ({state_b / 2**20:.1f} MB) in the "
+                f"~{vmem_budget_bytes / 2**20:.0f} MB scoped-VMEM budget; "
+                "collect a single coordinate (collect_idx=<int>) or reduce "
+                "d / use the XLA path")
+        chunk_steps = max(1, min(n_steps, hist_budget // per_step))
+    chunks = []
+    acc = jnp.zeros((n,), jnp.float32)
+    values = values0
+    done = 0
+    while done < n_steps:
+        t = int(min(chunk_steps, n_steps - done))
+        key, k_use = jax.random.split(key)
+        values, collected, acc_c = hmc_chains_fused(
+            k_use, logp, values, n_steps=t, **kw)
+        chunks.append(collected)
+        acc = acc + acc_c
+        done += t
+    return values, jnp.concatenate(chunks, axis=0), acc
+
+
 def state_plane_bytes(kernel: str, d: int, tile: int,
                       max_depth: int = 0) -> int:
     """VMEM footprint of the kernel's live chain-block state (excluding
     the per-tick history block) — shared by :func:`check_vmem_envelope`
-    and the chunked NUTS driver, which must size history chunks out of
-    the SAME budget. Plane counts are calibrated against the measured
-    hardware boundary (hmc: 12 live planes fits both OK-at-d=256 and
-    abort-at-d=384; nuts: the 25 + 2(max_depth+1) state layout fits
-    OK-at-d=64 / abort-at-d=96 at max_depth=8)."""
-    planes_live = 12 if kernel == "hmc" else 25 + 2 * (max_depth + 1)
+    and the chunked drivers, which must size history chunks out of the
+    SAME budget. Plane counts are calibrated against the round-4
+    measured hardware boundaries (benchmarks/envelope_probe.py, after
+    the de-unroll + bf16x2-packed-checkpoint layout: hmc fits at d=320 /
+    aborts at 384; nuts(max_depth=8) fits at 120 / aborts at 128;
+    nuts(max_depth=6) fits at 128 / aborts at 144 — all at tile=1024
+    against the 13 MiB budget). The NUTS count is the true live layout:
+    17 f32 d-planes + 2 mass planes + (max_depth-1) packed bf16x2
+    checkpoint planes (levels 1..max_depth-1; level max_depth can never
+    complete a block inside a <= 2^(max_depth-1)-leapfrog subtree, and
+    slot 0 was never used — the pre-round-4 layout carried
+    2*(max_depth+1) f32 planes for the same information)."""
+    planes_live = 9 if kernel == "hmc" else 18 + max_depth
     return planes_live * d * tile * 4
 
 
 def check_vmem_envelope(kernel: str, d: int, tile: int, max_depth: int = 0,
                         hist_planes: int = 1, num_ticks: int = 0,
-                        budget_bytes: int = 15 << 20):
+                        budget_bytes: int = 13 << 20):
     """Pre-compile dimension/VMEM envelope check (VERDICT r2 item 9).
 
     The fused kernels keep the whole chain-block state VMEM-resident; the
     per-program footprint is ~``planes_live * d * tile * 4`` bytes plus the
     per-tick history block. Measured envelope on v5e (trivial logp,
-    tile=1024):
+    tile=1024; round-4 layout — de-unrolled mass planes, bf16x2-packed
+    U-turn checkpoints, dead checkpoint levels pruned;
+    benchmarks/envelope_probe.py):
 
-    | kernel     | config       | max d OK | first fail            |
-    |------------|--------------|----------|-----------------------|
-    | hmc_fused  | tile=1024    | 256      | 384 (Mosaic abort)    |
-    | nuts_fused | max_depth=8  | 64       | 96 (abort; d=80 took  |
-    |            |              |          | >7 min to compile)    |
+    | kernel     | config       | max d OK | first fail | compile at max |
+    |------------|--------------|----------|------------|----------------|
+    | hmc_fused  | tile=1024    | 320      | 384        | ~10-80 s       |
+    | nuts_fused | max_depth=8  | 120      | 128        | ~10-76 s       |
+    | nuts_fused | max_depth=6  | 128      | 144        | ~14 s          |
+
+    (Round-3 layout topped out at hmc d=256 / nuts(md8) d=64, with
+    compile time exploding near the wall — nuts d=80 took > 7 min. The
+    de-unroll made the tick body O(1) in d, so compile now stays in the
+    tens of seconds across the whole envelope; a 100-school
+    eight_schools, d=102, fits at max_depth=8.)
 
     ``tile`` cannot shrink below 1024: Pallas requires the minor block dim
     (tile/8) to be a multiple of 128, so 1024 is already the minimum — the
     envelope is widened only by reducing d, or (NUTS) ``max_depth``
-    (checkpoints cost 2*(max_depth+1) coordinate planes), or by the XLA
-    path. This estimator raises a clear, actionable error BEFORE a
-    multi-minute remote compile ends in an opaque Mosaic scoped-VMEM
-    abort; it is conservative on purpose — compile time blows up well
-    before the hard VMEM wall (measured: nuts d=80 compiles >7 min)."""
+    (packed checkpoints cost max_depth-1 planes), or by the XLA path.
+    This estimator raises a clear, actionable error BEFORE a remote
+    compile ends in an opaque Mosaic scoped-VMEM abort."""
     if tile % 1024 != 0:
         raise ValueError(
             f"{kernel}_fused: tile={tile} is invalid — Pallas TPU requires "
@@ -389,8 +450,8 @@ def check_vmem_envelope(kernel: str, d: int, tile: int, max_depth: int = 0,
             + f") exceeds the ~{budget_bytes / 2**20:.0f} MB Mosaic "
             "scoped-VMEM envelope (tile=1024 is already the minimum). "
             "Reduce d"
-            + (", lower max_depth (checkpoints cost 2*(max_depth+1) "
-               "coordinate planes)," if kernel != "hmc" else "")
+            + (", lower max_depth (packed checkpoints cost max_depth-1 "
+               "planes)," if kernel != "hmc" else "")
             + " or use the XLA path (use_pallas=False)."
             " See ops/hmc_fused.py:check_vmem_envelope for the measured "
             "envelope table.")

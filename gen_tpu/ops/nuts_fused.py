@@ -60,9 +60,30 @@ def extract_completed_draws(hist, hist_cnt, m: int):
         0, 1)
 
 
+def _nuts_chunk_ticks(d, tile, max_depth, per_tick, num_ticks,
+                      vmem_budget_bytes):
+    """Largest history-chunk tick count that fits next to the live kernel
+    state in the scoped-VMEM budget; raises the actionable envelope error
+    UP FRONT when even one tick cannot fit (ADVICE r3 — previously a
+    64-tick floor pushed the failure into the first in-loop kernel call)."""
+    from .hmc_fused import state_plane_bytes
+    state_b = state_plane_bytes("nuts", d, tile, max_depth)
+    hist_budget = (vmem_budget_bytes - state_b) // 2
+    if hist_budget < per_tick:
+        raise ValueError(
+            f"nuts fused chunking: even a 1-tick history chunk "
+            f"({per_tick / 2**20:.2f} MB double-buffered) does not fit "
+            f"next to the live kernel state ({state_b / 2**20:.1f} MB, "
+            f"d={d}, max_depth={max_depth}) in the "
+            f"~{vmem_budget_bytes / 2**20:.0f} MB scoped-VMEM budget; "
+            "collect a single coordinate (collect_idx=<int>), lower "
+            "max_depth, or use the XLA path (use_pallas=False)")
+    return max(1, min(num_ticks, hist_budget // per_tick))
+
+
 def nuts_chains_fused_chunked(key, logp, values0, num_ticks: int,
                               eps: float, chunk_ticks: Optional[int] = None,
-                              vmem_budget_bytes: int = 15 << 20, **kw):
+                              vmem_budget_bytes: int = 13 << 20, **kw):
     """Drive :func:`nuts_chains_fused` in tick chunks and stitch the
     streams: the kernel's per-tick history lives in a VMEM output block
     (Mosaic's scoped-vmem limit is ~16 MB), so long runs must be split. A
@@ -81,12 +102,14 @@ def nuts_chains_fused_chunked(key, logp, values0, num_ticks: int,
         # VMEM budget; the history block is double-buffered (counts 2x,
         # measured — see check_vmem_envelope). Size chunks from what the
         # state leaves over so the envelope check and the chunker agree.
-        from .hmc_fused import state_plane_bytes
-        state_b = state_plane_bytes("nuts", d, tile,
-                                    kw.get("max_depth", 8))
-        hist_budget = max((vmem_budget_bytes - state_b) // 2,
-                          64 * per_tick)
-        chunk_ticks = max(64, min(num_ticks, hist_budget // per_tick))
+        # NO minimum-tick floor (ADVICE r3): a floor of 64 made every
+        # per-chunk kernel call violate its own envelope at mid d with
+        # collect_idx=None; small chunks are valid (just more compile/
+        # launch overhead), and the truly-impossible case errors here
+        # with advice instead of deep inside the chunk loop.
+        chunk_ticks = _nuts_chunk_ticks(d, tile, kw.get("max_depth", 8),
+                                        per_tick, num_ticks,
+                                        vmem_budget_bytes)
     hists, hcnts = [], []
     cnt_total = jnp.zeros((n,), jnp.int32)
     acc_w = jnp.zeros((n,), jnp.float32)
@@ -142,12 +165,9 @@ def nuts_collect_draws(key, logp, values0, num_draws: int, eps: float,
     ci = kw.get("collect_idx", 0)
     tile = kw.get("tile", _DEF_TILE)
     if chunk_ticks is None:
-        from .hmc_fused import state_plane_bytes
         per_tick = (d + 1 if ci is None else 2) * tile * 4
-        state_b = state_plane_bytes("nuts", d, tile,
-                                    kw.get("max_depth", 8))
-        chunk_ticks = max(64, min(
-            ((15 << 20) - state_b) // 2 // per_tick, 4096))
+        chunk_ticks = _nuts_chunk_ticks(d, tile, kw.get("max_depth", 8),
+                                        per_tick, 4096, 13 << 20)
     if max_ticks is None:
         max_ticks = 64 * num_draws
     targets = jnp.arange(1, num_draws + 1)
@@ -235,30 +255,48 @@ def _kernel(num_ticks, max_depth, eps, div_threshold, collect_idx, n_res,
     i0 = f0.astype(jnp.int32)
     b0 = f0 > 1.0
     zd = v0 * 0.0
+    izd = (v0 * 0.0).astype(jnp.int32)     # packed-checkpoint zero plane
     ninf = f0 - jnp.inf
     feps = jnp.float32(eps)
 
-    inv_m = [mass_ref[i] for i in range(d)]
     # inv_mass == 0 freezes a coordinate (infinite mass): its momentum
     # draw is zeroed here, and every other use of momentum flows through
     # inv_m-weighted products (position update, kinetic, U-turn dots),
     # so the coordinate never moves and contributes nothing -- this is
     # how Gibbs-within-NUTS blocks and per-chain conditioning values
     # ride inside the kernel state (see docs/api.md)
+    #
+    # ROUND-4 de-unroll: the mass enters as SMEM scalars, broadcast ONCE
+    # into a loop-invariant (d, 8, tc) plane; every per-coordinate use
+    # (momentum scale, position update, U-turn/kinetic dots) is then ONE
+    # leading-axis array op instead of a d-way Python unroll — the tick
+    # body's jaxpr goes from O(d * max_depth) to O(max_depth) equations,
+    # which is what killed the d=80 multi-minute Mosaic compiles.
     from ..utils import sqrt_mass_safe
-    mom_scale = [sqrt_mass_safe(inv_m[i]) for i in range(d)]
+    inv_plane = jnp.stack([f0 + mass_ref[i] for i in range(d)])
+    mom_plane = sqrt_mass_safe(inv_plane)
 
     def scale_mass(z):
-        return jnp.stack([mom_scale[i] * z[i] for i in range(d)])
+        return mom_plane * z
 
     def apply_inv_mass(r):
-        return jnp.stack([inv_m[i] * r[i] for i in range(d)])
+        return inv_plane * r
 
     def dot_im(a, b):
-        return sum(inv_m[i] * a[i] * b[i] for i in range(d))
+        return jnp.sum(inv_plane * a * b, axis=0)
 
     def kinetic(r):
         return 0.5 * dot_im(r, r)
+
+    # bf16x2 checkpoint packing: each live level's (momentum, rho-sum)
+    # checkpoint pair lives in ONE int32 plane (round-to-nearest-even
+    # bf16 halves, utils.bf16_pack2). Checkpoints feed only the U-turn
+    # dot products — a deterministic, reversal-symmetric stopping rule —
+    # so the rounding changes when trajectories stop, never the
+    # invariant distribution; the XLA reference (nuts_fsm
+    # ckpt_bf16=True) rounds with the same bit arithmetic, keeping the
+    # interpret-mode tick-exactness tests exact.
+    from ..utils import bf16_pack2, bf16_unpack2
 
     def uturn(rho, r_a, r_b):
         return (dot_im(rho, r_a) <= 0.0) | (dot_im(rho, r_b) <= 0.0)
@@ -292,9 +330,14 @@ def _kernel(num_ticks, max_depth, eps, div_threshold, collect_idx, n_res,
         zd,                                # 25   rho_sub
         v0, lp0, g0,                       # 26-28 cand_sub theta/logp/grad
         ninf,                              # 29   logw_sub
-        tuple(zd for _ in range(max_depth + 1)),   # 30 r_ckpt
-        tuple(zd for _ in range(max_depth + 1)),   # 31 rsum_ckpt
-        f0, f0, i0,                        # 32-34 accept_sum/depth_sum/div
+        # 30: packed U-turn checkpoints — ONLY levels 1..max_depth-1 are
+        # live (a level-k block can only COMPLETE inside a subtree of
+        # >= 2^k leapfrogs, and subtrees have at most 2^(max_depth-1):
+        # the level-max_depth ends-test never fires, and slot 0 was never
+        # used), each level's (r, rho-sum) pair bf16x2-packed in one
+        # int32 plane: 2*(max_depth+1) f32 planes -> (max_depth-1) planes
+        tuple(izd for _ in range(max(max_depth - 1, 0))),
+        f0, f0, i0,                        # 31-33 accept_sum/depth_sum/div
         # fresh carried as int32 0/1: bool planes in a fori carry fail
         # Mosaic legalization (scf.for with i1 vector carries)
         i0 + 1,                            # 35   fresh
@@ -303,7 +346,7 @@ def _kernel(num_ticks, max_depth, eps, div_threshold, collect_idx, n_res,
     def tick(t, s):
         (cur_t, cur_lp, cur_g, count, energy0, lt, lr, lg, rt, rr, rg,
          rho_t, ct, clp, cg, lwt, depth, asum, nlf, de, sn, nl,
-         ptv, pr, pg, rs, cs, cslp, csg, lws, rck, rsck,
+         ptv, pr, pg, rs, cs, cslp, csg, lws, ck,
          acc_sum, depth_sum, div, fresh_i) = s
         fresh = fresh_i != 0
 
@@ -353,14 +396,11 @@ def _kernel(num_ticks, max_depth, eps, div_threshold, collect_idx, n_res,
         csg = wd(fresh, cur_g, csg)
         lws = w1(fresh, -jnp.inf, lws)
 
-        # -- block-start rho checkpoints (level k when sn % 2^k == 0) -----
-        rsck = list(rsck)
-        rck = list(rck)
-        starts_k = []
-        for k in range(1, max_depth + 1):
-            starts = (sn & jnp.int32(2 ** k - 1)) == 0
-            starts_k.append(starts)
-            rsck[k] = wd(starts, rs, rsck[k])
+        # -- block-start masks (level k live when sn % 2^k == 0) ----------
+        rs_pre = rs                       # pre-leapfrog rho_sub: the
+        starts_k = []                     # block-start checkpoint value
+        for k in range(1, max_depth):
+            starts_k.append((sn & jnp.int32(2 ** k - 1)) == 0)
 
         # -- ONE leapfrog (the only gradient work; never masked out) ------
         r = pr + (0.5 * de)[None] * pg
@@ -370,9 +410,13 @@ def _kernel(num_ticks, max_depth, eps, div_threshold, collect_idx, n_res,
 
         # momentum checkpoint = the block's first IN-BLOCK (post-leapfrog)
         # state — see nuts_fsm.py / nuts.py for the direction-asymmetry bug
-        # the pre-block boundary version causes
-        for k in range(1, max_depth + 1):
-            rck[k] = wd(starts_k[k - 1], r, rck[k])
+        # the pre-block boundary version causes. Both halves of the pair
+        # (post-leapfrog r, block-start rho_sub) are known here, so each
+        # level writes ONE packed plane.
+        ck = list(ck)
+        for k in range(1, max_depth):
+            ck[k - 1] = wd(starts_k[k - 1], bf16_pack2(r, rs_pre),
+                           ck[k - 1])
 
         delta = (lp - kinetic(r)) - energy0
         delta = jnp.where(jnp.isnan(delta), -jnp.inf, delta)
@@ -389,12 +433,14 @@ def _kernel(num_ticks, max_depth, eps, div_threshold, collect_idx, n_res,
         rs = rs + r
         lws = lws_new
 
-        # block-end U-turn checks inside the subtree
+        # block-end U-turn checks inside the subtree (levels above
+        # max_depth-1 can never complete a block — no checkpoint, no check)
         turning_sub = b0
-        for k in range(1, max_depth + 1):
+        for k in range(1, max_depth):
             ends = ((sn + 1) & jnp.int32(2 ** k - 1)) == 0
-            block_rho = rs - rsck[k]
-            turning_sub = turning_sub | (ends & uturn(block_rho, rck[k], r))
+            rck_k, rsck_k = bf16_unpack2(ck[k - 1])
+            block_rho = rs - rsck_k
+            turning_sub = turning_sub | (ends & uturn(block_rho, rck_k, r))
 
         sub_done = (((sn + 1).astype(jnp.float32) >= nl) | turning_sub
                     | diverging)
@@ -457,17 +503,17 @@ def _kernel(num_ticks, max_depth, eps, div_threshold, collect_idx, n_res,
         return (cur_t, cur_lp, cur_g, count, energy0, lt, lr, lg, rt, rr,
                 rg, rho_t, ct, clp, cg, lwt, depth_next, asum, nlf, de, sn,
                 nl,
-                ptv, pr, pg, rs, cs, cslp, csg, lws, tuple(rck),
-                tuple(rsck), acc_sum, depth_sum, div, fresh_next)
+                ptv, pr, pg, rs, cs, cslp, csg, lws, tuple(ck),
+                acc_sum, depth_sum, div, fresh_next)
 
     s = jax.lax.fori_loop(0, num_ticks, tick, state)
     vout_ref[...] = s[0]
     cnt_ref[...] = s[3]
     # stats planes: accept_sum, depth_sum, div_count, inflight alpha_sum,
     # inflight nlf (mean_accept assembled host-side like nuts_fsm)
-    stat_ref[0] = s[32]
-    stat_ref[1] = s[33]
-    stat_ref[2] = s[34].astype(jnp.float32)
+    stat_ref[0] = s[31]
+    stat_ref[1] = s[32]
+    stat_ref[2] = s[33].astype(jnp.float32)
     stat_ref[3] = s[17]
     stat_ref[4] = s[18].astype(jnp.float32)
 
@@ -524,7 +570,8 @@ def nuts_chains_fused(key, logp: Callable, values0, num_ticks: int,
                                    inv_mass_diag=inv_mass,
                                    num_sample_slots=8,
                                    divergence_threshold=divergence_threshold,
-                                   collect_idx=ci))(keys, values0)
+                                   collect_idx=ci,
+                                   ckpt_bf16=True))(keys, values0)
         stats = dict(mean_accept=res.mean_accept,
                      mean_depth=res.mean_depth,
                      num_divergent=res.num_divergent)

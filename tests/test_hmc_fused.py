@@ -380,26 +380,89 @@ def _run_interpret_kalman_case():
 
 
 def test_vmem_envelope_estimator():
-    """Dimension/VMEM envelope (measured on v5e, RESULTS.md round-3 table):
-    the estimator must pass the measured-OK configurations and raise a
-    clear error for the measured-fail ones BEFORE compilation."""
+    """Dimension/VMEM envelope (measured on v5e, round-4 boundaries from
+    benchmarks/envelope_probe.py): the estimator must pass the
+    measured-OK configurations and raise a clear error for the
+    measured-fail ones BEFORE compilation."""
     import pytest
     from gen_tpu.ops.hmc_fused import check_vmem_envelope
 
-    # measured OK on hardware
-    check_vmem_envelope("hmc", 256, 1024, num_ticks=16)
-    check_vmem_envelope("nuts", 64, 1024, max_depth=8, hist_planes=2,
+    # measured OK on hardware (round-4 layout)
+    check_vmem_envelope("hmc", 320, 1024, num_ticks=16)
+    check_vmem_envelope("nuts", 112, 1024, max_depth=8, hist_planes=2,
                         num_ticks=32)
+    check_vmem_envelope("nuts", 102, 1024, max_depth=8, hist_planes=2,
+                        num_ticks=32)     # 100-school eight_schools
+    check_vmem_envelope("nuts", 128, 1024, max_depth=6, hist_planes=2,
+                        num_ticks=32)     # the VERDICT r3 target
     # measured Mosaic aborts -> must raise with actionable advice
     with pytest.raises(ValueError, match="tile"):
         check_vmem_envelope("hmc", 384, 1024, num_ticks=16)
     with pytest.raises(ValueError, match="max_depth"):
-        check_vmem_envelope("nuts", 96, 1024, max_depth=8, hist_planes=2,
+        check_vmem_envelope("nuts", 128, 1024, max_depth=8, hist_planes=2,
+                            num_ticks=32)
+    with pytest.raises(ValueError, match="max_depth"):
+        check_vmem_envelope("nuts", 144, 1024, max_depth=6, hist_planes=2,
                             num_ticks=32)
     # tile < 1024 is structurally invalid (Pallas minor-dim constraint,
     # measured: tile=512 dies in BlockSpec validation) -> clear error
     with pytest.raises(ValueError, match="multiple of 1024"):
         check_vmem_envelope("hmc", 64, 512, num_ticks=16)
     # lowering max_depth widens the NUTS envelope
-    check_vmem_envelope("nuts", 96, 1024, max_depth=2, hist_planes=2,
+    check_vmem_envelope("nuts", 160, 1024, max_depth=2, hist_planes=2,
                         num_ticks=32)
+
+
+def test_hmc_chunked_driver_moments_and_sizing():
+    """hmc_chains_fused_chunked (ADVICE r3): stitched histories have the
+    full length, accept counts accumulate, moments stay correct on the
+    XLA fallback, and an impossible budget raises the actionable error
+    up front."""
+    import pytest
+    from gen_tpu.ops.hmc_fused import hmc_chains_fused_chunked
+
+    with jax.enable_x64(False):
+        sds = jnp.array([1.0, 2.0])
+
+        def logp(x):
+            return -0.5 * jnp.sum((x / sds) ** 2)
+
+        vals0 = jax.random.normal(KEY, (128, 2)) * sds
+        vals, collected, acc = hmc_chains_fused_chunked(
+            jax.random.PRNGKey(3), logp, vals0, n_steps=300,
+            chunk_steps=64, L=5, eps=0.5, collect_idx=None,
+            inv_mass_diag=sds ** 2, use_pallas=False)
+        assert collected.shape == (300, 128, 2)
+        assert vals.shape == (128, 2)
+        s = np.asarray(collected)[100:]
+        np.testing.assert_allclose(s[..., 0].std(), 1.0, rtol=0.1)
+        np.testing.assert_allclose(s[..., 1].std(), 2.0, rtol=0.1)
+        assert float(acc.mean()) > 50      # most proposals accepted
+
+        # budget too small for even one step of all-coordinate history
+        with pytest.raises(ValueError, match="1-step history chunk"):
+            hmc_chains_fused_chunked(
+                jax.random.PRNGKey(3), logp, vals0, n_steps=10,
+                collect_idx=None, vmem_budget_bytes=100 << 10,
+                use_pallas=False)
+
+
+def test_nuts_chunk_sizing_no_floor():
+    """The NUTS chunker must not force a 64-tick floor past the envelope
+    (ADVICE r3): at (d, max_depth) where 64 ticks of all-coordinate
+    history cannot fit, the computed chunk is smaller but valid, and the
+    impossible case raises up front with advice."""
+    import pytest
+    from gen_tpu.ops.nuts_fused import _nuts_chunk_ticks
+
+    d, tile, md = 48, 1024, 8
+    per_tick = (d + 1) * tile * 4
+    ticks = _nuts_chunk_ticks(d, tile, md, per_tick, 4096, 15 << 20)
+    assert ticks >= 1
+    # the chunk it sizes must itself pass the envelope check
+    from gen_tpu.ops.hmc_fused import check_vmem_envelope
+    check_vmem_envelope("nuts", d, tile, max_depth=md,
+                        hist_planes=d + 1, num_ticks=ticks)
+    with pytest.raises(ValueError, match="1-tick history chunk"):
+        _nuts_chunk_ticks(512, tile, md, (512 + 1) * tile * 4, 4096,
+                          15 << 20)

@@ -35,10 +35,12 @@ def _reference_fsm_injected(logp, values0, rng, eps, ticks, max_depth,
 
     def one(i):
         inj = (z[:, i], u0[:, i], ut[:, i], ub[:, i], ud[:, i])
+        # ckpt_bf16=True: the kernel packs U-turn checkpoints bf16x2, and
+        # the FSM reference must round identically for tick-exactness
         return nuts_fsm(jax.random.PRNGKey(0), vag, values0[i], eps, ticks,
                         max_depth=max_depth, inv_mass_diag=inv_mass,
                         num_sample_slots=8, injected_rng=inj,
-                        collect_idx=collect_idx)
+                        collect_idx=collect_idx, ckpt_bf16=True)
 
     res, (hist, hist_cnt) = jax.vmap(one)(jnp.arange(n))
     return res, hist.T, hist_cnt.T

@@ -239,9 +239,9 @@ def test_auto_engine_picks_fused_on_scalarizable_model():
     tr, _ = model.generate(jax.random.PRNGKey(0), (n,), obs)
     from gen_tpu.inference.sample import _default_selection
     sel, _ = _default_selection(tr, obs)
-    assert _auto_engine(tr, obs, sel, 8) == "nuts_fused"
+    assert _auto_engine(tr, obs, sel, 8)[0] == "nuts_fused"
     # single chain cannot warm up with ChEES
-    assert _auto_engine(tr, obs, sel, 1) == "nuts"
+    assert _auto_engine(tr, obs, sel, 1)[0] == "nuts"
 
     out = sample_posterior(jax.random.PRNGKey(0), model, (n,), obs,
                            num_chains=8, num_warmup=150, num_samples=150,
@@ -272,7 +272,7 @@ def test_auto_engine_falls_back_on_unscalarizable_model():
     obs = choicemap(ys=jnp.zeros(2048))
     tr, _ = big_residual_model.generate(jax.random.PRNGKey(0), (), obs)
     sel, _ = _default_selection(tr, obs)
-    assert _auto_engine(tr, obs, sel, 8) == "nuts"
+    assert _auto_engine(tr, obs, sel, 8)[0] == "nuts"
 
     @gen
     def sort_model():
@@ -284,7 +284,7 @@ def test_auto_engine_falls_back_on_unscalarizable_model():
     obs2 = choicemap(y=jnp.asarray(0.3))
     tr2, _ = sort_model.generate(jax.random.PRNGKey(0), (), obs2)
     sel2, _ = _default_selection(tr2, obs2)
-    assert _auto_engine(tr2, obs2, sel2, 8) == "nuts"
+    assert _auto_engine(tr2, obs2, sel2, 8)[0] == "nuts"
 
     out = sample_posterior(jax.random.PRNGKey(1), sort_model, (), obs2,
                            num_chains=4, num_warmup=100, num_samples=100,
@@ -307,7 +307,7 @@ def test_auto_engine_partial_selection_dispatches_fused():
 
     obs = choicemap(y=jnp.asarray(0.3))
     tr, _ = model.generate(jax.random.PRNGKey(0), (), obs)
-    assert _auto_engine(tr, obs, select("a"), 8) == "nuts_fused"
+    assert _auto_engine(tr, obs, select("a"), 8)[0] == "nuts_fused"
     out = sample_posterior(jax.random.PRNGKey(1), model, (), obs,
                            selection=select("a"), num_chains=8,
                            num_warmup=50, num_samples=30, engine="auto")
@@ -406,7 +406,8 @@ def test_partial_selection_fused_engines_condition_per_chain():
     sd = np.sqrt(v)
 
     # recover each chain's frozen b from the init path (same key stream)
-    for engine in ("chees", "hmc_fused", "nuts_fused"):
+    # (nuts_fsm joined the partial-selection engines in round 4)
+    for engine in ("chees", "hmc_fused", "nuts_fused", "nuts_fsm"):
         key = jax.random.PRNGKey(11)
         n_chains = 128
         out = sample_posterior(
@@ -441,3 +442,51 @@ def test_selection_outside_universe_rejected():
                          selection=select("mu", "y"), num_chains=4,
                          num_warmup=10, num_samples=10,
                          engine="hmc_fused")
+
+
+def test_engine_visibility_in_info():
+    """info['engine'] records the engine that actually ran; engine='auto'
+    adds the dispatch reason, and a fallback to the XLA path warns
+    (VERDICT r3 item 7: the silent 1000x cliff must not be silent)."""
+    import warnings
+
+    @gen
+    def model():
+        mu = gt.normal(0.0, 1.0) @ "mu"
+        gt.normal(mu, 0.5) @ "y"
+
+    obs = choicemap(y=jnp.asarray(0.3))
+    out = sample_posterior(jax.random.PRNGKey(0), model, (), obs,
+                           num_chains=4, num_warmup=50, num_samples=32,
+                           engine="auto")
+    assert out.info["engine"] == "nuts_fused"
+    assert out.info["engine_requested"] == "auto"
+    assert "probe passed" in out.info["engine_reason"]
+
+    # unscalarizable model (a per-point heavy-tail likelihood whose
+    # x-dependent residual exceeds the staging cap) -> fallback + warn
+    data = jnp.asarray(
+        np.random.default_rng(0).standard_normal(2000), jnp.float32)
+
+    @gen
+    def hard():
+        mu = gt.normal(0.0, 1.0) @ "mu"
+        gt.student_t(5.0, mu * jnp.ones(2000), 1.0) @ "y"
+
+    obs2 = choicemap(y=data)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out2 = sample_posterior(jax.random.PRNGKey(0), hard, (), obs2,
+                                num_chains=4, num_warmup=50,
+                                num_samples=32, engine="auto")
+    assert out2.info["engine"] == "nuts"
+    assert "scalarize" in out2.info["engine_reason"]
+    assert any("fell back" in str(x.message) for x in w)
+
+    # explicit engines record themselves too, with no reason field
+    out3 = sample_posterior(jax.random.PRNGKey(0), model, (), obs,
+                            num_chains=4, num_warmup=50, num_samples=32,
+                            engine="chees")
+    assert out3.info["engine"] == "chees"
+    assert out3.info["engine_requested"] == "chees"
+    assert "engine_reason" not in out3.info
