@@ -457,7 +457,7 @@ def test_nuts_chunk_sizing_no_floor():
 
     d, tile, md = 48, 1024, 8
     per_tick = (d + 1) * tile * 4
-    ticks = _nuts_chunk_ticks(d, tile, md, per_tick, 4096, 15 << 20)
+    ticks = _nuts_chunk_ticks(d, tile, md, per_tick, 4096, 13 << 20)
     assert ticks >= 1
     # the chunk it sizes must itself pass the envelope check
     from gen_tpu.ops.hmc_fused import check_vmem_envelope
@@ -465,4 +465,4 @@ def test_nuts_chunk_sizing_no_floor():
                         hist_planes=d + 1, num_ticks=ticks)
     with pytest.raises(ValueError, match="1-tick history chunk"):
         _nuts_chunk_ticks(512, tile, md, (512 + 1) * tile * 4, 4096,
-                          15 << 20)
+                          13 << 20)
