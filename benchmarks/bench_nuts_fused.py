@@ -37,7 +37,8 @@ import gen_tpu as gt
 from gen_tpu import choicemap, gen, select
 
 from bench_hard_targets import (YS_8, SIGMAS_8, eight_schools,
-                                eight_schools_exact, funnel, funnel_exact)
+                                eight_schools_exact, funnel, funnel_exact,
+                                make_schools, schools_exact)
 
 
 from gen_tpu.ops.nuts_fused import extract_completed_draws as extract_draws
@@ -269,6 +270,166 @@ def deep_validate_funnel(n_chains=2048, num_draws=8000, num_warmup=800,
     return 0 if ok else 1
 
 
+def run_schools_100(n_chains=32768, n_ticks=2000, num_warmup=400,
+                    max_depth=8, seed=0, use_pallas=None,
+                    validate_chains=2048, validate_draws=512,
+                    xla_compare=True, gates=True):
+    """The 100-school eight_schools (d = 102) — the round-4 envelope
+    target (VERDICT r3 item 1: the round-3 kernel topped out at d = 64;
+    the packed-checkpoint layout fits to d = 120 at max_depth = 8).
+
+    Evidence standard:
+    - throughput: the fused kernel's tick-series ESS/s at ``n_chains``
+      (chunked collect of coordinate 0), plus the XLA FSM at the SAME
+      chain count on the same chip -> the fused-vs-XLA ratio at the new
+      envelope;
+    - validation: ALL 102 coordinates' cross-chain moments vs the
+      semi-exact quadrature reference (theta marginalized analytically)
+      + rank-normalized split-R-hat, on unbiased completed draws from
+      the bounded-memory collector. The draw collector runs the XLA FSM
+      twin (tick-exact-pinned to the kernel by the interpret-mode CI):
+      collecting 102 coordinate planes through 3-tick kernel chunks
+      would be thousands of tunnel round-trips for identical statistics.
+    """
+    from gen_tpu.inference.chees import chees_hmc_warmup_and_sample
+    from gen_tpu.inference.target import FlatTarget
+    from gen_tpu.ops.nuts_fused import (nuts_chains_fused,
+                                        nuts_chains_fused_chunked,
+                                        nuts_collect_draws)
+    from gen_tpu.diagnostics import summarize
+    import bench as B
+
+    print(f"\n=== schools_100 (d=102, fused FSM-NUTS @ {n_chains} chains)"
+          " ===")
+    ys, sigmas = make_schools(100, seed=0)
+    exact = schools_exact(ys, sigmas)
+    model, args = eight_schools, (jnp.asarray(sigmas, jnp.float32),)
+    obs = choicemap(ys=jnp.asarray(ys, jnp.float32))
+    sel = select("mu", "log_tau", "theta_std")
+
+    key = jax.random.PRNGKey(seed)
+    k_init, k_warm, k_run, k_time, k_val = jax.random.split(key, 5)
+    init_keys = jax.random.split(k_init, n_chains)
+    traces, _ = jax.jit(jax.vmap(
+        lambda k: model.generate(k, args, obs)))(init_keys)
+    one_trace = jax.tree_util.tree_map(lambda x: x[0], traces)
+    target = FlatTarget(one_trace, sel)
+    paths, sizes = [], []
+    for p, v in one_trace.get_choices().filter(sel).leaf_items():
+        paths.append(p)
+        sizes.append(int(np.prod(jnp.shape(v))) if jnp.shape(v) else 1)
+    offsets = np.concatenate([[0], np.cumsum(sizes)])
+    d = int(offsets[-1])
+    assert d == 102, d
+
+    t_w = time.time()
+    _, warm_flat, winfo = jax.jit(
+        lambda trs, k: chees_hmc_warmup_and_sample(
+            k, trs, sel, num_warmup=num_warmup, num_samples=1,
+            target_accept=0.8))(traces, k_warm)
+    eps = float(winfo["step_size"])
+    inv_mass = winfo["inv_mass"]
+    print(f"warmup {time.time()-t_w:.1f}s: eps={eps:.4f}")
+
+    def run(values, k):
+        # chunk_ticks pinned below the auto-sized 83: at d=102 the auto
+        # chunk is exact-fit against the trivial-logp calibration, and
+        # the STAGED model's vjp residuals (~100 unrolled school terms)
+        # add ~1MB of model-dependent VMEM the estimator cannot know —
+        # measured: 83-tick chunks abort, 64-tick chunks compile+run
+        return nuts_chains_fused_chunked(
+            k, target.logp, values, num_ticks=n_ticks, eps=eps,
+            max_depth=max_depth, inv_mass_diag=inv_mass, collect_idx=0,
+            chunk_ticks=min(64, n_ticks), use_pallas=use_pallas)
+
+    t_c = time.time()
+    values, hist, hcnt, cnt, stats = run(warm_flat, k_run)
+    float(jnp.sum(hist[-1]))
+    print(f"first kernel call (compile+run) {time.time()-t_c:.1f}s; "
+          f"mean_depth={float(jnp.mean(stats['mean_depth'])):.2f} "
+          f"mean_accept={float(jnp.mean(stats['mean_accept'])):.2f}")
+    del hist, hcnt
+    t0 = time.time()
+    _, hist_t, hcnt_t, cnt_t, _ = run(values, k_time)
+    float(jnp.sum(hist_t[-1]))
+    elapsed = time.time() - t0
+    ess = B.autocorr_ess(np.asarray(hist_t))
+    ess_s = ess / elapsed
+    del hist_t, hcnt_t
+    print(f"timed: {elapsed*1e3:.0f} ms / {n_ticks} ticks "
+          f"({elapsed*1e6/n_ticks:.0f} us/tick) -> "
+          f"{ess_s/1e6:.1f}M ESS/s "
+          f"({n_ticks*n_chains/elapsed/1e6:.0f}M leapfrog-grads/s)")
+
+    ratio = None
+    if xla_compare:
+        _, hx, _, _, _ = nuts_chains_fused(
+            k_run, target.logp, values, num_ticks=n_ticks, eps=eps,
+            max_depth=max_depth, inv_mass_diag=inv_mass, collect_idx=0,
+            use_pallas=False)
+        float(jnp.sum(hx[-1]))
+        t0 = time.time()
+        _, hx, _, _, _ = nuts_chains_fused(
+            k_time, target.logp, values, num_ticks=n_ticks, eps=eps,
+            max_depth=max_depth, inv_mass_diag=inv_mass, collect_idx=0,
+            use_pallas=False)
+        float(jnp.sum(hx[-1]))
+        el_x = time.time() - t0
+        ess_x = B.autocorr_ess(np.asarray(hx)) / el_x
+        ratio = ess_s / ess_x
+        print(f"  XLA FSM @ {n_chains} chains: {el_x*1e3:.0f} ms, "
+              f"{ess_x/1e6:.1f}M ESS/s -> fused/XLA = {ratio:.1f}x")
+
+    # full-coordinate validation (all 102): bounded-memory completed
+    # draws from the XLA twin, moments + split-R-hat
+    ok = True
+    rhat_worst = 0.0
+    if gates:
+        t_v = time.time()
+        draws, _, counts, used = nuts_collect_draws(
+            k_val, target.logp, values[:validate_chains],
+            num_draws=validate_draws, eps=eps, max_depth=max_depth,
+            inv_mass_diag=inv_mass, collect_idx=None, use_pallas=False,
+            chunk_ticks=2048)
+        draws = np.asarray(draws, np.float64)   # (draws, chains, d)
+        assert int(jnp.min(counts)) >= validate_draws, (
+            "slowest chain under-delivered; raise max_ticks")
+        burn = validate_draws // 4
+        dr = draws[burn:]
+        print(f"validation draws {time.time()-t_v:.1f}s "
+              f"({used} ticks for {validate_draws} draws x "
+              f"{validate_chains} chains x {d} coords)")
+        for p in paths:
+            lo, hi = offsets[paths.index(p)], offsets[paths.index(p) + 1]
+            worst_m = worst_s = 0.0
+            for c in range(lo, hi):
+                m_ex, s_ex = exact[p]
+                m_ex = np.atleast_1d(m_ex)[c - lo]
+                s_ex = np.atleast_1d(s_ex)[c - lo]
+                worst_m = max(worst_m,
+                              abs(dr[..., c].mean() - m_ex) / s_ex)
+                worst_s = max(worst_s, abs(dr[..., c].std() / s_ex - 1.0))
+                rh = float(np.max(np.asarray(summarize(
+                    {"c": jnp.asarray(dr[:, :, c])})["c"]["rhat"])))
+                rhat_worst = max(rhat_worst, rh)
+            good = worst_m < 0.05 and worst_s < 0.06
+            ok &= bool(good)
+            print(f"  {str(p):16s} worst |dmean|/sd={worst_m:.3f} "
+                  f"worst |dsd|/sd={worst_s:.3f} "
+                  f"{'OK' if good else 'FAIL'}")
+        ok &= rhat_worst < 1.01
+        print(f"  worst split-R-hat = {rhat_worst:.4f}",
+              "OK" if rhat_worst < 1.01 else "FAIL")
+        print(f"  => schools_100: "
+              f"{'ALL CHECKS PASS' if ok else 'CHECKS FAILED'}")
+    return dict(name="schools_100", d=d, eps=eps, ess_per_sec=ess_s,
+                us_per_tick=elapsed * 1e6 / n_ticks,
+                leapfrogs_per_sec=n_ticks * n_chains / elapsed,
+                rhat_worst=rhat_worst, fused_vs_xla=ratio,
+                mean_depth=float(jnp.mean(stats["mean_depth"])),
+                ok=bool(ok))
+
+
 def main(small=False, div=None, tick_div=None, warm_div=1,
          targets=("eight_schools", "funnel_d10"), gates=True):
     """``small`` is the documented CPU check (64x fewer chains, 4x fewer
@@ -301,6 +462,14 @@ def main(small=False, div=None, tick_div=None, warm_div=1,
             n_ticks=6000 // tick_div, num_warmup=800 // warm_div,
             max_depth=7, sd_tol=0.08, target_accept=0.9,
             use_pallas=None if not small else False))
+    if "schools_100" in targets:
+        rows.append(run_schools_100(
+            n_chains=max(64, 32768 // div), n_ticks=2000 // tick_div,
+            num_warmup=400 // warm_div,
+            validate_chains=max(32, 2048 // div),
+            validate_draws=max(16, 512 // tick_div),
+            use_pallas=None if not small else False, gates=gates,
+            xla_compare=not small))
 
     print("\n| target | d | eps | mean depth | us/tick | ESS/s | "
           "worst R-hat | validated |")

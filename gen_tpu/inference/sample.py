@@ -123,11 +123,16 @@ def _auto_engine(one_trace, observations, selection,
     d = int(one_trace.get_choices().filter(full_sel).to_array().shape[0])
     try:
         # staging raises on oversized/non-float residuals; unsupported
-        # residual primitives (while_loop, large gathers, ...) raise when
-        # the plane function is evaluated — probe both on a tiny plane
-        plane_fn, res_consts = stage_scalarized(target.logp, d)
-        res = [res_consts[i] for i in range(int(res_consts.shape[0]))]
-        plane_fn(jnp.zeros((d, 8, 8), jnp.float32), res)
+        # residual primitives (while_loop, traced gathers, non-additive
+        # data sums, ...) raise when the plane function is evaluated —
+        # probe both (value AND gradient path) on a tiny plane. Since
+        # round 4 a non-collapsible per-point likelihood stages too (the
+        # dataset streams through the kernel from SMEM).
+        staged = stage_scalarized(target.logp, d)
+        res = [staged.res_consts[i]
+               for i in range(int(staged.res_consts.shape[0]))]
+        staged.plane_vag(jnp.zeros((d, 8, 8), jnp.float32), res,
+                         staged.stream_data)
     except Exception as e:
         return "nuts", ("the model's assess-logp does not stage through "
                         f"ops.scalarize: {type(e).__name__}: "

@@ -74,32 +74,36 @@ def _normals(n_planes, plane_shape):
     return z[:n_planes]
 
 
-def _kernel(n_steps, L, eps, eps_jitter, collect_idx, n_res, plane_fn,
-            injected, *refs):
+def _kernel(n_steps, L, eps, eps_jitter, collect_idx, n_res, staged,
+            injected, has_stream, *refs):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    refs = list(refs)
+    v_ref, seed_ref, res_ref, mass_ref = refs[:4]
+    refs = refs[4:]
+    # SMEM-resident dataset for streamed (non-collapsible) likelihoods
+    data_ref = refs.pop(0) if has_stream else None
     if injected:
         # host-side PRNG substitute: per-step step sizes / momenta normals /
         # accept uniforms are precomputed inputs — the kernel logic is
         # otherwise identical, which is what makes exact kernel-vs-reference
         # comparison possible (incl. interpret mode on CPU, where the
         # on-core PRNG has no lowering)
-        (v_ref, seed_ref, res_ref, mass_ref, eps_ref, z_ref, u_ref,
-         out_ref, vout_ref, acc_ref) = refs
+        eps_ref, z_ref, u_ref, out_ref, vout_ref, acc_ref = refs
     else:
-        v_ref, seed_ref, res_ref, mass_ref, out_ref, vout_ref, acc_ref = refs
+        out_ref, vout_ref, acc_ref = refs
 
     # staged residual scalars (everything data-dependent was computed
     # outside the kernel by the partial-eval pass in scalarize.py)
     res = [res_ref[i] for i in range(n_res)]
 
     def vag_planes(v):
-        f = lambda vv: plane_fn(vv, res)
-        lp, pullback = jax.vjp(f, v)
-        # each output element depends only on its own chain's coordinates,
-        # so a ones-cotangent vjp IS the per-chain gradient
-        return lp, pullback(jnp.ones_like(lp))[0]
+        # plane_vag: a ones-cotangent vjp of the scalar part (each output
+        # element depends only on its own chain's coordinates, so it IS
+        # the per-chain gradient) + hand-assembled gradients for any
+        # streamed data terms (scalarize._stream_loop)
+        return staged.plane_vag(v, res, data_ref)
 
     if not injected:
         pid = pl.program_id(0).astype(jnp.uint32)
@@ -262,7 +266,9 @@ def hmc_chains_fused(key, logp: Callable, values0, n_steps: int,
     # into full-tile plane ops — see ops/scalarize.py for why vmap cannot
     # do this job on TPU
     from .scalarize import stage_scalarized
-    plane_fn, res_consts = stage_scalarized(logp, d)
+    staged = stage_scalarized(logp, d)
+    res_consts = staged.res_consts
+    has_stream = staged.stream_data is not None
 
     seed = jax.random.key_data(key).astype(jnp.uint32).reshape(-1)[:2]
 
@@ -283,6 +289,10 @@ def hmc_chains_fused(key, logp: Callable, values0, n_steps: int,
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM)]
     inputs = [planes, seed, res_consts, inv_mass]
+    if has_stream:
+        # the streamed dataset rides in SMEM next to the residual scalars
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        inputs.append(staged.stream_data)
     if injected_rng is not None:
         eps_steps, z_all, u_all = injected_rng
         eps_steps = jnp.asarray(eps_steps, jnp.float32).reshape(n_steps)
@@ -311,8 +321,8 @@ def hmc_chains_fused(key, logp: Callable, values0, n_steps: int,
         functools.partial(_kernel, n_steps, L, float(eps),
                           float(eps_jitter),
                           None if collect_idx is None else int(collect_idx),
-                          res_consts.shape[0], plane_fn,
-                          injected_rng is not None),
+                          res_consts.shape[0], staged,
+                          injected_rng is not None, has_stream),
         grid=(grid,),
         out_shape=(out_shape,
                    jax.ShapeDtypeStruct((d, SUB, cols), jnp.float32),
@@ -338,7 +348,7 @@ def hmc_chains_fused(key, logp: Callable, values0, n_steps: int,
 
 def hmc_chains_fused_chunked(key, logp: Callable, values0, n_steps: int,
                              chunk_steps: Optional[int] = None,
-                             vmem_budget_bytes: int = 13 << 20, **kw):
+                             vmem_budget_bytes: int = (16 << 20) - (1 << 20), **kw):
     """Drive :func:`hmc_chains_fused` in step chunks and concatenate the
     collected histories (ADVICE r3: with ``collect_idx=None`` the
     per-step all-coordinate history block is double-buffered in scoped
@@ -391,19 +401,32 @@ def state_plane_bytes(kernel: str, d: int, tile: int,
     the de-unroll + bf16x2-packed-checkpoint layout: hmc fits at d=320 /
     aborts at 384; nuts(max_depth=8) fits at 120 / aborts at 128;
     nuts(max_depth=6) fits at 128 / aborts at 144 — all at tile=1024
-    against the 13 MiB budget). The NUTS count is the true live layout:
+    against the hard 16 MiB Mosaic scoped-vmem limit, which the d=102
+    exact-fit abort pinned to within 352 KB). The carried NUTS layout is
     17 f32 d-planes + 2 mass planes + (max_depth-1) packed bf16x2
     checkpoint planes (levels 1..max_depth-1; level max_depth can never
     complete a block inside a <= 2^(max_depth-1)-leapfrog subtree, and
     slot 0 was never used — the pre-round-4 layout carried
-    2*(max_depth+1) f32 planes for the same information)."""
-    planes_live = 9 if kernel == "hmc" else 18 + max_depth
-    return planes_live * d * tile * 4
+    2*(max_depth+1) f32 planes for the same information); the fitted
+    constant is larger than the carry because it also covers the
+    double-buffered final-state/stats output blocks and Mosaic
+    temporaries. Chunked drivers must size history chunks with slack
+    below the hard limit (their default budget is 15 MiB) — an
+    exactly-at-budget chunk measured 352 KB over."""
+    # d-proportional live planes PLUS a d-independent fixed block
+    # (double-buffered cnt/stat outputs, PRNG buffers, Mosaic
+    # temporaries): usage = fixed + planes * d * tile * 4. The fixed
+    # term is what the d=102 exact-fit abort exposed — a pure per-d
+    # model fit the small-history boundaries but under-protected
+    # large-history chunks by exactly that overhead.
+    if kernel == "hmc":
+        return 12 * d * tile * 4
+    return (21 + max_depth) * d * tile * 4 + 2200 * tile
 
 
 def check_vmem_envelope(kernel: str, d: int, tile: int, max_depth: int = 0,
                         hist_planes: int = 1, num_ticks: int = 0,
-                        budget_bytes: int = 13 << 20):
+                        budget_bytes: int = 16 << 20):
     """Pre-compile dimension/VMEM envelope check (VERDICT r2 item 9).
 
     The fused kernels keep the whole chain-block state VMEM-resident; the

@@ -83,7 +83,7 @@ def _nuts_chunk_ticks(d, tile, max_depth, per_tick, num_ticks,
 
 def nuts_chains_fused_chunked(key, logp, values0, num_ticks: int,
                               eps: float, chunk_ticks: Optional[int] = None,
-                              vmem_budget_bytes: int = 13 << 20, **kw):
+                              vmem_budget_bytes: int = (16 << 20) - (1 << 20), **kw):
     """Drive :func:`nuts_chains_fused` in tick chunks and stitch the
     streams: the kernel's per-tick history lives in a VMEM output block
     (Mosaic's scoped-vmem limit is ~16 MB), so long runs must be split. A
@@ -167,7 +167,7 @@ def nuts_collect_draws(key, logp, values0, num_draws: int, eps: float,
     if chunk_ticks is None:
         per_tick = (d + 1 if ci is None else 2) * tile * 4
         chunk_ticks = _nuts_chunk_ticks(d, tile, kw.get("max_depth", 8),
-                                        per_tick, 4096, 13 << 20)
+                                        per_tick, 4096, (16 << 20) - (1 << 20))
     if max_ticks is None:
         max_ticks = 64 * num_draws
     targets = jnp.arange(1, num_draws + 1)
@@ -219,23 +219,28 @@ def nuts_collect_draws(key, logp, values0, num_draws: int, eps: float,
 
 
 def _kernel(num_ticks, max_depth, eps, div_threshold, collect_idx, n_res,
-            plane_fn, injected, *refs):
+            staged, injected, has_stream, *refs):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    refs = list(refs)
+    v_ref, seed_ref, res_ref, mass_ref = refs[:4]
+    refs = refs[4:]
+    # SMEM-resident dataset for streamed (non-collapsible) likelihoods
+    data_ref = refs.pop(0) if has_stream else None
     if injected:
-        (v_ref, seed_ref, res_ref, mass_ref, z_ref, u4_ref,
+        (z_ref, u4_ref,
          out_ref, outc_ref, vout_ref, cnt_ref, stat_ref) = refs
     else:
-        (v_ref, seed_ref, res_ref, mass_ref,
-         out_ref, outc_ref, vout_ref, cnt_ref, stat_ref) = refs
+        out_ref, outc_ref, vout_ref, cnt_ref, stat_ref = refs
 
     res = [res_ref[i] for i in range(n_res)]
 
     def vag(v):
-        f = lambda vv: plane_fn(vv, res)
-        lp, pullback = jax.vjp(f, v)
-        return lp, pullback(jnp.ones_like(lp))[0]
+        # scalar part: ones-cotangent vjp; streamed data terms: gradients
+        # hand-assembled by scalarize._stream_loop (never differentiates
+        # through the data fori)
+        return staged.plane_vag(v, res, data_ref)
 
     if not injected:
         pid = pl.program_id(0).astype(jnp.uint32)
@@ -594,7 +599,9 @@ def nuts_chains_fused(key, logp: Callable, values0, num_ticks: int,
     grid = cols // tc
 
     from .scalarize import stage_scalarized
-    plane_fn, res_consts = stage_scalarized(logp, d)
+    staged = stage_scalarized(logp, d)
+    res_consts = staged.res_consts
+    has_stream = staged.stream_data is not None
 
     seed = jax.random.key_data(key).astype(jnp.uint32).reshape(-1)[:2]
 
@@ -604,6 +611,10 @@ def nuts_chains_fused(key, logp: Callable, values0, num_ticks: int,
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM)]
     inputs = [planes, seed, res_consts, inv_mass]
+    if has_stream:
+        # the streamed dataset rides in SMEM next to the residual scalars
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        inputs.append(staged.stream_data)
     if injected_rng is not None:
         z_all, u_dir0, u_take, u_bias, u_dir = injected_rng
 
@@ -645,8 +656,8 @@ def nuts_chains_fused(key, logp: Callable, values0, num_ticks: int,
         functools.partial(_kernel, num_ticks, int(max_depth), float(eps),
                           float(divergence_threshold),
                           None if collect_idx is None else int(collect_idx),
-                          res_consts.shape[0], plane_fn,
-                          injected_rng is not None),
+                          res_consts.shape[0], staged,
+                          injected_rng is not None, has_stream),
         grid=(grid,),
         out_shape=(hist_shape,
                    jax.ShapeDtypeStruct((num_ticks, SUB, cols), jnp.int32),

@@ -82,6 +82,34 @@ class ScalarArray:
         return f"ScalarArray(shape={self.shape}, n={len(self.elems)})"
 
 
+class StreamArray:
+    """A LARGE per-datapoint value, represented symbolically (round 4).
+
+    Element-unrolling (ScalarArray) is the right representation for the
+    small residual of a sufficient-statistic likelihood, but a
+    non-collapsible per-point likelihood (robust-t errors, per-point GLM
+    links) has an x-dependent array as long as the dataset — unrolling
+    it would emit n x ops plane equations. A StreamArray instead holds a
+    tiny expression DAG over (data leaves, x-dependent plane scalars);
+    the DAG is only materialized when a ``reduce_sum`` over the data
+    axis appears, as an IN-KERNEL fori loop streaming the data from
+    SMEM (``_emit_stream_reduction``) — the dataset never enters the
+    unrolled program and never leaves scalar memory.
+
+    ``node``: ('leaf', data_row_index) | ('plane', plane_value)
+            | ('const', python_scalar) | (op_name, params, (args...)).
+    """
+
+    __slots__ = ("length", "node")
+
+    def __init__(self, length: int, node):
+        self.length = int(length)
+        self.node = node
+
+    def __repr__(self):
+        return f"StreamArray(n={self.length})"
+
+
 def _ravel_index(idx, shape):
     out = 0
     for i, s in zip(idx, shape):
@@ -145,6 +173,298 @@ _BINARY = {
 }
 
 
+class _Pending:
+    """Marker element: the (deferred) result of a stream reduction."""
+
+    __slots__ = ("idx",)
+
+    def __init__(self, idx):
+        self.idx = idx
+
+
+class _Affine:
+    """Scalar-part value carrying deferred stream sums additively:
+    ``base + sum(coeff_j * stream_term_j)``. The only shapes a deferred
+    data-sum may take downstream of its reduction — PPL log-likelihoods
+    enter the joint additively (possibly scaled by known constants), and
+    the additive structure is what lets plane_vag assemble the exact
+    gradient from per-term partials without differentiating through the
+    data loop."""
+
+    __slots__ = ("base", "terms")
+
+    def __init__(self, base, terms):
+        self.base = base          # jax/np scalar or plane
+        self.terms = list(terms)  # [(known_coeff, term_idx)]
+
+
+_STREAM_CTX: List[Any] = []       # innermost stream-term collection list
+
+
+def _is_pending(x):
+    return isinstance(x, (_Pending, _Affine))
+
+
+def _as_affine(x):
+    if isinstance(x, _Affine):
+        return x
+    if isinstance(x, _Pending):
+        return _Affine(0.0, [(1.0, x.idx)])
+    return _Affine(x, [])
+
+
+def _apply_pending(name, params, args: Sequence[ScalarArray]):
+    """Scalar ops on values containing deferred stream sums: additive
+    structure only (add/sub/neg, scaling by KNOWN constants)."""
+    for a in args:
+        if isinstance(a, StreamArray):
+            raise NotImplementedError(
+                "stream staging: a deferred data-sum re-entering per-point "
+                "arithmetic is not supported; use the XLA path "
+                "(use_pallas=False)")
+        if a.size != 1:
+            raise NotImplementedError(
+                "stream staging: a deferred data-sum combined with a "
+                "non-scalar is not supported; use the XLA path "
+                "(use_pallas=False)")
+    vals = [_as_affine(a.elems[0]) for a in args]
+
+    def known(v):
+        from jax.core import Tracer
+        return not v.terms and not isinstance(v.base, Tracer)
+
+    if name == "add":
+        x, y = vals
+        out = _Affine(x.base + y.base, x.terms + y.terms)
+    elif name == "sub":
+        x, y = vals
+        out = _Affine(x.base - y.base,
+                      x.terms + [(-c, i) for c, i in y.terms])
+    elif name == "neg":
+        x, = vals
+        out = _Affine(-x.base, [(-c, i) for c, i in x.terms])
+    elif name == "mul":
+        x, y = vals
+        if y.terms and not x.terms:
+            x, y = y, x
+        if y.terms or not known(y):
+            raise NotImplementedError(
+                "stream staging: a deferred data-sum may only be scaled "
+                "by a known constant (the additive-log-likelihood "
+                "restriction); use the XLA path (use_pallas=False)")
+        c = y.base
+        out = _Affine(x.base * c, [(cc * c, i) for cc, i in x.terms])
+    elif name == "div":
+        x, y = vals
+        if y.terms or not known(y):
+            raise NotImplementedError(
+                "stream staging: a deferred data-sum may only be divided "
+                "by a known constant; use the XLA path (use_pallas=False)")
+        c = y.base
+        out = _Affine(x.base / c, [(cc / c, i) for cc, i in x.terms])
+    elif name == "convert_element_type":
+        x, = vals
+        if not jnp.issubdtype(params["new_dtype"], jnp.floating):
+            raise NotImplementedError(
+                "stream staging: non-float conversion of a deferred "
+                "data-sum; use the XLA path (use_pallas=False)")
+        out = x
+    elif name in ("reshape", "squeeze", "expand_dims", "broadcast_in_dim"):
+        x, = vals
+        shape = params.get("new_sizes") or params.get("shape") or ()
+        if math.prod(shape) not in (1,):
+            raise NotImplementedError(
+                "stream staging: broadcasting a deferred data-sum; use "
+                "the XLA path (use_pallas=False)")
+        out = x
+    else:
+        raise NotImplementedError(
+            f"stream staging: primitive '{name}' applied to a deferred "
+            "data-sum (only additive combination is supported); use the "
+            "XLA path (use_pallas=False)")
+    return [ScalarArray((), [out])]
+
+
+# stream-node evaluators: name -> fn(params, *vals)
+def _stream_eval(name, params, *vals):
+    if name in _UNARY:
+        return _UNARY[name](*vals)
+    if name in _BINARY:
+        return _BINARY[name](*vals)
+    if name == "integer_pow":
+        return vals[0] ** params["y"]
+    if name == "select_n":
+        c, a, b = vals
+        return jnp.where(c, b, a)
+    if name == "convert_element_type":
+        return jnp.asarray(vals[0]).astype(params["new_dtype"])
+    raise NotImplementedError(name)
+
+
+def _apply_stream(name, params, args):
+    """Elementwise ops involving StreamArrays build DAG nodes lazily —
+    the dataset axis is never unrolled; a reduce_sum over it defers to an
+    in-kernel SMEM streaming loop (registered in _STREAM_CTX)."""
+    lengths = [a.length for a in args if isinstance(a, StreamArray)]
+    n = lengths[0]
+    if any(l != n for l in lengths):
+        raise NotImplementedError(
+            f"stream staging: mixed stream lengths {lengths}; use the "
+            "XLA path (use_pallas=False)")
+
+    def as_node(a):
+        if isinstance(a, StreamArray):
+            return a.node
+        if isinstance(a, ScalarArray):
+            if a.size != 1:
+                raise NotImplementedError(
+                    "stream staging: a non-scalar unrolled value combined "
+                    "with a stream (per-point) value; use the XLA path "
+                    "(use_pallas=False)")
+            e = a.elems[0]
+            if _is_pending(e):
+                raise NotImplementedError(
+                    "stream staging: a deferred data-sum re-entering "
+                    "per-point arithmetic; use the XLA path "
+                    "(use_pallas=False)")
+            from jax.core import Tracer
+            if isinstance(e, Tracer) or isinstance(e, jnp.ndarray):
+                return ("plane", e)
+            return ("const", e)
+        return ("const", a)
+
+    if name in _UNARY or name in ("integer_pow",):
+        return [StreamArray(n, (name, dict(params),
+                                (as_node(args[0]),)))]
+    if name in _BINARY:
+        return [StreamArray(n, (name, dict(params),
+                                (as_node(args[0]), as_node(args[1]))))]
+    if name == "select_n" and len(args) == 3:
+        return [StreamArray(n, (name, dict(params),
+                                tuple(as_node(a) for a in args)))]
+    if name == "convert_element_type":
+        if not jnp.issubdtype(params["new_dtype"], jnp.floating):
+            raise NotImplementedError(
+                "stream staging: non-float stream conversion; use the "
+                "XLA path (use_pallas=False)")
+        return [StreamArray(n, (name, dict(params),
+                                (as_node(args[0]),)))]
+    if name in ("reshape", "squeeze", "expand_dims"):
+        a = args[0]
+        shape = (params.get("new_sizes") if name == "reshape" else None)
+        if shape is not None and math.prod(shape) != a.length:
+            raise NotImplementedError(
+                "stream staging: size-changing reshape of a stream "
+                "value; use the XLA path (use_pallas=False)")
+        return [a]
+    if name == "broadcast_in_dim":
+        a = args[0]
+        shape = tuple(params["shape"])
+        if math.prod(shape) != a.length:
+            raise NotImplementedError(
+                "stream staging: size-changing broadcast of a stream "
+                "value; use the XLA path (use_pallas=False)")
+        return [a]
+    if name in ("reduce_sum",):
+        a = args[0]
+        # the deferred reduction: whatever the axes, a 1-D stream summed
+        # over its (only) real axis
+        _STREAM_CTX[-1].append(a)
+        return [ScalarArray((), [_Pending(len(_STREAM_CTX[-1]) - 1)])]
+    raise NotImplementedError(
+        f"stream staging: primitive '{name}' on a per-point stream value "
+        "is not supported; use the XLA path (use_pallas=False)")
+
+
+def _canon_stream(term: StreamArray):
+    """Canonicalize a stream DAG: collect the distinct x-dependent plane
+    inputs and the data rows it reads; replace them with indices."""
+    planes, rows = [], []
+
+    def canon(nd):
+        kind = nd[0]
+        if kind == "plane":
+            v = nd[1]
+            for j, p in enumerate(planes):
+                if p is v:
+                    return ("input", j)
+            planes.append(v)
+            return ("input", len(planes) - 1)
+        if kind == "leaf":
+            if nd[1] not in rows:
+                rows.append(nd[1])
+            return nd
+        if kind in ("const", "index"):
+            return nd
+        return (kind, nd[1], tuple(canon(a) for a in nd[2]))
+
+    cnode = canon(term.node)
+    return cnode, planes, rows, term.length
+
+
+def _stream_loop(cnode, s_vals, rows, length, data_ref, plane_zero,
+                 unroll=16, want_grad=True):
+    """The in-kernel data loop: stream the dataset from SMEM (dynamic
+    scalar reads probed at 140 ns/point/1024-chains on v5e —
+    benchmarks/probe_data_stream.py; ~7.5x the XLA rate on the same
+    chip), evaluating the per-point DAG as full-tile plane ops and
+    accumulating the sum AND its partials w.r.t. each plane input
+    (per-point jax.vjp of the PURE point function — data scalars are
+    read before the vjp, so no ref effects and no scan-residual blowup:
+    gradient memory is O(#inputs) planes, not O(n))."""
+    if not s_vals:
+        raise NotImplementedError(
+            "stream staging: a data-sum with no x-dependent part should "
+            "have been partial-evaluated away")
+    # the VALUE accumulator is always a full plane (anchored by
+    # plane_zero); each GRADIENT accumulator matches ITS input's shape —
+    # inputs may be scalars (staged residual constants entering the
+    # per-point expression), not just chain planes
+    zero = plane_zero
+
+    def point(dvals, ss):
+        def ev(nd):
+            kind = nd[0]
+            if kind == "leaf":
+                return dvals[nd[1]]
+            if kind == "const":
+                return nd[1]
+            if kind == "index":
+                return dvals["__i__"]
+            if kind == "input":
+                return ss[nd[1]]
+            return _stream_eval(kind, nd[1], *[ev(a) for a in nd[2]])
+        out = ev(cnode)
+        # anchor to the plane shape AND dtype: under x64, np-scalar const
+        # nodes promote intermediates to f64, which would break the fori
+        # carry (f32 accumulators)
+        return (out + zero).astype(zero.dtype)
+
+    def one_point(i, accs):
+        dvals = {r: data_ref[r, i] for r in rows}
+        dvals["__i__"] = i.astype(jnp.float32) if hasattr(i, "astype") \
+            else jnp.float32(i)
+        if want_grad:
+            val, pullp = jax.vjp(lambda *ss: point(dvals, ss), *s_vals)
+            gs = pullp(jnp.ones_like(val))
+            return ((accs[0] + val,)
+                    + tuple(a + g for a, g in zip(accs[1:], gs)))
+        return (accs[0] + point(dvals, s_vals),) + accs[1:]
+
+    n_main = (length // unroll) * unroll
+    accs = (zero,) + (tuple(s * 0.0 for s in s_vals) if want_grad else ())
+
+    if n_main:
+        def body(j, accs):
+            for u in range(unroll):
+                accs = one_point(j * unroll + u, accs)
+            return accs
+        accs = jax.lax.fori_loop(0, n_main // unroll, body, accs)
+    for i in range(n_main, length):
+        accs = one_point(jnp.int32(i), accs)
+    return accs[0], accs[1:]
+
+
 def _inline_jaxpr(jaxpr, consts) -> Tuple[list, dict, list, list]:
     """Flatten all call-like sub-jaxprs into one equation list.
 
@@ -193,17 +513,47 @@ def _inline_jaxpr(jaxpr, consts) -> Tuple[list, dict, list, list]:
     return eqns, const_env, list(jaxpr.invars), outs
 
 
-def stage_scalarized(logp: Callable, d: int, max_residual_scalars: int = 1024):
-    """Stage ``logp`` for plane evaluation.
+class StagedLogp:
+    """Result of :func:`stage_scalarized`.
 
-    Returns ``(plane_fn, res_consts)``:
+    - ``plane_fn(planes, res, data_ref=None)``: value-only plane logp.
+    - ``plane_vag(planes, res, data_ref=None)``: (logp, grad) with the
+      stream terms' gradients hand-assembled (never differentiates
+      through the data loop) — what the fused kernels call.
+    - ``res_consts``: f32 vector of staged residual scalars (SMEM).
+    - ``stream_data``: f32 (rows, n_max) data table for the in-kernel
+      streaming loops (SMEM), or None when the model fully collapses.
 
-    - ``res_consts``: f32 vector (traced in the caller's scope) of every
-      staged scalar the residual computation needs — computed OUTSIDE the
-      kernel (pass it in via SMEM).
-    - ``plane_fn(planes, res)``: takes ``planes`` (d, *plane) and the
-      residual vector, returns the logp plane ``(*plane)``. Contains only
-      elementwise full-tile ops; differentiable.
+    Unpacks as the legacy 2-tuple ``plane_fn, res_consts = staged``.
+    """
+
+    def __init__(self, plane_fn, res_consts, plane_vag, stream_data):
+        self.plane_fn = plane_fn
+        self.res_consts = res_consts
+        self.plane_vag = plane_vag
+        self.stream_data = stream_data
+
+    def __iter__(self):
+        return iter((self.plane_fn, self.res_consts))
+
+
+def stage_scalarized(logp: Callable, d: int,
+                     max_residual_scalars: int = 1024,
+                     stream_threshold: int = 2048,
+                     max_stream_bytes: int = 512 * 1024,
+                     allow_stream: bool = True) -> StagedLogp:
+    """Stage ``logp`` for plane evaluation; see :class:`StagedLogp`.
+
+    Small x-dependent residuals unroll into per-element full-tile ops
+    (sufficient-statistic likelihoods — the round-1 design). Since round
+    4, a NON-collapsible per-point likelihood no longer fails the
+    residual cap: large known float arrays (>= ``stream_threshold``
+    elements) become SMEM-resident data rows, per-point arithmetic on
+    them builds a lazy :class:`StreamArray` DAG, and the final
+    ``reduce_sum`` runs as an in-kernel streaming loop
+    (:func:`_stream_loop`) with hand-assembled gradients. Data totalling
+    more than ``max_stream_bytes`` (512 KB measured OK on v5e SMEM)
+    still raises.
     """
     closed = jax.make_jaxpr(lambda x: logp(x))(jnp.zeros((d,), jnp.float32))
     eqns, const_env, invars, outvars = _inline_jaxpr(closed.jaxpr,
@@ -232,15 +582,22 @@ def stage_scalarized(logp: Callable, d: int, max_residual_scalars: int = 1024):
             for ov in eqn.outvars:
                 unknown.add(ov)
 
-    # ---- collect residual constants (known values used by residual) ----
-    res_vars = []
+    # ---- collect residual constants (known values used by residual);
+    # large float arrays become STREAM ROWS instead of staged scalars ----
+    res_vars, stream_vars = [], []
     seen = set()
     for eqn in residual_eqns:
         for v in eqn.invars:
             if (not isinstance(v, jex_core.Literal) and v not in unknown
                     and v not in seen):
                 seen.add(v)
-                res_vars.append(v)
+                size = (int(np.prod(v.aval.shape)) if v.aval.shape else 1)
+                if (allow_stream and size >= stream_threshold
+                        and jnp.issubdtype(v.aval.dtype, jnp.floating)
+                        and sum(s > 1 for s in v.aval.shape) <= 1):
+                    stream_vars.append(v)
+                else:
+                    res_vars.append(v)
     for v in outvars:
         if (not isinstance(v, jex_core.Literal) and v not in unknown
                 and v not in seen):
@@ -271,9 +628,31 @@ def stage_scalarized(logp: Callable, d: int, max_residual_scalars: int = 1024):
         offsets[v] = off
         off += s
 
-    # ---- the scalarized plane function ----
-    def plane_fn(planes, res):
-        """planes: (d, *plane); res: sequence of staged scalars."""
+    # ---- stream data table: pad rows to a common length --------------
+    stream_data = None
+    stream_lengths = []
+    if stream_vars:
+        lens = [int(np.prod(v.aval.shape)) for v in stream_vars]
+        n_max = max(lens)
+        total_bytes = 4 * len(lens) * n_max
+        if total_bytes > max_stream_bytes:
+            raise ValueError(
+                f"stream staging: {len(lens)} data rows x {n_max} points "
+                f"= {total_bytes // 1024} KB exceeds the "
+                f"{max_stream_bytes // 1024} KB SMEM data budget; "
+                "use the XLA path (use_pallas=False) or subsample")
+        rows = [jnp.pad(jnp.ravel(known[v]).astype(jnp.float32),
+                        (0, n_max - ln))
+                for v, ln in zip(stream_vars, lens)]
+        stream_data = jnp.stack(rows)
+        stream_lengths = lens
+
+    def _eval(planes, res, data_ref):
+        if stream_vars and data_ref is None:
+            raise ValueError(
+                "this staged logp streams a dataset: pass the "
+                "StagedLogp.stream_data table as data_ref (the kernels "
+                "wire it through SMEM automatically)")
         env = {}
         env[x_var] = ScalarArray((d,), [planes[i] for i in range(d)])
         for v in res_vars:
@@ -281,14 +660,68 @@ def stage_scalarized(logp: Callable, d: int, max_residual_scalars: int = 1024):
             n = int(np.prod(v.aval.shape)) if v.aval.shape else 1
             env[v] = ScalarArray(v.aval.shape,
                                  [res[base + i] for i in range(n)])
-        _run_eqns(residual_eqns, env)
-        out = _read_var(outvars[0], env)
+        for row, v in enumerate(stream_vars):
+            env[v] = StreamArray(stream_lengths[row], ("leaf", row))
+        ctx: List[StreamArray] = []
+        _STREAM_CTX.append(ctx)
+        try:
+            _run_eqns(residual_eqns, env)
+            out = _read_var(outvars[0], env)
+        finally:
+            _STREAM_CTX.pop()
         if out.shape not in ((), (1,)):
             raise ValueError(f"logp output has shape {out.shape}; expected "
                              "scalar")
-        return out.elems[0]
+        elem = out.elems[0]
+        if _is_pending(elem):
+            aff = _as_affine(elem)
+            return aff.base, aff.terms, ctx
+        return elem, [], ctx
 
-    return plane_fn, res_consts
+    # ---- the scalarized plane function (value only) -------------------
+    def plane_fn(planes, res, data_ref=None):
+        """planes: (d, *plane); res: staged scalars; data_ref: the
+        stream-data table (SMEM ref in-kernel, or a plain array)."""
+        base, aterms, ctx = _eval(planes, res, data_ref)
+        val = base
+        pz = planes[0] * 0.0
+        for coeff, idx in aterms:
+            cnode, s_vals, rows, length = _canon_stream(ctx[idx])
+            v, _ = _stream_loop(cnode, s_vals, rows, length, data_ref,
+                                pz, want_grad=False)
+            val = val + coeff * v
+        return val
+
+    # ---- value-and-grad with hand-assembled stream gradients ----------
+    def plane_vag(planes, res, data_ref=None):
+        """logp = base(v) + sum_j c_j * S_j(s_j(v)) with S_j the data
+        sums: grad = vjp of (base, s_1..s_J) with cotangents
+        (1, c_1*g_1, ..., c_J*g_J) where g_j = dS_j/ds_j comes from the
+        forward data loop — exact, and never differentiates through the
+        fori (whose scan-vjp residuals would be O(n) VMEM planes)."""
+        cell = {}
+
+        def f(v):
+            base, aterms, ctx = _eval(v, res, data_ref)
+            canon = [_canon_stream(ctx[idx]) for _, idx in aterms]
+            cell["aterms"] = aterms
+            cell["canon"] = canon
+            return base, tuple(tuple(c[1]) for c in canon)
+
+        (base, s_groups), pull = jax.vjp(f, planes)
+        val = base
+        g_groups = []
+        pz = planes[0] * 0.0
+        for (coeff, _), (cnode, _, rows, length), s_vals in zip(
+                cell["aterms"], cell["canon"], s_groups):
+            v, gs = _stream_loop(cnode, list(s_vals), rows, length,
+                                 data_ref, pz, want_grad=True)
+            val = val + coeff * v
+            g_groups.append(tuple(coeff * g for g in gs))
+        grad = pull((jnp.ones_like(base), tuple(g_groups)))[0]
+        return val, grad
+
+    return StagedLogp(plane_fn, res_consts, plane_vag, stream_data)
 
 
 def _read_var(v, env) -> ScalarArray:
@@ -396,6 +829,11 @@ def _eval_cond(eqn, args: Sequence[ScalarArray]):
 
 
 def _apply(name: str, params: dict, args: Sequence[ScalarArray]):
+    if any(isinstance(a, StreamArray) for a in args):
+        return _apply_stream(name, params, args)
+    if any(_is_pending(e) for a in args
+           if isinstance(a, ScalarArray) for e in a.elems):
+        return _apply_pending(name, params, args)
     if name in _UNARY:
         return [_elementwise(_UNARY[name], args[0])]
     if name in _BINARY:

@@ -84,6 +84,16 @@ def test_bench_nuts_fused_small():
                                  gates=False) == 0
 
 
+def test_bench_schools_100_small():
+    import bench_nuts_fused
+    # API-liveness: the d=102 envelope target end-to-end (warmup, chunked
+    # kernel driver on the XLA twin, bounded-memory all-coordinate
+    # validation path), gates off at smoke sizes
+    assert bench_nuts_fused.main(small=True, div=2048, tick_div=20,
+                                 warm_div=10, targets=("schools_100",),
+                                 gates=False) == 0
+
+
 def test_bench_statespace_fused_small():
     import bench_statespace_fused
     assert bench_statespace_fused.main(small=True) in (0, None)
@@ -151,3 +161,11 @@ def test_deep_validate_funnel_liveness():
     assert bench_nuts_fused.deep_validate_funnel(
         n_chains=32, num_draws=40, num_warmup=10,
         use_pallas=False) in (0, 1)
+
+
+def test_bench_stream_small():
+    import bench_stream
+    # API-liveness: auto-dispatch assertion + fused driver on the XLA
+    # twin; statistics gates off at smoke sizes
+    assert bench_stream.main(small=True, n_chains=64, n_ticks=60,
+                             gates=False) == 0

@@ -463,17 +463,19 @@ def test_engine_visibility_in_info():
     assert out.info["engine_requested"] == "auto"
     assert "probe passed" in out.info["engine_reason"]
 
-    # unscalarizable model (a per-point heavy-tail likelihood whose
-    # x-dependent residual exceeds the staging cap) -> fallback + warn
-    data = jnp.asarray(
-        np.random.default_rng(0).standard_normal(2000), jnp.float32)
+    # unscalarizable model: a traced-index gather in the likelihood —
+    # neither unrollable nor streamable (note a plain per-point
+    # heavy-tail likelihood now STREAMS through the fused path since
+    # round 4, so it no longer triggers the fallback) -> fallback + warn
+    table = jnp.asarray([0.0, 0.5, 1.0, 1.5], jnp.float32)
 
     @gen
     def hard():
         mu = gt.normal(0.0, 1.0) @ "mu"
-        gt.student_t(5.0, mu * jnp.ones(2000), 1.0) @ "y"
+        ix = jnp.clip(jnp.abs(mu).astype(jnp.int32), 0, 3)
+        gt.normal(table[ix] + mu, 0.5) @ "y"
 
-    obs2 = choicemap(y=data)
+    obs2 = choicemap(y=jnp.asarray(0.3, jnp.float32))
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
         out2 = sample_posterior(jax.random.PRNGKey(0), hard, (), obs2,
