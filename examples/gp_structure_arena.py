@@ -331,6 +331,24 @@ def has_periodic(skels) -> np.ndarray:
     return np.asarray(skels == PERIODIC + 1).any(axis=-1)
 
 
+# -- real data (the dataset the workload was designed for) -------------------
+
+def load_airline(subsample: int = 3):
+    """The Box & Jenkins airline-passengers series the reference's
+    gp_structure example ships and loads (reference shared.jl:14-24;
+    vendored at examples/data/airline.csv with the reference's exact
+    preprocessing already applied: time scaled to [0, 1], passengers
+    centered and scaled to [-2, 2]). ``subsample`` thins the 144 monthly
+    points for the (n, n) covariance planes (every 3rd month keeps the
+    annual cycle at ~4 points/period)."""
+    import os
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "data", "airline.csv")
+    arr = np.loadtxt(path, delimiter=",")
+    xs, ys = arr[::subsample, 0], arr[::subsample, 1]
+    return jnp.asarray(xs), jnp.asarray(ys)
+
+
 # -- drivers ------------------------------------------------------------------
 
 def structure_posterior_arena(key, xs, ys, max_depth=1, n_chains=512,

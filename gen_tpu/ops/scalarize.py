@@ -376,9 +376,44 @@ def _apply_stream(name, params, args):
         "is not supported; use the XLA path (use_pallas=False)")
 
 
+def _eval_node_now(nd):
+    """Evaluate a LEAF-FREE stream DAG node eagerly (hoisting)."""
+    if nd[0] in ("plane", "const"):
+        return nd[1]
+    return _stream_eval(nd[0], nd[1],
+                        *[_eval_node_now(a) for a in nd[2]])
+
+
+def _hoist_node(nd):
+    """Hoist maximal data-independent subtrees out of the per-point DAG:
+    a t-logpdf's gammaln/log-scale terms depend only on chain planes and
+    would otherwise be recomputed n times inside the data loop (measured
+    on the robust-t n=10k bench: hoisting moved the fused/XLA ratio from
+    0.85x to the reported number in benchmarks/RESULTS.md). Hoisted
+    values become ('plane', value) leaves — canonicalized into loop
+    inputs, so the vjp chain rule through them is closed by plane_vag's
+    outer pull automatically. Returns (node, depends_on_data)."""
+    kind = nd[0]
+    if kind in ("leaf", "index"):
+        return nd, True
+    if kind in ("plane", "const"):
+        return nd, False
+    pairs = [_hoist_node(a) for a in nd[2]]
+    if any(dep for _, dep in pairs):
+        outargs = []
+        for a, dep in pairs:
+            if not dep and a[0] not in ("plane", "const"):
+                outargs.append(("plane", _eval_node_now(a)))
+            else:
+                outargs.append(a)
+        return (kind, nd[1], tuple(outargs)), True
+    return (kind, nd[1], tuple(a for a, _ in pairs)), False
+
+
 def _canon_stream(term: StreamArray):
-    """Canonicalize a stream DAG: collect the distinct x-dependent plane
-    inputs and the data rows it reads; replace them with indices."""
+    """Canonicalize a stream DAG: hoist data-independent subtrees, then
+    collect the distinct x-dependent plane inputs and the data rows it
+    reads; replace them with indices."""
     planes, rows = [], []
 
     def canon(nd):
@@ -398,12 +433,13 @@ def _canon_stream(term: StreamArray):
             return nd
         return (kind, nd[1], tuple(canon(a) for a in nd[2]))
 
-    cnode = canon(term.node)
+    hoisted, _ = _hoist_node(term.node)
+    cnode = canon(hoisted)
     return cnode, planes, rows, term.length
 
 
 def _stream_loop(cnode, s_vals, rows, length, data_ref, plane_zero,
-                 unroll=16, want_grad=True):
+                 unroll=32, want_grad=True):
     """The in-kernel data loop: stream the dataset from SMEM (dynamic
     scalar reads probed at 140 ns/point/1024-chains on v5e —
     benchmarks/probe_data_stream.py; ~7.5x the XLA rate on the same

@@ -254,11 +254,11 @@ def test_auto_engine_picks_fused_on_scalarizable_model():
 
 def test_auto_engine_falls_back_on_unscalarizable_model():
     """Models whose assess-logp cannot stage into the fused kernel must
-    dispatch to the XLA nuts engine: (a) a non-sufficient-statistic
-    likelihood whose x-dependent residual touches a large array (staging
-    itself raises), (b) an unsupported residual primitive (sort), which
-    only raises when the plane function is evaluated — the auto probe
-    must catch both."""
+    dispatch to the XLA nuts engine — but since round 4 a
+    non-sufficient-statistic likelihood over a large array STREAMS
+    (ops/scalarize stream staging) and dispatches FUSED; only genuinely
+    unstageable residuals (e.g. sort) fall back, caught by the probe at
+    plane-function evaluation."""
     from gen_tpu.inference.sample import (_auto_engine,
                                           _default_selection)
 
@@ -272,7 +272,8 @@ def test_auto_engine_falls_back_on_unscalarizable_model():
     obs = choicemap(ys=jnp.zeros(2048))
     tr, _ = big_residual_model.generate(jax.random.PRNGKey(0), (), obs)
     sel, _ = _default_selection(tr, obs)
-    assert _auto_engine(tr, obs, sel, 8)[0] == "nuts"
+    # round 3 fell back here (residual cap); round 4 streams the dataset
+    assert _auto_engine(tr, obs, sel, 8)[0] == "nuts_fused"
 
     @gen
     def sort_model():
