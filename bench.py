@@ -180,6 +180,15 @@ def main():
     # analytic + split-R-hat gates run there; here we only time).
     nuts_ess_per_sec, nuts_unit = _nuts_fused_metric()
 
+    # -- third driver-tracked metric: the WIDENED dimension envelope ------
+    # 100-school eight_schools (d=102) through the fused FSM-NUTS kernel —
+    # a model the round-3 kernel could not fit (envelope was d<=64); the
+    # round-4 packed-checkpoint layout runs it at max_depth=8. Full
+    # validation (all-102-coordinate moments vs the semi-exact quadrature
+    # + split-R-hat + fused-vs-XLA ratio): benchmarks/bench_nuts_fused.py
+    # run_schools_100.
+    s100_ess_per_sec, s100_unit = _schools100_metric()
+
     print(json.dumps({
         "metric": "hmc_ess_per_sec_per_chip",
         "value": round(ess_per_sec, 2),
@@ -189,6 +198,9 @@ def main():
         "metric2": "nuts_fused_ess_per_sec_per_chip",
         "value2": round(nuts_ess_per_sec, 2),
         "unit2": nuts_unit,
+        "metric3": "nuts_fused_d102_ess_per_sec_per_chip",
+        "value3": round(s100_ess_per_sec, 2),
+        "unit3": s100_unit,
     }))
 
 
@@ -241,6 +253,62 @@ def _nuts_fused_metric(n_chains=131072, n_ticks=2000, num_warmup=400):
     unit = ("effective samples/sec/chip (fused FSM-NUTS, eight_schools "
             f"d=10, {n_chains} chains, {n_ticks} ticks, eps={eps:.3f}, "
             f"mean depth={depth:.1f})")
+    return ess / elapsed, unit
+
+
+def _schools100_metric(n_chains=32768, n_ticks=2000, num_warmup=400):
+    import sys
+    import jax
+    import jax.numpy as jnp
+    import gen_tpu  # noqa: F401
+    from gen_tpu import choicemap, select
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(
+        __file__)), "benchmarks"))
+    from bench_hard_targets import eight_schools, make_schools
+    from gen_tpu.inference.chees import chees_hmc_warmup_and_sample
+    from gen_tpu.inference.target import FlatTarget
+    from gen_tpu.ops.nuts_fused import nuts_chains_fused_chunked
+
+    ys, sigmas = make_schools(100, seed=0)
+    obs = choicemap(ys=jnp.asarray(ys, jnp.float32))
+    sel = select("mu", "log_tau", "theta_std")
+    key = jax.random.PRNGKey(0)
+    k_init, k_warm, k_run, k_time = jax.random.split(key, 4)
+
+    traces, _ = jax.jit(jax.vmap(
+        lambda k: eight_schools.generate(
+            k, (jnp.asarray(sigmas, jnp.float32),), obs)))(
+        jax.random.split(k_init, n_chains))
+    one_trace = jax.tree_util.tree_map(lambda x: x[0], traces)
+    target = FlatTarget(one_trace, sel)
+    _, warm_flat, winfo = jax.jit(
+        lambda trs, k: chees_hmc_warmup_and_sample(
+            k, trs, sel, num_warmup=num_warmup, num_samples=1,
+            target_accept=0.8))(traces, k_warm)
+    eps = float(winfo["step_size"])
+
+    def run(values, k):
+        # chunk pinned at 64: the staged d=102 model adds ~1MB of vjp
+        # residuals the trivial-logp envelope calibration cannot see
+        # (benchmarks/bench_nuts_fused.py has the measurement)
+        return nuts_chains_fused_chunked(
+            k, target.logp, values, num_ticks=n_ticks, eps=eps,
+            max_depth=8, inv_mass_diag=winfo["inv_mass"], collect_idx=0,
+            chunk_ticks=64)
+
+    values, hist, _, _, _ = run(warm_flat, k_run)
+    float(jnp.sum(hist[-1]))
+    t0 = time.time()
+    _, hist_t, _, cnt_t, stats = run(values, k_time)
+    float(jnp.sum(hist_t[-1]))
+    elapsed = time.time() - t0
+    ess = autocorr_ess(np.asarray(hist_t))
+    depth = float(np.mean(np.asarray(stats["mean_depth"])))
+    unit = ("effective samples/sec/chip (fused FSM-NUTS, 100-school "
+            f"eight_schools d=102, {n_chains} chains, {n_ticks} ticks, "
+            f"eps={eps:.3f}, mean depth={depth:.1f}; outside the round-3 "
+            "kernel envelope)")
     return ess / elapsed, unit
 
 

@@ -327,15 +327,13 @@ def main_real(n_chains=64, n_sweeps=3000, seed=0, tv_gate=0.12):
     tv = 0.5 * sum(abs(emp[k] - exact[k]) for k in exact)
     print(f"total-variation distance to semi-exact: {tv:.3f}")
 
-    # changepoint-location posterior: active positions of k=1 draws (the
-    # modal model), in calendar years
+    # changepoint-location posterior: the ACTIVE position slot of k=1
+    # draws, in calendar years. Active slots are positions[:k] (the model
+    # masks arange(K_MAX) < k); the remaining slots are prior noise and
+    # must NOT enter the summary.
     ks = k_hist[burn:]
     pos = pos_hist[burn:]
-    one_cp = pos[ks == 1]                     # (draws, K_MAX)
-    # active slot of a k=1 draw = the minimum position slot (bounds are
-    # the sorted active positions; with k=1 the single active slot is
-    # slot 0 of the sorted order)
-    cp = np.sort(one_cp, axis=1)[:, 0]
+    cp = pos[ks == 1][:, 0]
     cp_cal = to_cal(cp)
     lo_q, med, hi_q = np.percentile(cp_cal, [5, 50, 95])
     print(f"changepoint (k=1 draws, calendar years): "

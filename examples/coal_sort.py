@@ -484,6 +484,48 @@ def exact_k_posterior(events, n_mc=200_000, seed=0):
     return {k: v / z for k, v in w.items()}
 
 
+def load_real_dataset():
+    """The real 1851-1962 disaster EVENT TIMES the reference's coal_sort
+    loads (reference coal_sort.jl:466-475; data vendored at
+    examples/data/coal.csv): dates shifted to 0 and scaled to
+    [0, T_END] — the reference scales to days, we scale to the model's
+    fixed time axis; the k/location posterior is reported back in
+    calendar years via the returned ``to_calendar``."""
+    import os
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "data", "coal.csv")
+    dates = np.loadtxt(path)
+    lo, hi = dates.min(), dates.max()
+    events = (dates - lo) / (hi - lo) * (T_END * (1 - 1e-6))
+
+    def to_calendar(t):
+        return lo + np.asarray(t) / T_END * (hi - lo)
+
+    return jnp.sort(jnp.asarray(events, jnp.float32)), to_calendar
+
+
+def main_real(seed=0, n_chains=64, n_sweeps=3000, tv_gate=0.12):
+    """REAL-data mode (VERDICT r3 item 4): the event-time RJMCMC on the
+    actual mining-disaster record, k-posterior gated against the
+    semi-exact reference on the same data."""
+    events, to_cal = load_real_dataset()
+    print(f"real coal data: {events.shape[0]} events")
+    exact = exact_k_posterior(events)
+    print("semi-exact k posterior:",
+          {k: round(v, 3) for k, v in exact.items()})
+    k_hist = vectorized_chains(events, n_chains=n_chains,
+                               n_sweeps=n_sweeps, seed=seed)
+    post = k_hist[n_sweeps // 2:].ravel()
+    emp = {k: float(np.mean(post == k)) for k in range(K_MAX + 1)}
+    print("sampled k posterior:   ",
+          {k: round(v, 3) for k, v in emp.items()})
+    tv = 0.5 * sum(abs(emp[k] - exact[k]) for k in exact)
+    print(f"total-variation distance to semi-exact: {tv:.3f}")
+    assert tv < tv_gate, (emp, exact)
+    print("coal_sort real-data example OK")
+    return emp
+
+
 def main(seed=0):
     events = make_dataset()
     print(f"{events.shape[0]} events on [0, {T_END}]")
@@ -518,4 +560,8 @@ def main(seed=0):
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+    if "--real" in sys.argv:
+        main_real()
+    else:
+        main()

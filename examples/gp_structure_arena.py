@@ -335,18 +335,23 @@ def has_periodic(skels) -> np.ndarray:
 
 def load_airline(subsample: int = 3):
     """The Box & Jenkins airline-passengers series the reference's
-    gp_structure example ships and loads (reference shared.jl:14-24;
-    vendored at examples/data/airline.csv with the reference's exact
-    preprocessing already applied: time scaled to [0, 1], passengers
-    centered and scaled to [-2, 2]). ``subsample`` thins the 144 monthly
-    points for the (n, n) covariance planes (every 3rd month keeps the
-    annual cycle at ~4 points/period)."""
+    gp_structure example ships and loads (vendored raw at
+    examples/data/airline.csv), preprocessed EXACTLY like the
+    reference's loader (shared.jl:14-24): time shifted to 0 and scaled
+    to [0, 1]; passengers centered on the mean and scaled by
+    4/(max-min). ``subsample``
+    thins the 144 monthly points for the (n, n) covariance planes (every
+    3rd month keeps the annual cycle at ~4 points/period)."""
     import os
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "data", "airline.csv")
     arr = np.loadtxt(path, delimiter=",")
-    xs, ys = arr[::subsample, 0], arr[::subsample, 1]
-    return jnp.asarray(xs), jnp.asarray(ys)
+    xs, ys = arr[:, 0].astype(np.float64), arr[:, 1].astype(np.float64)
+    xs = xs - xs.min()
+    xs = xs / xs.max()
+    ys = ys - ys.mean()
+    ys = ys * 4.0 / (ys.max() - ys.min())
+    return jnp.asarray(xs[::subsample]), jnp.asarray(ys[::subsample])
 
 
 # -- drivers ------------------------------------------------------------------

@@ -138,3 +138,85 @@ def test_posterior_predictive_beats_mean_baseline():
     mse = float(jnp.mean((mu - ys[30:]) ** 2))
     base = float(jnp.mean((ys[30:] - jnp.mean(ys[:30])) ** 2))
     assert np.isfinite(mse) and mse < 0.5 * base, (mse, base)
+
+
+# -- incremental engine (examples/gp_structure_incremental.py, round 4) ------
+
+def test_incremental_carried_covs_stay_exact():
+    """The incremental engine's carried per-slot covariance planes must
+    equal a from-scratch bottom-up recompute of its (types, p0, p1) after
+    many accepted moves — the invariant that makes the ancestor-path
+    reuse exact rather than drifting (reference incremental.jl's
+    correctness property, vectorized)."""
+    import gp_structure_incremental as gi
+
+    rng = np.random.default_rng(0)
+    xs = jnp.asarray(np.linspace(0, 1, 10))
+    ys = jnp.asarray(np.sin(7 * np.asarray(xs))
+                     + 0.05 * rng.standard_normal(10))
+    st = gi.init_state(jax.random.PRNGKey(0), xs, ys, 2, 64)
+    run = gi.make_runner(2, xs, ys)
+    st, _, acc = run(jax.random.PRNGKey(1), st, 60, False)
+    assert float(acc) > 0.05          # moves actually accept
+    fresh = gi.full_covs(st["types"], st["p0"], st["p1"], xs, 2)
+    np.testing.assert_allclose(np.asarray(st["covs"]), np.asarray(fresh),
+                               rtol=1e-5, atol=1e-5)
+    # carried loglik too
+    ll = jax.vmap(lambda c, nz: gi.mvn_loglik(ys, c, nz))(
+        fresh[0], st["noise"])
+    np.testing.assert_allclose(np.asarray(st["loglik"]), np.asarray(ll),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_incremental_matches_enumerated_oracle():
+    """Depth-1 enumerated-oracle TV gate for the incremental engine (same
+    oracle as the arena engine's gate)."""
+    import gp_structure as eager
+    import gp_structure_incremental as gi
+
+    rng = np.random.default_rng(3)
+    xs = jnp.asarray(np.linspace(0, 1, 12))
+    ys = jnp.asarray(0.9 * (np.asarray(xs) - 0.4)
+                     + 0.07 * rng.standard_normal(12))
+    exact = eager.exact_structure_posterior(xs, ys, max_depth=1)
+    exact_by_key = {A.skeleton_to_key(s, 1): p
+                    for s, p in exact.items()}
+    emp, acc = gi.structure_posterior_incremental(
+        jax.random.PRNGKey(0), xs, ys, max_depth=1, n_chains=384,
+        n_burn=500, n_collect=250)
+    tv = 0.5 * sum(abs(emp.get(k, 0.0) - p)
+                   for k, p in exact_by_key.items())
+    tv += 0.5 * sum(p for k, p in emp.items() if k not in exact_by_key)
+    assert tv < 0.08, tv
+
+
+def test_incremental_depth5_smoke():
+    """Depth 5 (63 slots) — impractical for the full-recompute arena
+    engine, a routine configuration for the incremental one."""
+    import gp_structure_incremental as gi
+
+    rng = np.random.default_rng(7)
+    xs = jnp.asarray(np.linspace(0, 1, 12))
+    ys = jnp.asarray(np.sin(9 * np.asarray(xs))
+                     + 0.05 * rng.standard_normal(12))
+    st = gi.init_state(jax.random.PRNGKey(0), xs, ys, 5, 32)
+    run = gi.make_runner(5, xs, ys)
+    st, skels, acc = run(jax.random.PRNGKey(1), st, 40, True)
+    assert skels.shape == (40, 32, 63)
+    assert np.isfinite(np.asarray(st["loglik"])).all()
+
+
+def test_airline_real_data_loader():
+    """The vendored airline dataset (VERDICT r3 item 4) loads with the
+    reference's preprocessing invariants: x in [0,1], y centered and
+    scaled by 4/(max-min) — a SKEWED series can exceed |2| around the
+    mean; the reference's own loader has the same property."""
+    from gp_structure_arena import load_airline
+    xs, ys = load_airline(3)
+    assert xs.shape == ys.shape == (48,)
+    assert float(xs.min()) >= 0.0 and float(xs.max()) <= 1.0
+    assert float(jnp.abs(ys).max()) <= 4.0
+    # span check: the scaling target is max - min = 4 on the FULL series
+    xf, yf = load_airline(1)
+    span = float(yf.max() - yf.min())
+    assert abs(span - 4.0) < 1e-9, span
