@@ -289,13 +289,11 @@ def _schools100_metric(n_chains=32768, n_ticks=2000, num_warmup=400):
     eps = float(winfo["step_size"])
 
     def run(values, k):
-        # chunk pinned at 64: the staged d=102 model adds ~1MB of vjp
-        # residuals the trivial-logp envelope calibration cannot see
-        # (benchmarks/bench_nuts_fused.py has the measurement)
+        # auto chunking: post vmem_limit raise the whole 2000-tick d=102
+        # run fits in one kernel call (ops/hmc_fused.py::VMEM_LIMIT)
         return nuts_chains_fused_chunked(
             k, target.logp, values, num_ticks=n_ticks, eps=eps,
-            max_depth=8, inv_mass_diag=winfo["inv_mass"], collect_idx=0,
-            chunk_ticks=64)
+            max_depth=8, inv_mass_diag=winfo["inv_mass"], collect_idx=0)
 
     values, hist, _, _, _ = run(warm_flat, k_run)
     float(jnp.sum(hist[-1]))

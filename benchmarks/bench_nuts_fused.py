@@ -83,8 +83,8 @@ def run_target(name, model, args, obs, sel, exact, *, n_chains, n_ticks,
           f"{float(jnp.max(inv_mass)):.3g}]")
 
     def run(c, values, k):
-        # chunked: the per-tick history block must fit Mosaic's ~16MB
-        # scoped-vmem limit
+        # chunked: the per-tick history block must fit the scoped-vmem
+        # budget (hmc_fused.VMEM_LIMIT) next to the live kernel state
         return nuts_chains_fused_chunked(
             k, target.logp, values, num_ticks=n_ticks, eps=eps,
             max_depth=max_depth, inv_mass_diag=inv_mass, collect_idx=c,
@@ -273,10 +273,15 @@ def deep_validate_funnel(n_chains=2048, num_draws=8000, num_warmup=800,
 def run_schools_100(n_chains=32768, n_ticks=2000, num_warmup=400,
                     max_depth=8, seed=0, use_pallas=None,
                     validate_chains=2048, validate_draws=1536,
-                    xla_compare=True, gates=True):
-    """The 100-school eight_schools (d = 102) — the round-4 envelope
-    target (VERDICT r3 item 1: the round-3 kernel topped out at d = 64;
-    the packed-checkpoint layout fits to d = 120 at max_depth = 8).
+                    xla_compare=True, gates=True, n_schools=100,
+                    chunk_ticks=None):
+    """The many-school eight_schools (d = n_schools + 2) — the round-4
+    envelope target (VERDICT r3 item 1: the round-3 kernel topped out at
+    d = 64; the packed-checkpoint layout reached d = 120-128, and the
+    vmem_limit raise in ops/hmc_fused.py::VMEM_LIMIT then took the
+    probed envelope to d = 768 at max_depth = 8). ``n_schools=100`` is
+    the driver metric3 config; ``n_schools=126`` is the original
+    "validated at d >= 128" criterion config.
 
     Evidence standard:
     - throughput: the fused kernel's tick-series ESS/s at ``n_chains``
@@ -299,9 +304,10 @@ def run_schools_100(n_chains=32768, n_ticks=2000, num_warmup=400,
     from gen_tpu.diagnostics import summarize
     import bench as B
 
-    print(f"\n=== schools_100 (d=102, fused FSM-NUTS @ {n_chains} chains)"
-          " ===")
-    ys, sigmas = make_schools(100, seed=0)
+    name = f"schools_{n_schools}"
+    print(f"\n=== {name} (d={n_schools + 2}, max_depth={max_depth}, "
+          f"fused FSM-NUTS @ {n_chains} chains) ===")
+    ys, sigmas = make_schools(n_schools, seed=0)
     exact = schools_exact(ys, sigmas)
     model, args = eight_schools, (jnp.asarray(sigmas, jnp.float32),)
     obs = choicemap(ys=jnp.asarray(ys, jnp.float32))
@@ -320,7 +326,7 @@ def run_schools_100(n_chains=32768, n_ticks=2000, num_warmup=400,
         sizes.append(int(np.prod(jnp.shape(v))) if jnp.shape(v) else 1)
     offsets = np.concatenate([[0], np.cumsum(sizes)])
     d = int(offsets[-1])
-    assert d == 102, d
+    assert d == n_schools + 2, d
 
     t_w = time.time()
     _, warm_flat, winfo = jax.jit(
@@ -332,15 +338,15 @@ def run_schools_100(n_chains=32768, n_ticks=2000, num_warmup=400,
     print(f"warmup {time.time()-t_w:.1f}s: eps={eps:.4f}")
 
     def run(values, k):
-        # chunk_ticks pinned below the auto-sized 83: at d=102 the auto
-        # chunk is exact-fit against the trivial-logp calibration, and
-        # the STAGED model's vjp residuals (~100 unrolled school terms)
-        # add ~1MB of model-dependent VMEM the estimator cannot know —
-        # measured: 83-tick chunks abort, 64-tick chunks compile+run
+        # chunk_ticks=None -> auto-sized from the VMEM_LIMIT budget
+        # (post-raise, a 2000-tick d=102 run fits in ONE kernel call;
+        # under the old 16 MiB default this needed pinning to 64)
         return nuts_chains_fused_chunked(
             k, target.logp, values, num_ticks=n_ticks, eps=eps,
             max_depth=max_depth, inv_mass_diag=inv_mass, collect_idx=0,
-            chunk_ticks=min(64, n_ticks), use_pallas=use_pallas)
+            chunk_ticks=(None if chunk_ticks is None
+                         else min(chunk_ticks, n_ticks)),
+            use_pallas=use_pallas)
 
     t_c = time.time()
     values, hist, hcnt, cnt, stats = run(warm_flat, k_run)
@@ -420,9 +426,9 @@ def run_schools_100(n_chains=32768, n_ticks=2000, num_warmup=400,
         ok &= rhat_worst < 1.01
         print(f"  worst split-R-hat = {rhat_worst:.4f}",
               "OK" if rhat_worst < 1.01 else "FAIL")
-        print(f"  => schools_100: "
+        print(f"  => {name}: "
               f"{'ALL CHECKS PASS' if ok else 'CHECKS FAILED'}")
-    return dict(name="schools_100", d=d, eps=eps, ess_per_sec=ess_s,
+    return dict(name=name, d=d, eps=eps, ess_per_sec=ess_s,
                 us_per_tick=elapsed * 1e6 / n_ticks,
                 leapfrogs_per_sec=n_ticks * n_chains / elapsed,
                 rhat_worst=rhat_worst, fused_vs_xla=ratio,
@@ -464,6 +470,20 @@ def main(small=False, div=None, tick_div=None, warm_div=1,
             use_pallas=None if not small else False))
     if "schools_100" in targets:
         rows.append(run_schools_100(
+            n_chains=max(64, 32768 // div), n_ticks=2000 // tick_div,
+            num_warmup=400 // warm_div,
+            validate_chains=max(32, 2048 // div),
+            validate_draws=max(16, 512 // tick_div),
+            use_pallas=None if not small else False, gates=gates,
+            xla_compare=not small))
+    if "schools_126" in targets:
+        # d = 128 (VERDICT r3 item 1's "validated at d >= 128" config).
+        # Under the pre-raise 16 MiB scoped-vmem default this config
+        # missed the envelope by ~300 KB at any chunk size (grid>1
+        # double-buffers the output blocks); with VMEM_LIMIT raised it
+        # fits with plain auto chunking, at max_depth 8 as well as 6.
+        rows.append(run_schools_100(
+            n_schools=126, max_depth=6,
             n_chains=max(64, 32768 // div), n_ticks=2000 // tick_div,
             num_warmup=400 // warm_div,
             validate_chains=max(32, 2048 // div),

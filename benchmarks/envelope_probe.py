@@ -21,12 +21,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
     __file__))))
 
 CONFIGS = [
-    # (kernel, d, max_depth)
-    ("hmc", 256, 0), ("hmc", 384, 0), ("hmc", 512, 0), ("hmc", 768, 0),
-    ("nuts", 64, 8), ("nuts", 96, 8), ("nuts", 128, 8), ("nuts", 160, 8),
-    ("nuts", 96, 6), ("nuts", 128, 6), ("nuts", 160, 6), ("nuts", 192, 6),
+    # (kernel, d, max_depth) — post vmem_limit_bytes raise (100 MiB):
+    # the state model predicts hmc ~12 d-planes (d<=~2000) and nuts
+    # (21+md) d-planes (md8: d<=~800)
+    ("hmc", 512, 0), ("hmc", 1024, 0), ("hmc", 1536, 0), ("hmc", 2048, 0),
+    ("nuts", 128, 8), ("nuts", 256, 8), ("nuts", 384, 8), ("nuts", 512, 8),
+    ("nuts", 640, 8), ("nuts", 768, 8),
+    ("nuts", 256, 6), ("nuts", 512, 6),
 ]
-TIMEOUT = 420
+TIMEOUT = 600
 
 
 def run_one(kernel, d, max_depth):

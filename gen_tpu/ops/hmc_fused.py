@@ -50,6 +50,15 @@ import numpy as np
 SUB = 8                 # sublane rows per coordinate plane
 _DEF_TILE = 1024        # chains per grid step (measured best at 524k chains)
 
+# Mosaic's scoped-VMEM cap. The COMPILER default is 16 MiB — a
+# conservative allowance for kernels embedded in larger XLA programs —
+# but v5e physically has 128 MiB of VMEM and these kernels are the whole
+# program. Raising the cap via CompilerParams(vmem_limit_bytes=...) is
+# what widened the round-4 envelope from d=120 to d>=512 (nuts, md8):
+# the "16 MB wall" of rounds 2-4a was a default, not the hardware.
+# 100 MiB leaves margin for the framework's own VMEM reservations.
+VMEM_LIMIT = 100 * 1024 * 1024
+
 
 def _uniform(bits):
     """uint32 bits -> f32 uniform in [0,1) (jax.random's mantissa trick)."""
@@ -324,6 +333,9 @@ def hmc_chains_fused(key, logp: Callable, values0, n_steps: int,
                           res_consts.shape[0], staged,
                           injected_rng is not None, has_stream),
         grid=(grid,),
+        # state planes donate their HBM buffer to the final-state output
+        input_output_aliases={0: 1},
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
         out_shape=(out_shape,
                    jax.ShapeDtypeStruct((d, SUB, cols), jnp.float32),
                    jax.ShapeDtypeStruct((SUB, cols), jnp.float32)),
@@ -348,7 +360,7 @@ def hmc_chains_fused(key, logp: Callable, values0, n_steps: int,
 
 def hmc_chains_fused_chunked(key, logp: Callable, values0, n_steps: int,
                              chunk_steps: Optional[int] = None,
-                             vmem_budget_bytes: int = (16 << 20) - (1 << 20), **kw):
+                             vmem_budget_bytes: int = VMEM_LIMIT - (4 << 20), **kw):
     """Drive :func:`hmc_chains_fused` in step chunks and concatenate the
     collected histories (ADVICE r3: with ``collect_idx=None`` the
     per-step all-coordinate history block is double-buffered in scoped
@@ -396,13 +408,14 @@ def state_plane_bytes(kernel: str, d: int, tile: int,
     """VMEM footprint of the kernel's live chain-block state (excluding
     the per-tick history block) — shared by :func:`check_vmem_envelope`
     and the chunked drivers, which must size history chunks out of the
-    SAME budget. Plane counts are calibrated against the round-4
-    measured hardware boundaries (benchmarks/envelope_probe.py, after
-    the de-unroll + bf16x2-packed-checkpoint layout: hmc fits at d=320 /
-    aborts at 384; nuts(max_depth=8) fits at 120 / aborts at 128;
-    nuts(max_depth=6) fits at 128 / aborts at 144 — all at tile=1024
-    against the hard 16 MiB Mosaic scoped-vmem limit, which the d=102
-    exact-fit abort pinned to within 352 KB). The carried NUTS layout is
+    SAME budget. Plane counts were calibrated against measured hardware
+    boundaries under the compiler's old 16 MiB default scoped-vmem cap
+    (benchmarks/envelope_probe.py: hmc fit d=320 / aborted 384;
+    nuts(md8) fit 120 / aborted 128; nuts(md6) fit 128 / aborted 144 —
+    the d=102 exact-fit abort pinned the model to within 352 KB), and
+    the same model correctly predicted the post-raise sweep (nuts md8
+    d=768 models to ~94 MiB of the 100 MiB cap and compiles; hmc d=2048
+    ~100 MiB, compiles). The carried NUTS layout is
     17 f32 d-planes + 2 mass planes + (max_depth-1) packed bf16x2
     checkpoint planes (levels 1..max_depth-1; level max_depth can never
     complete a block inside a <= 2^(max_depth-1)-leapfrog subtree, and
@@ -411,8 +424,8 @@ def state_plane_bytes(kernel: str, d: int, tile: int,
     constant is larger than the carry because it also covers the
     double-buffered final-state/stats output blocks and Mosaic
     temporaries. Chunked drivers must size history chunks with slack
-    below the hard limit (their default budget is 15 MiB) — an
-    exactly-at-budget chunk measured 352 KB over."""
+    below the cap (their default budget is VMEM_LIMIT - 4 MiB) — an
+    exactly-at-budget chunk measured 352 KB over under the old cap."""
     # d-proportional live planes PLUS a d-independent fixed block
     # (double-buffered cnt/stat outputs, PRNG buffers, Mosaic
     # temporaries): usage = fixed + planes * d * tile * 4. The fixed
@@ -426,27 +439,32 @@ def state_plane_bytes(kernel: str, d: int, tile: int,
 
 def check_vmem_envelope(kernel: str, d: int, tile: int, max_depth: int = 0,
                         hist_planes: int = 1, num_ticks: int = 0,
-                        budget_bytes: int = 16 << 20):
+                        budget_bytes: int = VMEM_LIMIT):
     """Pre-compile dimension/VMEM envelope check (VERDICT r2 item 9).
 
     The fused kernels keep the whole chain-block state VMEM-resident; the
     per-program footprint is ~``planes_live * d * tile * 4`` bytes plus the
-    per-tick history block. Measured envelope on v5e (trivial logp,
-    tile=1024; round-4 layout — de-unrolled mass planes, bf16x2-packed
-    U-turn checkpoints, dead checkpoint levels pruned;
+    per-tick history block, against the ``VMEM_LIMIT`` scoped-vmem cap
+    (raised from the compiler's conservative 16 MiB default to 100 MiB —
+    v5e has 128 MiB of physical VMEM and these kernels are the whole
+    program). Measured envelope on v5e (trivial logp, tile=1024;
+    round-4 layout — de-unrolled mass planes, bf16x2-packed U-turn
+    checkpoints, dead checkpoint levels pruned, raised vmem cap;
     benchmarks/envelope_probe.py):
 
-    | kernel     | config       | max d OK | first fail | compile at max |
-    |------------|--------------|----------|------------|----------------|
-    | hmc_fused  | tile=1024    | 320      | 384        | ~10-80 s       |
-    | nuts_fused | max_depth=8  | 120      | 128        | ~10-76 s       |
-    | nuts_fused | max_depth=6  | 128      | 144        | ~14 s          |
+    | kernel     | config       | max d probed OK | compile at max |
+    |------------|--------------|-----------------|----------------|
+    | hmc_fused  | tile=1024    | 2048            | ~220 s         |
+    | nuts_fused | max_depth=8  | 768             | ~440 s         |
+    | nuts_fused | max_depth=6  | 512             | ~170 s         |
 
-    (Round-3 layout topped out at hmc d=256 / nuts(md8) d=64, with
-    compile time exploding near the wall — nuts d=80 took > 7 min. The
-    de-unroll made the tick body O(1) in d, so compile now stays in the
-    tens of seconds across the whole envelope; a 100-school
-    eight_schools, d=102, fits at max_depth=8.)
+    No hardware abort was reached in the post-raise sweep — the probed
+    maxima sit at/near this estimator's 100 MiB budget (nuts md8 d=768
+    models to ~94 MiB), and COMPILE TIME (~0.5 s per unit d for NUTS) is
+    now the practical constraint, not VMEM. History of the wall: the
+    round-3 layout topped out at hmc d=256 / nuts(md8) d=64 under the
+    16 MiB default; the round-4 packed-checkpoint layout reached
+    hmc 320 / nuts(md8) 120 / nuts(md6) 128 before the cap was raised.
 
     ``tile`` cannot shrink below 1024: Pallas requires the minor block dim
     (tile/8) to be a multiple of 128, so 1024 is already the minimum — the

@@ -40,8 +40,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .hmc_fused import SUB, _DEF_TILE, _normals, _to_planes, _from_planes, \
-    _uniform
+from .hmc_fused import SUB, _DEF_TILE, VMEM_LIMIT, _normals, \
+    _to_planes, _from_planes, _uniform
 
 
 def extract_completed_draws(hist, hist_cnt, m: int):
@@ -83,10 +83,10 @@ def _nuts_chunk_ticks(d, tile, max_depth, per_tick, num_ticks,
 
 def nuts_chains_fused_chunked(key, logp, values0, num_ticks: int,
                               eps: float, chunk_ticks: Optional[int] = None,
-                              vmem_budget_bytes: int = (16 << 20) - (1 << 20), **kw):
+                              vmem_budget_bytes: int = VMEM_LIMIT - (4 << 20), **kw):
     """Drive :func:`nuts_chains_fused` in tick chunks and stitch the
     streams: the kernel's per-tick history lives in a VMEM output block
-    (Mosaic's scoped-vmem limit is ~16 MB), so long runs must be split. A
+    (scoped-vmem cap = hmc_fused.VMEM_LIMIT), so long runs must be split. A
     chunk boundary restarts the in-flight trajectory from the current
     sample — a valid transition boundary; only the partial trajectory's
     leapfrogs are discarded. ``hist_counts`` is returned CUMULATIVE across
@@ -167,7 +167,7 @@ def nuts_collect_draws(key, logp, values0, num_draws: int, eps: float,
     if chunk_ticks is None:
         per_tick = (d + 1 if ci is None else 2) * tile * 4
         chunk_ticks = _nuts_chunk_ticks(d, tile, kw.get("max_depth", 8),
-                                        per_tick, 4096, (16 << 20) - (1 << 20))
+                                        per_tick, 4096, VMEM_LIMIT - (4 << 20))
     if max_ticks is None:
         max_ticks = 64 * num_draws
     targets = jnp.arange(1, num_draws + 1)
@@ -279,6 +279,10 @@ def _kernel(num_ticks, max_depth, eps, div_threshold, collect_idx, n_res,
     # which is what killed the d=80 multi-minute Mosaic compiles.
     from ..utils import sqrt_mass_safe
     inv_plane = jnp.stack([f0 + mass_ref[i] for i in range(d)])
+    # NOTE: recomputing the sqrt per tick to drop this loop-invariant
+    # plane was tried and made scoped-VMEM WORSE (+1.4 MB at d=128 —
+    # Mosaic's peak-liveness allocator charges in-loop temporaries more
+    # than an invariant buffer); keep it hoisted
     mom_plane = sqrt_mass_safe(inv_plane)
 
     def scale_mass(z):
@@ -659,6 +663,11 @@ def nuts_chains_fused(key, logp: Callable, values0, num_ticks: int,
                           res_consts.shape[0], staged,
                           injected_rng is not None, has_stream),
         grid=(grid,),
+        # the input state planes donate their HBM buffer to the
+        # final-state output
+        input_output_aliases={0: 2},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT),
         out_shape=(hist_shape,
                    jax.ShapeDtypeStruct((num_ticks, SUB, cols), jnp.int32),
                    jax.ShapeDtypeStruct((d, SUB, cols), jnp.float32),

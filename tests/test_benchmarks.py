@@ -94,6 +94,15 @@ def test_bench_schools_100_small():
                                  gates=False) == 0
 
 
+def test_bench_schools_126_small():
+    import bench_nuts_fused
+    # API-liveness: the d=128 max_depth=6 edge-of-envelope target
+    # (VERDICT r3 item 1's "validated at d >= 128" config), gates off
+    assert bench_nuts_fused.main(small=True, div=2048, tick_div=20,
+                                 warm_div=10, targets=("schools_126",),
+                                 gates=False) == 0
+
+
 def test_bench_statespace_fused_small():
     import bench_statespace_fused
     assert bench_statespace_fused.main(small=True) in (0, None)

@@ -421,31 +421,32 @@ def test_vmem_envelope_estimator():
     import pytest
     from gen_tpu.ops.hmc_fused import check_vmem_envelope
 
-    # measured OK on hardware (round-4 layout; boundary configs measured
-    # with the 8-tick probe history — at the wall, history ticks trade
-    # 1:2 against state, which is exactly what the chunked drivers size)
-    check_vmem_envelope("hmc", 320, 1024, num_ticks=8)
-    check_vmem_envelope("nuts", 112, 1024, max_depth=8, hist_planes=2,
+    # measured OK on hardware under the raised 100 MiB cap
+    # (envelope_probe.py post-raise sweep: all configs compiled)
+    check_vmem_envelope("hmc", 2048, 1024, num_ticks=8)
+    check_vmem_envelope("nuts", 768, 1024, max_depth=8, hist_planes=2,
                         num_ticks=8)
     check_vmem_envelope("nuts", 102, 1024, max_depth=8, hist_planes=2,
-                        num_ticks=90)     # 100-school eight_schools,
-                                          # the slack-sized chunk
-    check_vmem_envelope("nuts", 128, 1024, max_depth=6, hist_planes=2,
-                        num_ticks=8)      # the VERDICT r3 target
-    # measured Mosaic aborts -> must raise with actionable advice
+                        num_ticks=2000)   # 100-school eight_schools in
+                                          # ONE kernel call now
+    check_vmem_envelope("nuts", 512, 1024, max_depth=6, hist_planes=2,
+                        num_ticks=8)
+    # beyond the raised cap -> must still raise with actionable advice
     with pytest.raises(ValueError, match="tile"):
-        check_vmem_envelope("hmc", 384, 1024, num_ticks=16)
+        check_vmem_envelope("hmc", 2304, 1024, num_ticks=16)
+    with pytest.raises(ValueError, match="max_depth"):
+        check_vmem_envelope("nuts", 1024, 1024, max_depth=8,
+                            hist_planes=2, num_ticks=8)
+    # the estimator math is cap-independent: under the OLD 16 MiB
+    # compiler default it must reproduce the round-4a measured aborts
+    # (nuts md8 d=128 aborted; the d=102 169-tick chunk measured 352KB
+    # over)
     with pytest.raises(ValueError, match="max_depth"):
         check_vmem_envelope("nuts", 128, 1024, max_depth=8, hist_planes=2,
-                            num_ticks=8)
-    with pytest.raises(ValueError, match="max_depth"):
-        check_vmem_envelope("nuts", 144, 1024, max_depth=6, hist_planes=2,
-                            num_ticks=8)
-    # the d=102 exact-fit abort (169-tick chunk, measured 352KB over the
-    # 16 MiB limit) must now be rejected up front
+                            num_ticks=8, budget_bytes=16 << 20)
     with pytest.raises(ValueError, match="max_depth"):
         check_vmem_envelope("nuts", 102, 1024, max_depth=8, hist_planes=2,
-                            num_ticks=169)
+                            num_ticks=169, budget_bytes=16 << 20)
     # tile < 1024 is structurally invalid (Pallas minor-dim constraint,
     # measured: tile=512 dies in BlockSpec validation) -> clear error
     with pytest.raises(ValueError, match="multiple of 1024"):
