@@ -487,7 +487,10 @@ def main(small=False, div=None, tick_div=None, warm_div=1,
             n_chains=max(64, 32768 // div), n_ticks=2000 // tick_div,
             num_warmup=400 // warm_div,
             validate_chains=max(32, 2048 // div),
-            validate_draws=max(16, 512 // tick_div),
+            # 512 draws leaves split-R-hat at its small-sample noise
+            # floor (measured 1.0203 vs the 1.01 gate with clean
+            # moments); 1536 draws is the gate-capable budget
+            validate_draws=max(16, 1536 // tick_div),
             use_pallas=None if not small else False, gates=gates,
             xla_compare=not small))
 
