@@ -37,6 +37,15 @@ O(2^(d+1)); with the default pick distribution (root mass 1/8) the
 expected recomputed-slot count at depth 3 is ~4.0 of 15 (~3.3x fewer
 plane evaluations), and depth 5 (63 slots, which the full-recompute
 engine cannot practically run) becomes a routine configuration.
+
+HARDWARE CAVEAT (measured, round 4): the depth-3 speedup is a CPU
+result (6.0x). On TPU v5e the same A/B reads **0.8x — slower** — the
+carried per-slot covariance planes (chains x 15 x n x n) stream through
+HBM every sweep while the arena engine's "wasteful" full recompute is
+cheap VPU exp/sin; flops beat bytes on TPU. The incremental engine's
+TPU value is DEPTH (depth 5 at 67 ms per 2048-chain sweep, impossible
+for the full-recompute engine), not depth-3 throughput. See
+benchmarks/RESULTS.md round-4 notes.
 Exactness: same depth-1 enumerated-oracle TV gate as the arena engine,
 plus a depth-3 cross-engine posterior comparison
 (tests/test_gp_structure_arena.py::test_incremental_engine_*).
@@ -386,18 +395,24 @@ def main(seed=0, bench_depth3=True):
         model = arena.make_arena_model(3)
         trs = arena.init_chains(jax.random.PRNGKey(1), model, xs3, ys3,
                                 n_chains)
-        arena.run_chains(jax.random.PRNGKey(2), trs, 3, 8, False)[0]
+        # warm up with the SAME static n_sweeps: it shapes the scan, so a
+        # different count in the timed call would recompile INSIDE the
+        # timing (invisible on CPU, dominant through the TPU tunnel —
+        # measured: an 8-sweep warmup left 200-sweep timed calls
+        # compile-bound on both engines and read a bogus 0.9x ratio)
+        arena.run_chains(jax.random.PRNGKey(2), trs, 3, n_sweeps,
+                         False)[0]
         t0 = time.time()
-        trs, _, _ = arena.run_chains(jax.random.PRNGKey(2), trs, 3,
+        trs, _, _ = arena.run_chains(jax.random.PRNGKey(9), trs, 3,
                                      n_sweeps, False)
         jax.block_until_ready(trs.get_retval())
         t_arena = (time.time() - t0) / n_sweeps
 
         st = init_state(jax.random.PRNGKey(3), xs3, ys3, 3, n_chains)
         run = make_runner(3, xs3, ys3)
-        run(jax.random.PRNGKey(4), st, 8, False)
+        run(jax.random.PRNGKey(4), st, n_sweeps, False)
         t0 = time.time()
-        st, _, _ = run(jax.random.PRNGKey(4), st, n_sweeps, False)
+        st, _, _ = run(jax.random.PRNGKey(10), st, n_sweeps, False)
         jax.block_until_ready(st["loglik"])
         t_inc = (time.time() - t0) / n_sweeps
         print(f"depth-3 per-sweep: arena {t_arena*1e3:.2f} ms, "
