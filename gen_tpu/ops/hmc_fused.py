@@ -187,6 +187,23 @@ def _kernel(n_steps, L, eps, eps_jitter, collect_idx, n_res, staged,
     acc_ref[...] = acc
 
 
+def auto_tile_hmc(n: int, d: int) -> int:
+    """Chains-per-program tile for the fused HMC kernel.
+
+    At small d the per-program overhead (PRNG seeding, loop bookkeeping,
+    the per-step jitter draw) dominates the tiny state, and fewer,
+    larger programs win: measured on v5e at d=3 / 524k chains, tile=4096
+    runs 193 us/step vs 306 at tile=1024 (1.58x) — a post-vmem-raise
+    dividend (under the old 16 MiB cap only 1024 fit next to history).
+    tile=8192 regresses (236 us) and larger d is unmeasured, so the auto
+    rule stays inside the measured regime; pass ``tile=`` to override.
+    The FSM-NUTS kernel measured best at 1024 at every size tried
+    (136/139/141/159 us/tick for 1k/2k/4k/8k at d=10) and keeps it."""
+    if d <= 16 and n >= 4096:
+        return 4096
+    return _DEF_TILE
+
+
 def _to_planes(values, tile):
     """(n, d) -> (d, 8, n_pad/8) plane layout: chain j sits at
     ``[:, j // (n_pad/8), j % (n_pad/8)]`` (the cheap transpose-reshape —
@@ -211,7 +228,8 @@ def _from_planes(planes, n):
 def hmc_chains_fused(key, logp: Callable, values0, n_steps: int,
                      L: int = 10, eps: float = 0.1,
                      eps_jitter: float = 0.2,
-                     collect_idx: Optional[int] = 0, tile: int = _DEF_TILE,
+                     collect_idx: Optional[int] = 0,
+                     tile: Optional[int] = None,
                      inv_mass_diag=None,
                      use_pallas: Optional[bool] = None,
                      injected_rng=None, interpret: bool = False):
@@ -243,6 +261,8 @@ def hmc_chains_fused(key, logp: Callable, values0, n_steps: int,
                          "(use_pallas=True or interpret=True)")
     values0 = jnp.asarray(values0, jnp.float32)
     n, d = values0.shape
+    if tile is None:
+        tile = auto_tile_hmc(n, d)
     inv_mass = (jnp.ones((d,), jnp.float32) if inv_mass_diag is None
                 else jnp.asarray(inv_mass_diag, jnp.float32))
 
@@ -374,7 +394,9 @@ def hmc_chains_fused_chunked(key, logp: Callable, values0, n_steps: int,
     values0 = jnp.asarray(values0, jnp.float32)
     n, d = values0.shape
     ci = kw.get("collect_idx", 0)
-    tile = kw.get("tile", _DEF_TILE)
+    # resolve the tile the same way hmc_chains_fused will, so the chunk
+    # sizing and the kernel's envelope check agree
+    tile = kw.get("tile") or auto_tile_hmc(n, d)
     per_step = (d if ci is None else 1) * tile * 4
     if chunk_steps is None:
         state_b = state_plane_bytes("hmc", d, tile)
