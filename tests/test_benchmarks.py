@@ -178,3 +178,22 @@ def test_bench_stream_small():
     # twin; statistics gates off at smoke sizes
     assert bench_stream.main(small=True, n_chains=64, n_ticks=60,
                              gates=False) == 0
+
+
+def test_roofline_op_counter_smoke():
+    """The jaxpr-walking op counter (benchmarks/roofline.py) stays able
+    to trace the real kernels and recover loop structure: trivial-logp
+    counts at the production shapes, CPU-only."""
+    import jax.numpy as jnp
+    import roofline
+
+    def trivial(x):
+        return -0.5 * jnp.sum(x * x)
+
+    leap, extra, init, other = roofline.count_hmc(trivial, 3, L=10)
+    assert leap["flops"] > 20 and extra["flops"] > 0 and not other
+    tick, init_n, other_n = roofline.count_nuts(trivial, 10, max_depth=8)
+    # the tick body is dominated by branchless bookkeeping: selects and
+    # bf16-checkpoint bit arithmetic outnumber the arithmetic flops
+    assert tick["flops"] > 500 and tick["pred"] > tick["flops"] / 2
+    assert not other_n
