@@ -129,6 +129,17 @@ class MapCombinator(GenerativeFunction):
     def __init__(self, kernel: GenerativeFunction):
         self.kernel = kernel
 
+    # structural equality: ``Map(f)`` built inline in a model body creates
+    # a fresh instance on every body replay, and the instance rides in
+    # trace treedef aux — identity equality would make two traces of the
+    # SAME model structurally different pytrees (breaks scan carries,
+    # jit cache, tree_map over traces)
+    def __eq__(self, other):
+        return type(other) is type(self) and other.kernel == self.kernel
+
+    def __hash__(self):
+        return hash((type(self), self.kernel))
+
     def __repr__(self):
         return f"Map({self.kernel!r})"
 

@@ -134,6 +134,14 @@ class SwitchCombinator(GenerativeFunction):
             branches = tuple(branches[0])
         self.branches = tuple(branches)
 
+    # structural equality (see MapCombinator.__eq__): inline-constructed
+    # combinators must compare equal across model-body replays
+    def __eq__(self, other):
+        return type(other) is type(self) and other.branches == self.branches
+
+    def __hash__(self):
+        return hash((type(self), self.branches))
+
     def __repr__(self):
         return f"Switch({self.branches!r})"
 

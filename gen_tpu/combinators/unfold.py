@@ -118,6 +118,14 @@ class UnfoldCombinator(GenerativeFunction):
     def __init__(self, kernel: GenerativeFunction):
         self.kernel = kernel
 
+    # structural equality (see MapCombinator.__eq__): inline-constructed
+    # combinators must compare equal across model-body replays
+    def __eq__(self, other):
+        return type(other) is type(self) and other.kernel == self.kernel
+
+    def __hash__(self):
+        return hash((type(self), self.kernel))
+
     def __repr__(self):
         return f"Unfold({self.kernel!r})"
 

@@ -33,6 +33,9 @@ class Bernoulli(Distribution):
         vf = jnp.asarray(v, dtype=p.dtype)
         return jnp.sum(xlogy(vf, p) + xlog1py(1.0 - vf, -p))
 
+    def enumerate_support(self, p):
+        return jnp.asarray([False, True])
+
 
 class Categorical(Distribution):
     """categorical(probs) -> int index in [0, n). Reference:
@@ -54,6 +57,11 @@ class Categorical(Distribution):
         lp = jnp.log(jnp.take_along_axis(probs, v[..., None], axis=-1))[..., 0]
         return jnp.sum(lp)
 
+    def enumerate_support(self, probs):
+        # support size is the (static) trailing axis length; contents may
+        # be traced — only the shape is read
+        return jnp.arange(jnp.shape(probs)[-1], dtype=jnp.int32)
+
 
 class LabeledCategorical(Distribution):
     """categorical over explicit labels — helper used by the @dist DSL's
@@ -69,6 +77,9 @@ class LabeledCategorical(Distribution):
     def logpdf(self, v, probs):
         probs = _f(probs)
         return jnp.sum(jnp.log(probs[jnp.asarray(v)]))
+
+    def enumerate_support(self, probs):
+        return jnp.arange(jnp.shape(probs)[-1], dtype=jnp.int32)
 
 
 class UniformDiscrete(Distribution):
@@ -87,6 +98,17 @@ class UniformDiscrete(Distribution):
         n = jnp.asarray(high - low + 1, dtype=jnp.result_type(float))
         inside = (v >= low) & (v <= high)
         return jnp.sum(jnp.where(inside, -jnp.log(n), -jnp.inf))
+
+    def enumerate_support(self, low, high):
+        import numpy as _np
+        if isinstance(low, jax.core.Tracer) or isinstance(
+                high, jax.core.Tracer):
+            raise NotImplementedError(
+                "uniform_discrete support bounds are traced values — the "
+                "support cannot be enumerated statically; pass explicit "
+                "discrete_supports= covering the widest possible range")
+        return jnp.arange(int(_np.asarray(low)),
+                          int(_np.asarray(high)) + 1, dtype=jnp.int32)
 
 
 class Poisson(Distribution):
@@ -125,6 +147,14 @@ class Binomial(Distribution):
         logcomb = gammaln(nf + 1) - gammaln(vf + 1) - gammaln(nf - vf + 1)
         lp = logcomb + xlogy(vf, p) + xlog1py(nf - vf, -p)
         return jnp.sum(jnp.where(inside, lp, -jnp.inf))
+
+    def enumerate_support(self, n, p):
+        import numpy as _np
+        if isinstance(n, jax.core.Tracer):
+            raise NotImplementedError(
+                "binom trial count is a traced value — the support cannot "
+                "be enumerated statically; pass explicit discrete_supports=")
+        return jnp.arange(int(_np.asarray(n)) + 1, dtype=jnp.int32)
 
 
 class Geometric(Distribution):

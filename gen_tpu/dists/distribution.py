@@ -44,6 +44,23 @@ class Distribution(GenerativeFunction):
     def has_argument_grads(self) -> Tuple[bool, ...]:
         return self.arg_grads
 
+    def enumerate_support(self, *args):
+        """Finite support of the distribution (1-D array of candidate
+        values), for exact enumerative moves (gibbs / mixed-model
+        sample_posterior). Only finite discrete distributions implement
+        this; the default raises with advice.
+
+        Must be computable from STATIC information (Python scalars /
+        array shapes) — it is called at trace time, where array contents
+        may be tracers. Reference: Gen.jl has no support metadata; its
+        examples hand-enumerate (e.g. regression/
+        dynamic_map_optimize_gibbs.jl scores {true,false} by hand)."""
+        raise NotImplementedError(
+            f"{type(self).__name__} has no finite enumerable support; "
+            "addresses drawn from it cannot be moved by exact Gibbs — "
+            "pass explicit discrete_supports= (if a finite truncation is "
+            "acceptable) or marginalize the address out of the model")
+
     def logpdf_grad(self, v, *args):
         """(output_grad_or_None, *arg_grads_or_None).
 

@@ -31,6 +31,48 @@ from .trace import CallRecord, ChoiceRecord
 
 _STACK: List["Handler"] = []
 
+# -- distribution-call recorder (support discovery for mixed-model
+#    inference, gen_tpu/inference/mixed.py). When active, every dist call
+#    anywhere in the execution (including inside combinators' vmapped
+#    inner calls — the inner dynamic fn builds its own handler while the
+#    recorder's prefix stack still holds the outer call path) is recorded
+#    as (full-known-path, dist, args). Combinator-inserted integer keys
+#    are absent from the recorded path; consumers match on int-stripped
+#    paths. ------------------------------------------------------------
+
+
+class _DistRecorder:
+    __slots__ = ("prefix", "records")
+
+    def __init__(self):
+        self.prefix: List[Tuple] = []
+        self.records: List[Tuple[Tuple, Distribution, Tuple]] = []
+
+    def full(self, path: Tuple) -> Tuple:
+        out: Tuple = ()
+        for p in self.prefix:
+            out = out + p
+        return out + path
+
+
+_RECORDER: List[_DistRecorder] = []   # at most one active
+
+
+class record_dist_calls:
+    """Context manager: record every distribution call executed inside.
+    ``.records`` afterwards holds (path, dist, args) triples; paths omit
+    combinator-inserted integer keys."""
+
+    def __enter__(self):
+        self._rec = _DistRecorder()
+        _RECORDER.append(self._rec)
+        return self._rec
+
+    def __exit__(self, *exc):
+        assert _RECORDER[-1] is self._rec
+        _RECORDER.pop()
+        return False
+
 
 def active_handler() -> "Handler":
     if not _STACK:
@@ -153,7 +195,17 @@ class Handler:
     def handle(self, path: Tuple, fn, args):
         self.visitor.visit(path)
         if isinstance(fn, Distribution):
+            if _RECORDER:
+                rec = _RECORDER[-1]
+                rec.records.append((rec.full(path), fn, args))
             return self.handle_dist(path, fn, args)
+        if _RECORDER:
+            rec = _RECORDER[-1]
+            rec.prefix.append(path)
+            try:
+                return self.handle_call(path, fn, args)
+            finally:
+                rec.prefix.pop()
         return self.handle_call(path, fn, args)
 
     def handle_dist(self, path, dist, args):

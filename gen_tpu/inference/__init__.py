@@ -23,6 +23,8 @@ from .csmc import (csmc_genealogy, particle_gibbs, particle_gibbs_step,
                    check_state_is_choice_determined)
 from .enumerate import enumerate_posterior, enumerate_marginals
 from .gibbs import gibbs, gibbs_conditional
+from .mixed import (DiscreteSite, discover_discrete_sites, gibbs_sweep,
+                    mixed_warmup_and_sample)
 from .laplace import LaplaceResult, laplace_approx, laplace_sample
 from .psis import PSISResult, psis, psis_effective_sample_size, gpd_fit
 from .sample import PosteriorSamples, sample_posterior
@@ -50,6 +52,8 @@ __all__ = [
     "check_state_is_choice_determined",
     "enumerate_posterior", "enumerate_marginals",
     "gibbs", "gibbs_conditional",
+    "DiscreteSite", "discover_discrete_sites", "gibbs_sweep",
+    "mixed_warmup_and_sample",
     "LaplaceResult", "laplace_approx", "laplace_sample",
     "PSISResult", "psis", "psis_effective_sample_size", "gpd_fit",
     "PosteriorSamples", "sample_posterior",

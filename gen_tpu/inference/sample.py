@@ -36,6 +36,19 @@ class PosteriorSamples(NamedTuple):
     final_traces: object
 
 
+def _split_paths(trace, observations: ChoiceMap):
+    """Unobserved addresses split by dtype: (continuous paths, discrete
+    paths)."""
+    obs_addrs = set(observations.addresses())
+    cont, disc = [], []
+    for path, v in trace.get_choices().leaf_items():
+        if path in obs_addrs:
+            continue
+        (cont if jnp.issubdtype(jnp.asarray(v).dtype, jnp.inexact)
+         else disc).append(path)
+    return cont, disc
+
+
 def _default_selection(trace, observations: ChoiceMap):
     """All unobserved continuous (inexact-dtype) addresses. Errors if
     unobserved discrete addresses exist — NUTS cannot move them; pass an
@@ -186,6 +199,74 @@ def _dense_rewarmup(logp_w, ys0, key, num_warmup, target_accept):
         target_accept=target_accept, adapt_mass=False)
 
 
+def _sample_mixed(model, args, observations, traces, one_trace, k_run, *,
+                  num_chains, num_warmup, num_samples, max_depth,
+                  target_accept, adapt_mass, discrete_supports,
+                  requested_engine, summarize):
+    """One-call alternating Gibbs-within-NUTS over a mixed model (see
+    gen_tpu/inference/mixed.py). Discrete supports are discovered
+    automatically from the model's own distribution calls; the result
+    includes BOTH the continuous and the discrete addresses (vectorized
+    discrete leaves — e.g. Map per-point indicators — come back as one
+    dense entry keyed by their int-stripped path, shaped
+    ``(draws, chains, n_elements, ...)``)."""
+    from .mixed import (discover_discrete_sites, mixed_warmup_and_sample,
+                        model_evals_per_sweep)
+    cont_paths, _ = _split_paths(one_trace, observations)
+    if not cont_paths:
+        raise ValueError(
+            "no unobserved continuous addresses: the model is purely "
+            "discrete — use gen_tpu.inference.enumerate_posterior (exact) "
+            "or gibbs directly")
+    cont_sel = select(*cont_paths)
+    sites = discover_discrete_sites(one_trace, observations, model, args,
+                                    discrete_supports)
+    values_chm = one_trace.get_choices().filter(cont_sel)
+    layout = [(path, jnp.shape(jnp.asarray(v)))
+              for path, v in values_chm.leaf_items()]
+
+    @jax.jit
+    def run(trs, key):
+        ks = jax.random.split(key, num_chains)
+        return jax.vmap(lambda tr, k: mixed_warmup_and_sample(
+            k, tr, cont_sel, sites, num_warmup=num_warmup,
+            num_samples=num_samples, max_depth=max_depth,
+            target_accept=target_accept, adapt_mass=adapt_mass))(trs, ks)
+
+    cont, discs, final_traces, info = run(traces, k_run)
+    # cont: (chains, draws, d) -> (draws, chains, d)
+    flat = jnp.swapaxes(cont, 0, 1)
+    samples = {}
+    offset = 0
+    for path, shape in layout:
+        size = 1
+        for s in shape:
+            size *= s
+        block = flat[:, :, offset:offset + size]
+        samples[path if len(path) > 1 else path[0]] = \
+            block.reshape(flat.shape[0], flat.shape[1], *shape)
+        offset += size
+    for site, d in zip(sites, discs):
+        # d: (chains, draws, ...) -> (draws, chains, ...)
+        arr = jnp.swapaxes(d, 0, 1)
+        p = site.path
+        samples[p if len(p) > 1 else p[0]] = arr
+    info = dict(info, engine="gibbs_nuts",
+                engine_requested=requested_engine,
+                discrete_sites=[s.path for s in sites],
+                discrete_evals_per_sweep=model_evals_per_sweep(sites))
+    summary = None
+    if summarize:
+        from ..diagnostics import summarize as _summarize
+        # keys mix strings and tuples (scalar vs nested addresses), which
+        # pytree dict sorting rejects — summarize one entry at a time
+        summary = {}
+        for k, v in samples.items():
+            summary[k] = _summarize(
+                {"x": jnp.asarray(v, jnp.float32)})["x"]
+    return PosteriorSamples(samples, summary, info, final_traces)
+
+
 def sample_posterior(key, model: GenerativeFunction, args: Tuple,
                      observations: ChoiceMap, *,
                      selection: Optional[Selection] = None,
@@ -197,6 +278,7 @@ def sample_posterior(key, model: GenerativeFunction, args: Tuple,
                      mass: str = "diag", mass_rank: int = 8,
                      num_ticks: Optional[int] = None,
                      mesh=None, mesh_axis: str = "chains",
+                     discrete_supports: Optional[dict] = None,
                      summarize: bool = True) -> PosteriorSamples:
     """Sample ``p(selected latents | observations)`` with adaptive NUTS.
 
@@ -291,6 +373,28 @@ def sample_posterior(key, model: GenerativeFunction, args: Tuple,
     one_trace = jax.tree_util.tree_map(lambda x: x[0], traces)
 
     if selection is None:
+        cont_paths, disc_paths = _split_paths(one_trace, observations)
+        if disc_paths:
+            # mixed discrete+continuous model: alternate exact enumerative
+            # Gibbs over the discrete addresses with NUTS over the
+            # continuous block (gen_tpu/inference/mixed.py). Reference
+            # semantics: uniform selection moves over any address type
+            # (mh.jl:15-29) + the flagship regression's interleaved loop
+            # (examples/regression/static_mh.jl:28-38,60-70).
+            if engine not in ("nuts", "auto", "mixed"):
+                raise ValueError(
+                    f"model has unobserved discrete addresses "
+                    f"{disc_paths!r}, which engine={engine!r} cannot "
+                    "move; use engine='nuts'/'auto' (alternating "
+                    "Gibbs-within-NUTS), pass an explicit selection= of "
+                    "continuous latents, or marginalize them")
+            return _sample_mixed(
+                model, args, observations, traces, one_trace, k_run,
+                num_chains=num_chains, num_warmup=num_warmup,
+                num_samples=num_samples, max_depth=max_depth,
+                target_accept=target_accept, adapt_mass=adapt_mass,
+                discrete_supports=discrete_supports,
+                requested_engine=engine, summarize=summarize)
         selection, _ = _default_selection(one_trace, observations)
     # flat layout (sorted-address to_array order) for unflattening
     values_chm = one_trace.get_choices().filter(selection)
