@@ -47,7 +47,7 @@ from gen_tpu.ops.nuts_fused import extract_completed_draws as extract_draws
 def run_target(name, model, args, obs, sel, exact, *, n_chains, n_ticks,
                num_warmup, max_depth=8, mean_tol=0.05, sd_tol=0.06,
                target_accept=0.8, seed=0, use_pallas=None,
-               xla_compare_chains=None):
+               xla_compare_chains=None, paired=True):
     from gen_tpu.inference.chees import chees_hmc_warmup_and_sample
     from gen_tpu.inference.target import FlatTarget
     from gen_tpu.ops.nuts_fused import (nuts_chains_fused,
@@ -88,7 +88,7 @@ def run_target(name, model, args, obs, sel, exact, *, n_chains, n_ticks,
         return nuts_chains_fused_chunked(
             k, target.logp, values, num_ticks=n_ticks, eps=eps,
             max_depth=max_depth, inv_mass_diag=inv_mass, collect_idx=c,
-            use_pallas=use_pallas)
+            use_pallas=use_pallas, paired=paired)
 
     # compile + extra decorrelation pass; host fetch = completion barrier
     t_c = time.time()
@@ -272,6 +272,7 @@ def deep_validate_funnel(n_chains=2048, num_draws=8000, num_warmup=800,
 
 def run_schools_100(n_chains=32768, n_ticks=2000, num_warmup=400,
                     max_depth=8, seed=0, use_pallas=None,
+                    paired=True,
                     validate_chains=2048, validate_draws=1536,
                     xla_compare=True, gates=True, n_schools=100,
                     chunk_ticks=None):
@@ -346,7 +347,7 @@ def run_schools_100(n_chains=32768, n_ticks=2000, num_warmup=400,
             max_depth=max_depth, inv_mass_diag=inv_mass, collect_idx=0,
             chunk_ticks=(None if chunk_ticks is None
                          else min(chunk_ticks, n_ticks)),
-            use_pallas=use_pallas)
+            use_pallas=use_pallas, paired=paired)
 
     t_c = time.time()
     values, hist, hcnt, cnt, stats = run(warm_flat, k_run)
@@ -490,6 +491,21 @@ def main(small=False, div=None, tick_div=None, warm_div=1,
             # 512 draws leaves split-R-hat at its small-sample noise
             # floor (measured 1.0203 vs the 1.01 gate with clean
             # moments); 1536 draws is the gate-capable budget
+            validate_draws=max(16, 1536 // tick_div),
+            use_pallas=None if not small else False, gates=gates,
+            xla_compare=not small))
+    if "schools_254" in targets:
+        # d = 256 at FULL max_depth=8 — the headline beyond-old-envelope
+        # validation (README/RESULTS claim). Driver-reproducible here
+        # (ADVICE r4 item 1):
+        #   python -c "import benchmarks.bench_nuts_fused as b; \
+        #              b.main(targets=('schools_254',))"
+        # Compile through the tunnel is ~2 min at d=256; budget for it.
+        rows.append(run_schools_100(
+            n_schools=254, max_depth=8,
+            n_chains=max(64, 32768 // div), n_ticks=2000 // tick_div,
+            num_warmup=400 // warm_div,
+            validate_chains=max(32, 2048 // div),
             validate_draws=max(16, 1536 // tick_div),
             use_pallas=None if not small else False, gates=gates,
             xla_compare=not small))

@@ -578,9 +578,15 @@ def synthesize(counts, peaks, meas):
         ach, frac = mfu(n["flops"], m["us_per_tick"], m["n_chains"])
         rows.append((label, n, m["us_per_tick"], m["n_chains"], ach, frac))
 
+    # CONVENTION (ADVICE r4): the last column divides an ops/sec rate by
+    # fma_peak_flops, which counts 2 FLOPs per fused-multiply-add issue
+    # slot. For op mixes dominated by single-slot selects/compares this
+    # UNDER-reports true issue-slot utilization by up to 2x — the column
+    # is a conservative lower bound labeled accordingly, not a claim that
+    # selects dual-issue.
     print("\n| config | flops/chain/tick | transc | pred/sel | chains | "
           "us/tick | achieved FLOP/s | % FMA peak (flops) | "
-          "% issue peak (all ops) |")
+          "% of 2x-FMA-FLOP peak (all ops; lower bound on issue util) |")
     print("|---|---|---|---|---|---|---|---|---|")
     for name, c, t, nc, ach, frac in rows:
         util = (c["vpu_ops"] * nc / (t * 1e-6)) / peaks["fma_peak_flops"]

@@ -128,3 +128,74 @@ def lowrank_whiten_logp(logp, sqrt_d, U, sk, s0):
         return logp(lowrank_transform(sqrt_d, U, sk, s0, y))
 
     return logp_w
+
+
+# -- partial selections (round 5, VERDICT r4 item 9) --------------------------
+# With a partial selection the flat engines freeze the unselected
+# coordinates (inv_mass 0, per-chain conditioning values riding in kernel
+# state). A structured metric must then whiten ONLY the free subspace and
+# be exactly the identity on the frozen one — otherwise the transform
+# would remix each chain's conditioning values. Two properties make this
+# compatible with the kernels unchanged:
+#   * dense: embed chol(cov_free) at the (sorted) free indices of an
+#     identity matrix — the result is still lower-triangular, the frozen
+#     rows are e_i (identity pass-through), and ``L @ y`` stages through
+#     scalarize as a plain unrolled matmul (no gathers);
+#   * lowrank: zero the frozen rows of U and set sqrt_d = 1 there, then
+#     blend ``x = mask * A y + (1 - mask) * y`` with the constant 0/1
+#     mask — elementwise, stages fine.
+# Frozen coordinates keep inv_mass 0 in the whitened space (identity
+# there, so freezing y_i IS freezing x_i). Estimation uses only the free
+# columns: the frozen columns DO vary across chains (each chain's own
+# conditioning values), and a full-matrix estimate would hallucinate
+# couplings to them.
+
+def partial_dense_chol(flat, free_idx, d, jitter_rel: float = 1e-5):
+    """Identity-embedded Cholesky factor for a partial selection: the
+    (sorted) ``free_idx`` block is chol of the free-subset cross-chain
+    covariance; every other row/column is identity."""
+    import numpy as np
+    free_idx = np.asarray(free_idx)
+    assert np.all(np.diff(free_idx) > 0), "free_idx must be sorted"
+    L_sub = dense_mass_chol(jnp.asarray(flat)[:, free_idx], jitter_rel)
+    L = jnp.eye(d, dtype=L_sub.dtype)
+    return L.at[jnp.ix_(free_idx, free_idx)].set(L_sub)
+
+
+def partial_lowrank_factors(flat, free_idx, d, k: int,
+                            inv_mass_diag=None):
+    """Diag + rank-k factors estimated on the free subset and embedded at
+    the full dimension: U rows and sqrt_d entries off ``free_idx`` are
+    zeroed/one'd, so :func:`partial_lowrank_transform` is the identity on
+    frozen coordinates. ``inv_mass_diag``: FULL-d diagonal (frozen
+    entries 0, as the ChEES warmup returns for partial selections)."""
+    import numpy as np
+    free_idx = np.asarray(free_idx)
+    sub_inv = (None if inv_mass_diag is None
+               else jnp.asarray(inv_mass_diag)[free_idx])
+    sqrt_d_f, U_f, sk, s0 = lowrank_mass_factors(
+        jnp.asarray(flat)[:, free_idx], k, inv_mass_diag=sub_inv)
+    sqrt_d = jnp.ones((d,), jnp.float32).at[free_idx].set(sqrt_d_f)
+    U = jnp.zeros((d, U_f.shape[1]), jnp.float32).at[free_idx].set(U_f)
+    mask = jnp.zeros((d,), jnp.float32).at[free_idx].set(1.0)
+    return sqrt_d, U, sk, s0, mask
+
+
+def partial_lowrank_transform(sqrt_d, U, sk, s0, mask, y):
+    x = lowrank_transform(sqrt_d, U, sk, s0, y)
+    return mask * x + (1.0 - mask) * y
+
+
+def partial_lowrank_inverse_transform(sqrt_d, U, sk, s0, mask, x):
+    y = lowrank_inverse_transform(sqrt_d, U, sk, s0, x)
+    return mask * y + (1.0 - mask) * x
+
+
+def partial_lowrank_whiten_logp(logp, sqrt_d, U, sk, s0, mask):
+    sqrt_d, U = jnp.asarray(sqrt_d), jnp.asarray(U)
+    sk, s0, mask = jnp.asarray(sk), jnp.asarray(s0), jnp.asarray(mask)
+
+    def logp_w(y):
+        return logp(partial_lowrank_transform(sqrt_d, U, sk, s0, mask, y))
+
+    return logp_w

@@ -107,6 +107,12 @@ def _free_mask_layout(one_trace, observations, selection):
     return full_sel, mask, jnp.asarray(sel_idx), len(sel_idx) != off
 
 
+def np_idx(sel_idx):
+    """Static (host) index array for the partial-metric embedding."""
+    import numpy as np
+    return np.asarray(sel_idx)
+
+
 def _auto_engine(one_trace, observations, selection,
                  num_chains) -> Tuple[str, str]:
     """``engine="auto"`` dispatch: the fused Pallas FSM-NUTS engine
@@ -154,7 +160,7 @@ def _auto_engine(one_trace, observations, selection,
 
 
 def _maybe_dense(mass, target, warm_flat, winfo, k_warm, num_warmup,
-                 target_accept, mass_rank=8):
+                 target_accept, mass_rank=8, sel_idx=None, free_mask=None):
     """Structured-metric plumbing for the fused engines: returns
     (logp, inv_mass_diag, to_x_or_None, values0) where ``to_x`` maps
     whitened draws back to model coordinates (None for the diagonal
@@ -162,41 +168,65 @@ def _maybe_dense(mass, target, warm_flat, winfo, k_warm, num_warmup,
     cross-chain covariance (stages d^2 residual scalars — d <~ 30);
     ``mass="lowrank"`` uses the diag + rank-``mass_rank`` metric
     (d*k scalars — covers the kernels' full dimension envelope). See
-    gen_tpu/inference/mass.py."""
+    gen_tpu/inference/mass.py.
+
+    ``sel_idx``/``free_mask`` (partial selections, round 5): the metric
+    is estimated on the FREE subset only and embedded as the identity on
+    the frozen coordinates (mass.partial_*) — the transform never mixes
+    each chain's conditioning values, and the whitened-space inverse
+    mass keeps the frozen coordinates pinned at 0."""
     import functools
     d = warm_flat.shape[1]
+    partial = sel_idx is not None
+    ones_w = (jnp.ones((d,), jnp.float32) if not partial
+              else jnp.asarray(free_mask, jnp.float32))
     if mass == "diag":
         return target.logp, winfo["inv_mass"], None, warm_flat
     if mass == "dense":
-        from .mass import dense_mass_chol, unwhiten, whiten, whiten_logp
+        from .mass import (dense_mass_chol, partial_dense_chol, unwhiten,
+                           whiten, whiten_logp)
         if d * d > 900:
             raise ValueError(
                 f"mass='dense' stages d^2 = {d * d} residual scalars into "
                 "the fused kernel, above the scalarization cap; use "
                 "mass='lowrank' (diag + rank-k metric) for d this large")
-        L = dense_mass_chol(warm_flat)
-        return (whiten_logp(target.logp, L), jnp.ones((d,), jnp.float32),
+        L = (partial_dense_chol(warm_flat, sel_idx, d) if partial
+             else dense_mass_chol(warm_flat))
+        return (whiten_logp(target.logp, L), ones_w,
                 functools.partial(unwhiten, L), whiten(L, warm_flat))
     if mass == "lowrank":
+        if partial:
+            from .mass import (partial_lowrank_factors,
+                               partial_lowrank_inverse_transform,
+                               partial_lowrank_transform,
+                               partial_lowrank_whiten_logp)
+            import numpy as np
+            k = min(mass_rank, len(np.asarray(sel_idx)) - 1)
+            f = partial_lowrank_factors(warm_flat, sel_idx, d, k,
+                                        inv_mass_diag=winfo["inv_mass"])
+            return (partial_lowrank_whiten_logp(target.logp, *f), ones_w,
+                    functools.partial(partial_lowrank_transform, *f),
+                    partial_lowrank_inverse_transform(*f, warm_flat))
         from .mass import (lowrank_inverse_transform, lowrank_mass_factors,
                            lowrank_transform, lowrank_whiten_logp)
         f = lowrank_mass_factors(warm_flat, min(mass_rank, d - 1),
                                  inv_mass_diag=winfo["inv_mass"])
-        return (lowrank_whiten_logp(target.logp, *f),
-                jnp.ones((d,), jnp.float32),
+        return (lowrank_whiten_logp(target.logp, *f), ones_w,
                 functools.partial(lowrank_transform, *f),
                 lowrank_inverse_transform(*f, warm_flat))
     raise ValueError(
         f"unknown mass {mass!r} (use 'diag', 'dense' or 'lowrank')")
 
 
-def _dense_rewarmup(logp_w, ys0, key, num_warmup, target_accept):
+def _dense_rewarmup(logp_w, ys0, key, num_warmup, target_accept,
+                    free_mask=None):
     """Short step-size re-adaptation in whitened coordinates."""
     from .chees import chees_warmup_flat
     return chees_warmup_flat(
         key, jax.value_and_grad(logp_w), ys0,
         num_warmup=max(50, num_warmup // 2), num_samples=1,
-        target_accept=target_accept, adapt_mass=False)
+        target_accept=target_accept, adapt_mass=False,
+        free_mask=free_mask)
 
 
 def _sample_mixed(model, args, observations, traces, one_trace, k_run, *,
@@ -318,7 +348,10 @@ def sample_posterior(key, model: GenerativeFunction, args: Tuple,
     coordinates frozen (inverse mass 0), so each chain conditions on its
     own generate-sampled values — the same semantics as the per-chain
     ``nuts`` engine; only the selected addresses are returned.
-    (Structured mass metrics still require a full selection.)
+    Structured mass metrics compose with partial selections (round 5):
+    the metric is estimated on the free subset only and embedded as the
+    identity on the frozen coordinates (:mod:`gen_tpu.inference.mass`
+    ``partial_*``), so each chain's conditioning values are never mixed.
     ``info["engine"]`` records which engine actually ran;
     ``engine="auto"`` additionally sets ``info["engine_reason"]`` and
     emits a one-line warning when it falls back to the XLA path (the
@@ -460,11 +493,6 @@ def sample_posterior(key, model: GenerativeFunction, args: Tuple,
         from .target import FlatTarget
         full_sel, free_mask, sel_idx, partial = _free_mask_layout(
             one_trace, observations, selection)
-        if partial and mass != "diag":
-            raise ValueError(
-                "structured mass metrics (mass='dense'/'lowrank') are not "
-                "supported with a partial selection (whitening would mix "
-                "frozen conditioning coordinates into the free subspace)")
         if num_chains < 2:
             raise ValueError("engine='hmc_fused' warms up with ChEES and "
                              "needs num_chains >= 2")
@@ -489,12 +517,15 @@ def sample_posterior(key, model: GenerativeFunction, args: Tuple,
         target = FlatTarget(one_trace, full_sel)
         logp_use, inv_mass_use, to_x, warm_flat = _maybe_dense(
             mass, target, warm_flat, winfo, k_warm, num_warmup,
-            target_accept, mass_rank)
+            target_accept, mass_rank,
+            sel_idx=(np_idx(sel_idx) if partial else None),
+            free_mask=free_mask if partial else None)
         if to_x is not None:
             # keep the re-warmed POPULATION too — the 50+ whitened ChEES
             # iterations are real warmup, not just eps adaptation
             _, warm_flat, winfo2 = jax.jit(lambda y, k: _dense_rewarmup(
-                logp_use, y, k, num_warmup, target_accept))(
+                logp_use, y, k, num_warmup, target_accept,
+                free_mask=free_mask if partial else None))(
                 warm_flat, jax.random.fold_in(k_warm, 99))
             eps_adapted = float(winfo2["step_size"])
             n_leap = max(1, int(winfo2["num_leapfrogs"]))
@@ -522,11 +553,6 @@ def sample_posterior(key, model: GenerativeFunction, args: Tuple,
         from .target import FlatTarget
         full_sel, free_mask, sel_idx, partial = _free_mask_layout(
             one_trace, observations, selection)
-        if partial and mass != "diag":
-            raise ValueError(
-                "structured mass metrics (mass='dense'/'lowrank') are not "
-                "supported with a partial selection (whitening would mix "
-                "frozen conditioning coordinates into the free subspace)")
         if num_chains < 2:
             raise ValueError("engine='nuts_fused' warms up with ChEES and "
                              "needs num_chains >= 2")
@@ -550,16 +576,21 @@ def sample_posterior(key, model: GenerativeFunction, args: Tuple,
         del d
         logp_use, inv_mass_use, to_x, warm_flat = _maybe_dense(
             mass, target, warm_flat, winfo, k_warm, num_warmup,
-            target_accept, mass_rank)
+            target_accept, mass_rank,
+            sel_idx=(np_idx(sel_idx) if partial else None),
+            free_mask=free_mask if partial else None)
         if to_x is not None:
             _, warm_flat, winfo2 = jax.jit(lambda y, k: _dense_rewarmup(
-                logp_use, y, k, num_warmup, target_accept))(
+                logp_use, y, k, num_warmup, target_accept,
+                free_mask=free_mask if partial else None))(
                 warm_flat, jax.random.fold_in(k_warm, 99))
             eps_adapted = float(winfo2["step_size"])
+        # paired=True: the pair-scheduled kernel (ops/nuts_fused.py
+        # _kernel_pair) — same NUTS semantics, ~1.6-2x throughput
         _, hist, hcnt, cnt, fstats = nuts_chains_fused_chunked(
             k_run2, logp_use, warm_flat, num_ticks=ticks,
             eps=eps_adapted, max_depth=max_depth,
-            inv_mass_diag=inv_mass_use, collect_idx=None)
+            inv_mass_diag=inv_mass_use, collect_idx=None, paired=True)
         if to_x is not None:
             hist = to_x(hist)                 # (ticks, n, d), d last
         m = int(jnp.min(cnt))

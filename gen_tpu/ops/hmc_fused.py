@@ -84,15 +84,23 @@ def _normals(n_planes, plane_shape):
 
 
 def _kernel(n_steps, L, eps, eps_jitter, collect_idx, n_res, staged,
-            injected, has_stream, *refs):
+            injected, has_stream, stream_hbm, *refs):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     refs = list(refs)
+    if stream_hbm:
+        # HBM-tiled dataset: the table rides in HBM (memory_space=ANY)
+        # and streams through an SMEM scratch tile + DMA semaphore
+        # appended after the outputs (scalarize._stream_loop_hbm)
+        sem_ref = refs.pop()
+        scratch_ref = refs.pop()
     v_ref, seed_ref, res_ref, mass_ref = refs[:4]
     refs = refs[4:]
     # SMEM-resident dataset for streamed (non-collapsible) likelihoods
     data_ref = refs.pop(0) if has_stream else None
+    if stream_hbm:
+        data_ref = ("hbm", data_ref, scratch_ref, sem_ref)
     if injected:
         # host-side PRNG substitute: per-step step sizes / momenta normals /
         # accept uniforms are precomputed inputs — the kernel logic is
@@ -198,8 +206,15 @@ def auto_tile_hmc(n: int, d: int) -> int:
     tile=8192 regresses (236 us) and larger d is unmeasured, so the auto
     rule stays inside the measured regime; pass ``tile=`` to override.
     The FSM-NUTS kernel measured best at 1024 at every size tried
-    (136/139/141/159 us/tick for 1k/2k/4k/8k at d=10) and keeps it."""
-    if d <= 16 and n >= 4096:
+    (136/139/141/159 us/tick for 1k/2k/4k/8k at d=10) and keeps it.
+
+    The 4096 promotion additionally requires the padding waste to be
+    negligible (ADVICE r4): a non-multiple n pads up to 4095 dead chains
+    per call and quadruples the per-step history VMEM, so mid-size chain
+    counts like n=6000 would REGRESS under the blanket rule — promote
+    only when n is a multiple of 4096 or large enough (>= 16 tiles) that
+    the dead-chain fraction is < ~6%."""
+    if d <= 16 and n >= 4096 and (n % 4096 == 0 or n >= 16 * 4096):
         return 4096
     return _DEF_TILE
 
@@ -318,9 +333,18 @@ def hmc_chains_fused(key, logp: Callable, values0, n_steps: int,
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM)]
     inputs = [planes, seed, res_consts, inv_mass]
+    scratch_shapes = []
     if has_stream:
-        # the streamed dataset rides in SMEM next to the residual scalars
-        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        if staged.stream_hbm:
+            # oversized dataset: stays in HBM, streamed through an SMEM
+            # scratch tile by in-kernel DMA (scalarize._stream_loop_hbm)
+            in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+            scratch_shapes = [
+                pltpu.SMEM(staged.stream_scratch_shape, jnp.float32),
+                pltpu.SemaphoreType.DMA]
+        else:
+            # the dataset rides in SMEM next to the residual scalars
+            in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         inputs.append(staged.stream_data)
     if injected_rng is not None:
         eps_steps, z_all, u_all = injected_rng
@@ -351,10 +375,12 @@ def hmc_chains_fused(key, logp: Callable, values0, n_steps: int,
                           float(eps_jitter),
                           None if collect_idx is None else int(collect_idx),
                           res_consts.shape[0], staged,
-                          injected_rng is not None, has_stream),
+                          injected_rng is not None, has_stream,
+                          bool(has_stream and staged.stream_hbm)),
         grid=(grid,),
         # state planes donate their HBM buffer to the final-state output
         input_output_aliases={0: 1},
+        scratch_shapes=scratch_shapes,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
         out_shape=(out_shape,
                    jax.ShapeDtypeStruct((d, SUB, cols), jnp.float32),
@@ -510,9 +536,12 @@ def check_vmem_envelope(kernel: str, d: int, tile: int, max_depth: int = 0,
             f"{kernel}_fused estimated VMEM footprint {est / 2**20:.1f} MB "
             f"(d={d}, tile={tile}"
             + (f", max_depth={max_depth}" if kernel != "hmc" else "")
-            + f") exceeds the ~{budget_bytes / 2**20:.0f} MB Mosaic "
-            "scoped-VMEM envelope (tile=1024 is already the minimum). "
-            "Reduce d"
+            + f") exceeds the ~{budget_bytes / 2**20:.0f} MB scoped-VMEM "
+            "BUDGET (an estimator calibrated against measured aborts "
+            "under the old 16 MiB default; no post-raise hardware abort "
+            "has been observed, so rejections just above the probed "
+            "maxima are model-extrapolated — see the docstring table). "
+            "tile=1024 is already the minimum. Reduce d"
             + (", lower max_depth (packed checkpoints cost max_depth-1 "
                "planes)," if kernel != "hmc" else "")
             + " or use the XLA path (use_pallas=False)."

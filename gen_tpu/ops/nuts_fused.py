@@ -97,6 +97,8 @@ def nuts_chains_fused_chunked(key, logp, values0, num_ticks: int,
     ci = kw.get("collect_idx", 0)
     tile = kw.get("tile", _DEF_TILE)
     per_tick = (d + 1 if ci is None else 2) * tile * 4
+    if kw.get("paired"):
+        per_tick = (per_tick + 1) // 2    # one history row per PAIR
     if chunk_ticks is None:
         # the history chunk and the kernel's live state share ONE scoped-
         # VMEM budget; the history block is double-buffered (counts 2x,
@@ -166,6 +168,8 @@ def nuts_collect_draws(key, logp, values0, num_draws: int, eps: float,
     tile = kw.get("tile", _DEF_TILE)
     if chunk_ticks is None:
         per_tick = (d + 1 if ci is None else 2) * tile * 4
+        if kw.get("paired"):
+            per_tick = (per_tick + 1) // 2   # one history row per PAIR
         chunk_ticks = _nuts_chunk_ticks(d, tile, kw.get("max_depth", 8),
                                         per_tick, 4096, VMEM_LIMIT - (4 << 20))
     if max_ticks is None:
@@ -219,15 +223,20 @@ def nuts_collect_draws(key, logp, values0, num_draws: int, eps: float,
 
 
 def _kernel(num_ticks, max_depth, eps, div_threshold, collect_idx, n_res,
-            staged, injected, has_stream, *refs):
+            staged, injected, has_stream, stream_hbm, *refs):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     refs = list(refs)
+    if stream_hbm:
+        sem_ref = refs.pop()
+        scratch_ref = refs.pop()
     v_ref, seed_ref, res_ref, mass_ref = refs[:4]
     refs = refs[4:]
     # SMEM-resident dataset for streamed (non-collapsible) likelihoods
     data_ref = refs.pop(0) if has_stream else None
+    if stream_hbm:
+        data_ref = ("hbm", data_ref, scratch_ref, sem_ref)
     if injected:
         (z_ref, u4_ref,
          out_ref, outc_ref, vout_ref, cnt_ref, stat_ref) = refs
@@ -317,43 +326,50 @@ def _kernel(num_ticks, max_depth, eps, div_threshold, collect_idx, n_res,
         return jnp.where(c[None], a, b)
 
     # state tuple layout (all planes; d-vectors are (d, 8, tc)):
+    # cur_logp / cur_grad are NOT carried: at every fresh tick they are
+    # identical to the candidate planes clp/cg (the trajectory-finish
+    # write sets cur <- cand, and cand is untouched until the next
+    # trajectory's first take overwrites it), so fresh inits read the
+    # candidate planes directly — one fewer carried d-plane and five
+    # fewer per-tick d-plane selects, value-identical (the interpret-mode
+    # tick-exactness tests pin this).
     state = (
-        v0, lp0, g0,                       # 0-2  cur theta/logp/grad
-        i0,                                # 3    count
-        f0,                                # 4    energy0
-        v0, zd, g0,                        # 5-7  left theta/r/grad
-        v0, zd, g0,                        # 8-10 right theta/r/grad
-        zd,                                # 11   rho_tree
-        v0, lp0, g0,                       # 12-14 cand theta/logp/grad
-        f0,                                # 15   logw_tree
-        i0,                                # 16   depth
-        f0,                                # 17   alpha_sum
-        i0,                                # 18   nlf
-        f0 + eps,                          # 19   dir_eps
-        i0,                                # 20   sub_n
+        v0,                                # 0    cur theta (emitted sample)
+        i0,                                # 1    count
+        f0,                                # 2    energy0
+        v0, zd, g0,                        # 3-5  left theta/r/grad
+        v0, zd, g0,                        # 6-8  right theta/r/grad
+        zd,                                # 9    rho_tree
+        v0, lp0, g0,                       # 10-12 cand theta/logp/grad
+        f0,                                # 13   logw_tree
+        i0,                                # 14   depth
+        f0,                                # 15   alpha_sum
+        i0,                                # 16   nlf
+        f0 + eps,                          # 17   dir_eps
+        i0,                                # 18   sub_n
         # num_leaves as f32 exp2(depth): Mosaic rejects vector-shift
         # amounts (left_shift by a per-lane int plane); 2^depth is exact
         # in f32 for every reachable depth
-        f0 + 1.0,                          # 21   num_leaves
-        v0, zd, g0,                        # 22-24 pt theta/r/grad
-        zd,                                # 25   rho_sub
-        v0, lp0, g0,                       # 26-28 cand_sub theta/logp/grad
-        ninf,                              # 29   logw_sub
-        # 30: packed U-turn checkpoints — ONLY levels 1..max_depth-1 are
+        f0 + 1.0,                          # 19   num_leaves
+        v0, zd, g0,                        # 20-22 pt theta/r/grad
+        zd,                                # 23   rho_sub
+        v0, lp0, g0,                       # 24-26 cand_sub theta/logp/grad
+        ninf,                              # 27   logw_sub
+        # 28: packed U-turn checkpoints — ONLY levels 1..max_depth-1 are
         # live (a level-k block can only COMPLETE inside a subtree of
         # >= 2^k leapfrogs, and subtrees have at most 2^(max_depth-1):
         # the level-max_depth ends-test never fires, and slot 0 was never
         # used), each level's (r, rho-sum) pair bf16x2-packed in one
         # int32 plane: 2*(max_depth+1) f32 planes -> (max_depth-1) planes
         tuple(izd for _ in range(max(max_depth - 1, 0))),
-        f0, f0, i0,                        # 31-33 accept_sum/depth_sum/div
+        f0, f0, i0,                        # 29-31 accept_sum/depth_sum/div
         # fresh carried as int32 0/1: bool planes in a fori carry fail
         # Mosaic legalization (scf.for with i1 vector carries)
-        i0 + 1,                            # 35   fresh
+        i0 + 1,                            # 32   fresh
     )
 
     def tick(t, s):
-        (cur_t, cur_lp, cur_g, count, energy0, lt, lr, lg, rt, rr, rg,
+        (cur_t, count, energy0, lt, lr, lg, rt, rr, rg,
          rho_t, ct, clp, cg, lwt, depth, asum, nlf, de, sn, nl,
          ptv, pr, pg, rs, cs, cslp, csg, lws, ck,
          acc_sum, depth_sum, div, fresh_i) = s
@@ -375,20 +391,22 @@ def _kernel(num_ticks, max_depth, eps, div_threshold, collect_idx, n_res,
         u_take = jnp.maximum(u_take, tiny)
         u_bias = jnp.maximum(u_bias, tiny)
 
-        # -- trajectory init (masked): momentum refresh at cur_theta ------
+        # -- trajectory init (masked): momentum refresh at cur_theta.
+        # ct == cur_t, clp/cg == logp/grad at cur_t wherever fresh (see
+        # state-layout note), so candidate planes double as the "current
+        # point" source; cand/cand_sub value inits are skipped entirely —
+        # cand_sub is dead until the new subtree's first take (lws = -inf
+        # makes it unconditional), and cand carries over unchanged.
         r0 = scale_mass(z_t)
         dir0 = jnp.where(u_dir0 < 0.5, feps, -feps)
-        energy0 = w1(fresh, cur_lp - kinetic(r0), energy0)
-        lt = wd(fresh, cur_t, lt)
+        energy0 = w1(fresh, clp - kinetic(r0), energy0)
+        lt = wd(fresh, ct, lt)
         lr = wd(fresh, r0, lr)
-        lg = wd(fresh, cur_g, lg)
-        rt = wd(fresh, cur_t, rt)
+        lg = wd(fresh, cg, lg)
+        rt = wd(fresh, ct, rt)
         rr = wd(fresh, r0, rr)
-        rg = wd(fresh, cur_g, rg)
+        rg = wd(fresh, cg, rg)
         rho_t = wd(fresh, r0, rho_t)
-        ct = wd(fresh, cur_t, ct)
-        clp = w1(fresh, cur_lp, clp)
-        cg = wd(fresh, cur_g, cg)
         lwt = w1(fresh, 0.0, lwt)
         depth = w1(fresh, 0, depth)
         asum = w1(fresh, 0.0, asum)
@@ -396,13 +414,10 @@ def _kernel(num_ticks, max_depth, eps, div_threshold, collect_idx, n_res,
         de = w1(fresh, dir0, de)
         sn = w1(fresh, 0, sn)
         nl = w1(fresh, 1.0, nl)
-        ptv = wd(fresh, cur_t, ptv)
+        ptv = wd(fresh, ct, ptv)
         pr = wd(fresh, r0, pr)
-        pg = wd(fresh, cur_g, pg)
+        pg = wd(fresh, cg, pg)
         rs = wd(fresh, zd, rs)
-        cs = wd(fresh, cur_t, cs)
-        cslp = w1(fresh, cur_lp, cslp)
-        csg = wd(fresh, cur_g, csg)
         lws = w1(fresh, -jnp.inf, lws)
 
         # -- block-start masks (level k live when sn % 2^k == 0) ----------
@@ -421,11 +436,13 @@ def _kernel(num_ticks, max_depth, eps, div_threshold, collect_idx, n_res,
         # state — see nuts_fsm.py / nuts.py for the direction-asymmetry bug
         # the pre-block boundary version causes. Both halves of the pair
         # (post-leapfrog r, block-start rho_sub) are known here, so each
-        # level writes ONE packed plane.
+        # level writes ONE packed plane; the pack itself is level-
+        # independent — computed ONCE per tick, not once per level (the
+        # in-loop form cost ~6x its pack arithmetic before Mosaic CSE).
+        packed = bf16_pack2(r, rs_pre)
         ck = list(ck)
         for k in range(1, max_depth):
-            ck[k - 1] = wd(starts_k[k - 1], bf16_pack2(r, rs_pre),
-                           ck[k - 1])
+            ck[k - 1] = wd(starts_k[k - 1], packed, ck[k - 1])
 
         delta = (lp - kinetic(r)) - energy0
         delta = jnp.where(jnp.isnan(delta), -jnp.inf, delta)
@@ -493,8 +510,6 @@ def _kernel(num_ticks, max_depth, eps, div_threshold, collect_idx, n_res,
 
         # ---- trajectory finish: emit sample, schedule re-init -----------
         cur_t = wd(traj_done, ct, cur_t)
-        cur_lp = w1(traj_done, clp, cur_lp)
-        cur_g = wd(traj_done, cg, cur_g)
         count = count + jnp.where(traj_done, 1, 0)
         acc_sum = acc_sum + jnp.where(
             traj_done, asum / jnp.maximum(nlf, 1).astype(jnp.float32), 0.0)
@@ -509,7 +524,7 @@ def _kernel(num_ticks, max_depth, eps, div_threshold, collect_idx, n_res,
             out_ref[pl.ds(t, 1)] = cur_t[collect_idx][None]
         outc_ref[pl.ds(t, 1)] = count[None]
 
-        return (cur_t, cur_lp, cur_g, count, energy0, lt, lr, lg, rt, rr,
+        return (cur_t, count, energy0, lt, lr, lg, rt, rr,
                 rg, rho_t, ct, clp, cg, lwt, depth_next, asum, nlf, de, sn,
                 nl,
                 ptv, pr, pg, rs, cs, cslp, csg, lws, tuple(ck),
@@ -517,26 +532,354 @@ def _kernel(num_ticks, max_depth, eps, div_threshold, collect_idx, n_res,
 
     s = jax.lax.fori_loop(0, num_ticks, tick, state)
     vout_ref[...] = s[0]
-    cnt_ref[...] = s[3]
+    cnt_ref[...] = s[1]
     # stats planes: accept_sum, depth_sum, div_count, inflight alpha_sum,
     # inflight nlf (mean_accept assembled host-side like nuts_fsm)
-    stat_ref[0] = s[31]
-    stat_ref[1] = s[32]
-    stat_ref[2] = s[33].astype(jnp.float32)
-    stat_ref[3] = s[17]
-    stat_ref[4] = s[18].astype(jnp.float32)
+    stat_ref[0] = s[29]
+    stat_ref[1] = s[30]
+    stat_ref[2] = s[31].astype(jnp.float32)
+    stat_ref[3] = s[15]
+    stat_ref[4] = s[16].astype(jnp.float32)
+
+
+def _kernel_pair(num_pairs, max_depth, eps, div_threshold, collect_idx,
+                 n_res, staged, injected, has_stream, stream_hbm, *refs):
+    """Pair-scheduled tick body: TWO leapfrogs per fori iteration with
+    subtree starts aligned to pair boundaries, so checkpoint writes run
+    only in slot 1 and the per-level U-turn ends-tests only in slot 2 —
+    the whole U-turn section (the kernel's single largest op block) runs
+    once per two leapfrogs. Semantics = inference.nuts_fsm.nuts_fsm_paired
+    pair for pair (the XLA twin; see its docstring for the alignment
+    argument); validated tick-exact in interpret mode and by the
+    bench_nuts_fused statistical gates."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    refs = list(refs)
+    if stream_hbm:
+        sem_ref = refs.pop()
+        scratch_ref = refs.pop()
+    v_ref, seed_ref, res_ref, mass_ref = refs[:4]
+    refs = refs[4:]
+    data_ref = refs.pop(0) if has_stream else None
+    if stream_hbm:
+        data_ref = ("hbm", data_ref, scratch_ref, sem_ref)
+    if injected:
+        (z_ref, u7_ref,
+         out_ref, outc_ref, vout_ref, cnt_ref, stat_ref) = refs
+    else:
+        out_ref, outc_ref, vout_ref, cnt_ref, stat_ref = refs
+
+    res = [res_ref[i] for i in range(n_res)]
+
+    def vag(v):
+        return staged.plane_vag(v, res, data_ref)
+
+    if not injected:
+        pid = pl.program_id(0).astype(jnp.uint32)
+        pltpu.prng_seed(seed_ref[0],
+                        seed_ref[1] ^ (pid * jnp.uint32(0x9E3779B9)))
+
+    v0 = v_ref[...]
+    d = v0.shape[0]
+    plane = v0.shape[1:]
+    lp0, g0 = vag(v0)
+    f0 = v0[0] * 0.0
+    i0 = f0.astype(jnp.int32)
+    b0 = f0 > 1.0
+    zd = v0 * 0.0
+    izd = (v0 * 0.0).astype(jnp.int32)
+    ninf = f0 - jnp.inf
+    feps = jnp.float32(eps)
+
+    from ..utils import sqrt_mass_safe
+    inv_plane = jnp.stack([f0 + mass_ref[i] for i in range(d)])
+    mom_plane = sqrt_mass_safe(inv_plane)
+
+    def scale_mass(z):
+        return mom_plane * z
+
+    def apply_inv_mass(r):
+        return inv_plane * r
+
+    def dot_im(a, b):
+        return jnp.sum(inv_plane * a * b, axis=0)
+
+    def kinetic(r):
+        return 0.5 * dot_im(r, r)
+
+    from ..utils import bf16_pack2, bf16_unpack2
+
+    def uturn(rho, r_a, r_b):
+        return (dot_im(rho, r_a) <= 0.0) | (dot_im(rho, r_b) <= 0.0)
+
+    def w1(c, a, b):
+        return jnp.where(c, a, b)
+
+    def wd(c, a, b):
+        return jnp.where(c[None], a, b)
+
+    # same carried layout as _kernel (cur_logp/cur_grad subsumed by the
+    # candidate planes — identical argument)
+    state = (
+        v0,                                # 0    cur theta
+        i0,                                # 1    count
+        f0,                                # 2    energy0
+        v0, zd, g0,                        # 3-5  left theta/r/grad
+        v0, zd, g0,                        # 6-8  right theta/r/grad
+        zd,                                # 9    rho_tree
+        v0, lp0, g0,                       # 10-12 cand theta/logp/grad
+        f0,                                # 13   logw_tree
+        i0,                                # 14   depth
+        f0,                                # 15   alpha_sum
+        i0,                                # 16   nlf
+        f0 + eps,                          # 17   dir_eps
+        i0,                                # 18   sub_n
+        f0 + 1.0,                          # 19   num_leaves (f32 exp2)
+        v0, zd, g0,                        # 20-22 pt theta/r/grad
+        zd,                                # 23   rho_sub
+        v0, lp0, g0,                       # 24-26 cand_sub theta/logp/grad
+        ninf,                              # 27   logw_sub
+        tuple(izd for _ in range(max(max_depth - 1, 0))),   # 28 ckpts
+        f0, f0, i0,                        # 29-31 accept_sum/depth_sum/div
+        i0 + 1,                            # 32   fresh
+    )
+
+    def pair(p, s):
+        (cur_t, count, energy0, lt, lr, lg, rt, rr, rg,
+         rho_t, ct, clp, cg, lwt, depth, asum, nlf, de, sn, nl,
+         ptv, pr, pg, rs, cs, cslp, csg, lws, ck,
+         acc_sum, depth_sum, div, fresh_i) = s
+        fresh = fresh_i != 0
+
+        if injected:
+            z_t = z_ref[p]
+            u_dir0 = u7_ref[p, 0]
+            u_take1 = u7_ref[p, 1]
+            u_bias1 = u7_ref[p, 2]
+            u_dir1 = u7_ref[p, 3]
+            u_take2 = u7_ref[p, 4]
+            u_bias2 = u7_ref[p, 5]
+            u_dir2 = u7_ref[p, 6]
+        else:
+            z_t = _normals(d, plane)
+            u_dir0 = _uniform(pltpu.prng_random_bits(plane))
+            u_take1 = _uniform(pltpu.prng_random_bits(plane))
+            u_bias1 = _uniform(pltpu.prng_random_bits(plane))
+            u_dir1 = _uniform(pltpu.prng_random_bits(plane))
+            u_take2 = _uniform(pltpu.prng_random_bits(plane))
+            u_bias2 = _uniform(pltpu.prng_random_bits(plane))
+            u_dir2 = _uniform(pltpu.prng_random_bits(plane))
+        tiny = jnp.float32(1.1754944e-38)
+        u_take1 = jnp.maximum(u_take1, tiny)
+        u_bias1 = jnp.maximum(u_bias1, tiny)
+        u_take2 = jnp.maximum(u_take2, tiny)
+        u_bias2 = jnp.maximum(u_bias2, tiny)
+
+        # -- trajectory init (masked) -------------------------------------
+        r0 = scale_mass(z_t)
+        dir0 = jnp.where(u_dir0 < 0.5, feps, -feps)
+        energy0 = w1(fresh, clp - kinetic(r0), energy0)
+        lt = wd(fresh, ct, lt)
+        lr = wd(fresh, r0, lr)
+        lg = wd(fresh, cg, lg)
+        rt = wd(fresh, ct, rt)
+        rr = wd(fresh, r0, rr)
+        rg = wd(fresh, cg, rg)
+        rho_t = wd(fresh, r0, rho_t)
+        lwt = w1(fresh, 0.0, lwt)
+        depth = w1(fresh, 0, depth)
+        asum = w1(fresh, 0.0, asum)
+        nlf = w1(fresh, 0, nlf)
+        de = w1(fresh, dir0, de)
+        sn = w1(fresh, 0, sn)
+        nl = w1(fresh, 1.0, nl)
+        ptv = wd(fresh, ct, ptv)
+        pr = wd(fresh, r0, pr)
+        pg = wd(fresh, cg, pg)
+        rs = wd(fresh, zd, rs)
+        lws = w1(fresh, -jnp.inf, lws)
+
+        # ============ slot 1 (sn even for every chain) ==================
+        rs_pre = rs
+        starts_k = []
+        for k in range(1, max_depth):
+            starts_k.append((sn & jnp.int32(2 ** k - 1)) == 0)
+
+        r1 = pr + (0.5 * de)[None] * pg
+        th1 = ptv + de[None] * apply_inv_mass(r1)
+        lp1, g1 = vag(th1)
+        r1 = r1 + (0.5 * de)[None] * g1
+
+        packed = bf16_pack2(r1, rs_pre)
+        ck = list(ck)
+        for k in range(1, max_depth):
+            ck[k - 1] = wd(starts_k[k - 1], packed, ck[k - 1])
+
+        delta1 = (lp1 - kinetic(r1)) - energy0
+        delta1 = jnp.where(jnp.isnan(delta1), -jnp.inf, delta1)
+        div1 = delta1 < -jnp.float32(div_threshold)
+        asum = asum + jnp.minimum(1.0, jnp.exp(delta1))
+        nlf = nlf + 1
+        lws_1 = jnp.logaddexp(lws, delta1)
+        take1 = jnp.log(u_take1) < delta1 - lws_1
+        cs = wd(take1, th1, cs)
+        cslp = w1(take1, lp1, cslp)
+        csg = wd(take1, g1, csg)
+        rs = rs + r1
+
+        # mid-pair subtree end: 1-leapfrog first subtree or divergence
+        m1 = (nl < 1.5) | div1
+        ok1 = ~div1
+        take_tree1 = (jnp.log(u_bias1) < lws_1 - lwt) & ok1
+        ct = wd(m1 & take_tree1, cs, ct)
+        clp = w1(m1 & take_tree1, cslp, clp)
+        cg = wd(m1 & take_tree1, csg, cg)
+        lwt = w1(m1 & ok1, jnp.logaddexp(lwt, lws_1), lwt)
+        went_right = de > 0
+        upd1 = m1 & ok1
+        rt = wd(upd1 & went_right, th1, rt)
+        rr = wd(upd1 & went_right, r1, rr)
+        rg = wd(upd1 & went_right, g1, rg)
+        lt = wd(upd1 & ~went_right, th1, lt)
+        lr = wd(upd1 & ~went_right, r1, lr)
+        lg = wd(upd1 & ~went_right, g1, lg)
+        rho_t = wd(upd1, rho_t + rs, rho_t)
+        turning_tree1 = uturn(rho_t, lr, rr)
+        traj_done1 = m1 & (div1 | turning_tree1
+                           | (depth + 1 >= max_depth))
+
+        start1 = m1 & ~traj_done1
+        depth = depth + jnp.where(start1, 1, 0)
+        new_dir1 = jnp.where(u_dir1 < 0.5, feps, -feps)
+        de = w1(start1, new_dir1, de)
+        gr1 = de > 0
+        ptv = wd(start1, wd(gr1, rt, lt), th1)
+        pr = wd(start1, wd(gr1, rr, lr), r1)
+        pg = wd(start1, wd(gr1, rg, lg), g1)
+        sn = w1(m1, 0, sn + 1)
+        nl = w1(start1, jnp.exp2(depth.astype(jnp.float32)), nl)
+        rs = wd(start1, zd, rs)
+        lws = w1(start1, -jnp.inf, lws_1)
+
+        cur_t = wd(traj_done1, ct, cur_t)
+        count = count + jnp.where(traj_done1, 1, 0)
+        acc_sum = acc_sum + jnp.where(
+            traj_done1, asum / jnp.maximum(nlf, 1).astype(jnp.float32),
+            0.0)
+        depth_sum = depth_sum + jnp.where(
+            traj_done1, depth.astype(jnp.float32) + 1.0, 0.0)
+        div = div + jnp.where(traj_done1 & div1, 1, 0)
+
+        # every slot-1 subtree-ender idles slot 2 (alignment invariant)
+        idle2 = m1
+        act = ~idle2
+
+        # ============ slot 2 (masked by idle2) ==========================
+        r2 = pr + (0.5 * de)[None] * pg
+        th2 = ptv + de[None] * apply_inv_mass(r2)
+        lp2, g2 = vag(th2)
+        r2 = r2 + (0.5 * de)[None] * g2
+        delta2 = (lp2 - kinetic(r2)) - energy0
+        delta2 = jnp.where(jnp.isnan(delta2), -jnp.inf, delta2)
+        div2 = act & (delta2 < -jnp.float32(div_threshold))
+        asum = asum + jnp.where(act,
+                                jnp.minimum(1.0, jnp.exp(delta2)), 0.0)
+        nlf = nlf + jnp.where(act, 1, 0)
+        lws_2 = w1(act, jnp.logaddexp(lws, delta2), lws)
+        take2 = act & (jnp.log(u_take2) < delta2 - lws_2)
+        cs = wd(take2, th2, cs)
+        cslp = w1(take2, lp2, cslp)
+        csg = wd(take2, g2, csg)
+        rs = wd(act, rs + r2, rs)
+
+        # the pair-boundary U-turn section (sn odd for active chains)
+        turning_sub = b0
+        for k in range(1, max_depth):
+            ends = act & (((sn + 1) & jnp.int32(2 ** k - 1)) == 0)
+            rck_k, rsck_k = bf16_unpack2(ck[k - 1])
+            block_rho = rs - rsck_k
+            turning_sub = turning_sub | (ends
+                                         & uturn(block_rho, rck_k, r2))
+
+        sub_done2 = act & (((sn + 1).astype(jnp.float32) >= nl)
+                           | turning_sub | div2)
+        ok2 = ~turning_sub & ~div2
+        take_tree2 = (jnp.log(u_bias2) < lws_2 - lwt) & ok2
+        ct = wd(sub_done2 & take_tree2, cs, ct)
+        clp = w1(sub_done2 & take_tree2, cslp, clp)
+        cg = wd(sub_done2 & take_tree2, csg, cg)
+        lwt = w1(sub_done2 & ok2, jnp.logaddexp(lwt, lws_2), lwt)
+        went_right2 = de > 0
+        upd2 = sub_done2 & ok2
+        rt = wd(upd2 & went_right2, th2, rt)
+        rr = wd(upd2 & went_right2, r2, rr)
+        rg = wd(upd2 & went_right2, g2, rg)
+        lt = wd(upd2 & ~went_right2, th2, lt)
+        lr = wd(upd2 & ~went_right2, r2, lr)
+        lg = wd(upd2 & ~went_right2, g2, lg)
+        rho_t = wd(upd2, rho_t + rs, rho_t)
+        turning_tree2 = uturn(rho_t, lr, rr)
+        traj_done2 = sub_done2 & (turning_sub | div2
+                                  | (ok2 & turning_tree2)
+                                  | (depth + 1 >= max_depth))
+
+        start2 = sub_done2 & ~traj_done2
+        depth_next = depth + jnp.where(start2, 1, 0)
+        new_dir2 = jnp.where(u_dir2 < 0.5, feps, -feps)
+        de = w1(start2, new_dir2, de)
+        gr2 = de > 0
+        ptv = wd(start2, wd(gr2, rt, lt), wd(act, th2, ptv))
+        pr = wd(start2, wd(gr2, rr, lr), wd(act, r2, pr))
+        pg = wd(start2, wd(gr2, rg, lg), wd(act, g2, pg))
+        sn = w1(act, w1(sub_done2, 0, sn + 1), sn)
+        nl = w1(start2, jnp.exp2(depth_next.astype(jnp.float32)), nl)
+        rs = wd(start2, zd, rs)
+        lws = w1(start2, -jnp.inf, lws_2)
+
+        cur_t = wd(traj_done2, ct, cur_t)
+        count = count + jnp.where(traj_done2, 1, 0)
+        acc_sum = acc_sum + jnp.where(
+            traj_done2, asum / jnp.maximum(nlf, 1).astype(jnp.float32),
+            0.0)
+        depth_sum = depth_sum + jnp.where(
+            traj_done2, depth_next.astype(jnp.float32) + 1.0, 0.0)
+        div = div + jnp.where(traj_done2 & div2, 1, 0)
+        fresh_next = (traj_done1 | traj_done2).astype(jnp.int32)
+
+        if collect_idx is None:
+            out_ref[pl.ds(p, 1)] = cur_t[None]
+        else:
+            out_ref[pl.ds(p, 1)] = cur_t[collect_idx][None]
+        outc_ref[pl.ds(p, 1)] = count[None]
+
+        return (cur_t, count, energy0, lt, lr, lg, rt, rr,
+                rg, rho_t, ct, clp, cg, lwt, depth_next, asum, nlf, de,
+                sn, nl,
+                ptv, pr, pg, rs, cs, cslp, csg, lws, tuple(ck),
+                acc_sum, depth_sum, div, fresh_next)
+
+    s = jax.lax.fori_loop(0, num_pairs, pair, state)
+    vout_ref[...] = s[0]
+    cnt_ref[...] = s[1]
+    stat_ref[0] = s[29]
+    stat_ref[1] = s[30]
+    stat_ref[2] = s[31].astype(jnp.float32)
+    stat_ref[3] = s[15]
+    stat_ref[4] = s[16].astype(jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=(
     "logp", "num_ticks", "eps", "max_depth", "collect_idx", "tile",
-    "divergence_threshold", "use_pallas", "interpret"))
+    "divergence_threshold", "use_pallas", "interpret", "paired"))
 def nuts_chains_fused(key, logp: Callable, values0, num_ticks: int,
                       eps: float, max_depth: int = 8,
                       inv_mass_diag=None, collect_idx: int = 0,
                       tile: int = _DEF_TILE,
                       divergence_threshold: float = 1000.0,
                       use_pallas: Optional[bool] = None,
-                      injected_rng=None, interpret: bool = False):
+                      injected_rng=None, interpret: bool = False,
+                      paired: bool = False):
     """Run ``num_ticks`` FSM-NUTS leapfrog ticks on (n_chains, d) values.
 
     Returns ``(values (n, d), hist (num_ticks, n), hist_counts
@@ -554,7 +897,19 @@ def nuts_chains_fused(key, logp: Callable, values0, num_ticks: int,
     tick; ``injected_rng=(z (ticks, n, d), u_dir0, u_take, u_bias, u_dir
     each (ticks, n))`` replaces the on-core PRNG for exact comparison, and
     ``interpret=True`` runs the kernel under the Pallas TPU interpreter
-    (how CI exercises it on CPU)."""
+    (how CI exercises it on CPU).
+
+    ``paired=True`` runs the pair-scheduled kernel (:func:`_kernel_pair`
+    — two leapfrogs per fori tick, subtree starts aligned to pair
+    boundaries, the U-turn section once per pair; XLA twin
+    ``inference.nuts_fsm.nuts_fsm_paired``). Identical per-trajectory
+    NUTS semantics on a different schedule: ~35% fewer VPU ops per
+    leapfrog for a few percent idle slots. The streams then have
+    ``ceil(num_ticks / 2)`` PAIR entries (counts still increase by at
+    most 1 per entry, so ``extract_completed_draws`` works unchanged);
+    ``injected_rng`` takes the 8-stream pair layout ``(z (pairs, n, d),
+    u_dir0, u_take1, u_bias1, u_dir1, u_take2, u_bias2, u_dir2 each
+    (pairs, n))``."""
     if use_pallas is None:
         from .resample import on_tpu
         use_pallas = on_tpu()
@@ -567,20 +922,30 @@ def nuts_chains_fused(key, logp: Callable, values0, num_ticks: int,
     n, d = values0.shape
     inv_mass = (jnp.ones((d,), jnp.float32) if inv_mass_diag is None
                 else jnp.asarray(inv_mass_diag, jnp.float32))
+    num_pairs = (num_ticks + 1) // 2
 
     if not use_pallas:
-        from ..inference.nuts_fsm import nuts_fsm
         vag = jax.value_and_grad(logp)
         keys = jax.random.split(key, n)
         ci = "all" if collect_idx is None else collect_idx
-        res, (hist, hist_cnt) = jax.vmap(
-            lambda kk, t: nuts_fsm(kk, vag, t, eps, num_ticks,
-                                   max_depth=max_depth,
-                                   inv_mass_diag=inv_mass,
-                                   num_sample_slots=8,
-                                   divergence_threshold=divergence_threshold,
-                                   collect_idx=ci,
-                                   ckpt_bf16=True))(keys, values0)
+        if paired:
+            from ..inference.nuts_fsm import nuts_fsm_paired
+            res, (hist, hist_cnt) = jax.vmap(
+                lambda kk, t: nuts_fsm_paired(
+                    kk, vag, t, eps, num_pairs, max_depth=max_depth,
+                    inv_mass_diag=inv_mass,
+                    divergence_threshold=divergence_threshold,
+                    collect_idx=ci, ckpt_bf16=True))(keys, values0)
+        else:
+            from ..inference.nuts_fsm import nuts_fsm
+            res, (hist, hist_cnt) = jax.vmap(
+                lambda kk, t: nuts_fsm(kk, vag, t, eps, num_ticks,
+                                       max_depth=max_depth,
+                                       inv_mass_diag=inv_mass,
+                                       num_sample_slots=8,
+                                       divergence_threshold=divergence_threshold,
+                                       collect_idx=ci,
+                                       ckpt_bf16=True))(keys, values0)
         stats = dict(mean_accept=res.mean_accept,
                      mean_depth=res.mean_depth,
                      num_divergent=res.num_divergent)
@@ -592,7 +957,8 @@ def nuts_chains_fused(key, logp: Callable, values0, num_ticks: int,
                         # +1: the completed-count stream rides next to the
                         # sample history
                         hist_planes=(d if collect_idx is None else 1) + 1,
-                        num_ticks=num_ticks)
+                        # paired mode emits one history row per PAIR
+                        num_ticks=num_pairs if paired else num_ticks)
 
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -615,67 +981,84 @@ def nuts_chains_fused(key, logp: Callable, values0, num_ticks: int,
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM)]
     inputs = [planes, seed, res_consts, inv_mass]
+    scratch_shapes = []
     if has_stream:
-        # the streamed dataset rides in SMEM next to the residual scalars
-        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        if staged.stream_hbm:
+            # oversized dataset: stays in HBM, streamed through an SMEM
+            # scratch tile by in-kernel DMA (scalarize._stream_loop_hbm)
+            in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+            scratch_shapes = [
+                pltpu.SMEM(staged.stream_scratch_shape, jnp.float32),
+                pltpu.SemaphoreType.DMA]
+        else:
+            # the dataset rides in SMEM next to the residual scalars
+            in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         inputs.append(staged.stream_data)
+    steps = num_pairs if paired else num_ticks   # fori length = stream len
+    n_u = 7 if paired else 4
     if injected_rng is not None:
-        z_all, u_dir0, u_take, u_bias, u_dir = injected_rng
+        z_all, *us = injected_rng
+        if len(us) != n_u:
+            raise ValueError(
+                f"injected_rng needs {n_u} uniform streams for "
+                f"paired={paired}, got {len(us)}")
 
         def to_plane_steps(x):
             x = jnp.asarray(x, jnp.float32)
             pad = jnp.concatenate(
-                [x, jnp.broadcast_to(x[:, :1], (num_ticks, n_pad - n)
+                [x, jnp.broadcast_to(x[:, :1], (steps, n_pad - n)
                                      + x.shape[2:])], axis=1) \
                 if n_pad != n else x
             if pad.ndim == 3:
-                return jnp.moveaxis(pad, 2, 1).reshape(num_ticks, d, SUB,
+                return jnp.moveaxis(pad, 2, 1).reshape(steps, d, SUB,
                                                        cols)
-            return pad.reshape(num_ticks, SUB, cols)
+            return pad.reshape(steps, SUB, cols)
 
         z_p = to_plane_steps(z_all)
-        u4 = jnp.stack([to_plane_steps(u) for u in
-                        (u_dir0, u_take, u_bias, u_dir)], axis=1)
-        in_specs += [pl.BlockSpec((num_ticks, d, SUB, tc),
+        u4 = jnp.stack([to_plane_steps(u) for u in us], axis=1)
+        in_specs += [pl.BlockSpec((steps, d, SUB, tc),
                                   lambda i: (0, 0, 0, i),
                                   memory_space=pltpu.VMEM),
-                     pl.BlockSpec((num_ticks, 4, SUB, tc),
+                     pl.BlockSpec((steps, n_u, SUB, tc),
                                   lambda i: (0, 0, 0, i),
                                   memory_space=pltpu.VMEM)]
         inputs += [z_p, u4]
 
     if collect_idx is None:
-        hist_shape = jax.ShapeDtypeStruct((num_ticks, d, SUB, cols),
+        hist_shape = jax.ShapeDtypeStruct((steps, d, SUB, cols),
                                           jnp.float32)
-        hist_spec = pl.BlockSpec((num_ticks, d, SUB, tc),
+        hist_spec = pl.BlockSpec((steps, d, SUB, tc),
                                  lambda i: (0, 0, 0, i),
                                  memory_space=pltpu.VMEM)
     else:
-        hist_shape = jax.ShapeDtypeStruct((num_ticks, SUB, cols),
+        hist_shape = jax.ShapeDtypeStruct((steps, SUB, cols),
                                           jnp.float32)
-        hist_spec = pl.BlockSpec((num_ticks, SUB, tc), lambda i: (0, 0, i),
+        hist_spec = pl.BlockSpec((steps, SUB, tc), lambda i: (0, 0, i),
                                  memory_space=pltpu.VMEM)
 
+    body = _kernel_pair if paired else _kernel
     out, outc, vout, cnt, stat = pl.pallas_call(
-        functools.partial(_kernel, num_ticks, int(max_depth), float(eps),
+        functools.partial(body, steps, int(max_depth), float(eps),
                           float(divergence_threshold),
                           None if collect_idx is None else int(collect_idx),
                           res_consts.shape[0], staged,
-                          injected_rng is not None, has_stream),
+                          injected_rng is not None, has_stream,
+                          bool(has_stream and staged.stream_hbm)),
         grid=(grid,),
         # the input state planes donate their HBM buffer to the
         # final-state output
         input_output_aliases={0: 2},
+        scratch_shapes=scratch_shapes,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=VMEM_LIMIT),
         out_shape=(hist_shape,
-                   jax.ShapeDtypeStruct((num_ticks, SUB, cols), jnp.int32),
+                   jax.ShapeDtypeStruct((steps, SUB, cols), jnp.int32),
                    jax.ShapeDtypeStruct((d, SUB, cols), jnp.float32),
                    jax.ShapeDtypeStruct((SUB, cols), jnp.int32),
                    jax.ShapeDtypeStruct((5, SUB, cols), jnp.float32)),
         in_specs=in_specs,
         out_specs=(hist_spec,
-                   pl.BlockSpec((num_ticks, SUB, tc), lambda i: (0, 0, i),
+                   pl.BlockSpec((steps, SUB, tc), lambda i: (0, 0, i),
                                 memory_space=pltpu.VMEM),
                    pl.BlockSpec((d, SUB, tc), lambda i: (0, 0, i),
                                 memory_space=pltpu.VMEM),
@@ -688,10 +1071,10 @@ def nuts_chains_fused(key, logp: Callable, values0, num_ticks: int,
 
     values = _from_planes(vout, n)
     if collect_idx is None:
-        hist = jnp.moveaxis(out.reshape(num_ticks, d, n_pad), 1, 2)[:, :n, :]
+        hist = jnp.moveaxis(out.reshape(steps, d, n_pad), 1, 2)[:, :n, :]
     else:
-        hist = out.reshape(num_ticks, n_pad)[:, :n]
-    hist_cnt = outc.reshape(num_ticks, n_pad)[:, :n]
+        hist = out.reshape(steps, n_pad)[:, :n]
+    hist_cnt = outc.reshape(steps, n_pad)[:, :n]
     counts = cnt.reshape(-1)[:n]
     acc_sum = stat[0].reshape(-1)[:n]
     depth_sum = stat[1].reshape(-1)[:n]

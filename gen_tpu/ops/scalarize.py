@@ -438,6 +438,115 @@ def _canon_stream(term: StreamArray):
     return cnode, planes, rows, term.length
 
 
+# HBM-tiled streaming: points per DMA tile. The SMEM scratch is
+# rows x STREAM_TILE f32 (16 KB/row at 4096) — small next to the 512 KB
+# SMEM budget, large enough that the DMA (sub-us at ~600 GB/s) vanishes
+# under the compute of 4096 points x full-tile plane ops.
+STREAM_TILE = 4096
+# Points evaluated per loop iteration as ONE (P, *plane) op block (round
+# 5): the per-point scalar loop measured 140 ns/point at 1024 chains —
+# dominated by loop/SMEM-read/vjp overhead, not the ~4 ns of VPU work per
+# point — so batching P points into rank-3 plane ops amortizes the
+# overhead P-fold while the total VPU work is unchanged. Data scalars
+# enter as (P, 1, 1) stacks (rank-2+ throughout — rank-1 intermediates
+# abort Mosaic), pad points are masked inside the block so their
+# cotangents are exactly zero.
+STREAM_BLOCK = 16
+
+
+def _block_contrib(cnode, rows, read_local, base_local, base_global, ss,
+                   length, zero):
+    """Contribution of STREAM_BLOCK consecutive points, evaluated as one
+    set of (P, *plane) ops and summed over the block axis; points at or
+    past ``length`` (edge-padded) contribute exactly zero."""
+    P = STREAM_BLOCK
+    dvals = {}
+    for r in rows:
+        dvals[r] = jnp.stack([jnp.reshape(read_local(r, base_local + u),
+                                          (1, 1)) for u in range(P)])
+    fio = jax.lax.broadcasted_iota(jnp.float32, (P, 1, 1), 0)
+    iio = jax.lax.broadcasted_iota(jnp.int32, (P, 1, 1), 0)
+    dvals["__i__"] = base_global.astype(jnp.float32) + fio
+    valid = (base_global + iio) < length
+
+    def ev(nd):
+        kind = nd[0]
+        if kind == "leaf":
+            return dvals[nd[1]]
+        if kind == "const":
+            return nd[1]
+        if kind == "index":
+            return dvals["__i__"]
+        if kind == "input":
+            return ss[nd[1]]
+        return _stream_eval(kind, nd[1], *[ev(a) for a in nd[2]])
+
+    out = (ev(cnode) + zero).astype(zero.dtype)     # (P, *plane)
+    out = jnp.where(valid, out, jnp.zeros_like(out))
+    return jnp.sum(out, axis=0)
+
+
+def _blocked_accumulate(cnode, s_vals, rows, length, read_local,
+                        blocks_fn, plane_zero, want_grad):
+    """Shared accumulator driver for the SMEM and HBM stream loops."""
+    zero = plane_zero
+
+    def one_block(base_global, base_local, accs):
+        if want_grad:
+            val, pullp = jax.vjp(
+                lambda *ss: _block_contrib(cnode, rows, read_local,
+                                           base_local, base_global, ss,
+                                           length, zero), *s_vals)
+            gs = pullp(jnp.ones_like(val))
+            return ((accs[0] + val,)
+                    + tuple(a + g for a, g in zip(accs[1:], gs)))
+        return (accs[0] + _block_contrib(cnode, rows, read_local,
+                                         base_local, base_global, s_vals,
+                                         length, zero),) + accs[1:]
+
+    accs = (zero,) + (tuple(s * 0.0 for s in s_vals) if want_grad else ())
+    return blocks_fn(one_block, accs)
+
+
+def _stream_loop_hbm(cnode, s_vals, rows, length, hs, plane_zero,
+                     unroll=32, want_grad=True):
+    """HBM-tiled variant of :func:`_stream_loop`: the data table lives in
+    HBM; tiles of STREAM_TILE points are DMA'd into an SMEM scratch
+    buffer inside the loop, then evaluated in STREAM_BLOCK-point plane
+    blocks. Padded points (table padded to whole tiles with edge values)
+    are masked out of the sum AND the vjp — the mask sits INSIDE the
+    block function, so cotangents for pad points are exactly zero and
+    flow through finite values only."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _, hbm_ref, scratch_ref, sem_ref = hs
+    n_rows, T = scratch_ref.shape
+    used_tiles = (length + T - 1) // T
+    P = STREAM_BLOCK
+
+    def read_local(r, j):
+        return scratch_ref[r, j]
+
+    def blocks_fn(one_block, accs):
+        def tile_body(t, accs):
+            copy = pltpu.make_async_copy(
+                hbm_ref.at[:, pl.ds(t * T, T)], scratch_ref, sem_ref)
+            copy.start()
+            copy.wait()
+
+            def body(b, accs):
+                return one_block(t * T + b * P, b * P, accs)
+
+            return jax.lax.fori_loop(0, T // P, body, accs)
+
+        return jax.lax.fori_loop(0, used_tiles, tile_body, accs)
+
+    accs = _blocked_accumulate(cnode, s_vals, rows, length, read_local,
+                               blocks_fn, plane_zero, want_grad)
+    return accs[0], accs[1:]
+
+
 def _stream_loop(cnode, s_vals, rows, length, data_ref, plane_zero,
                  unroll=32, want_grad=True):
     """The in-kernel data loop: stream the dataset from SMEM (dynamic
@@ -452,52 +561,28 @@ def _stream_loop(cnode, s_vals, rows, length, data_ref, plane_zero,
         raise NotImplementedError(
             "stream staging: a data-sum with no x-dependent part should "
             "have been partial-evaluated away")
+    if isinstance(data_ref, tuple) and data_ref and data_ref[0] == "hbm":
+        return _stream_loop_hbm(cnode, s_vals, rows, length, data_ref,
+                                plane_zero, unroll, want_grad)
     # the VALUE accumulator is always a full plane (anchored by
     # plane_zero); each GRADIENT accumulator matches ITS input's shape —
     # inputs may be scalars (staged residual constants entering the
-    # per-point expression), not just chain planes
-    zero = plane_zero
+    # per-point expression), not just chain planes. Evaluation runs in
+    # STREAM_BLOCK-point plane blocks (see _block_contrib) — the table is
+    # padded to a whole number of blocks at staging time.
+    P = STREAM_BLOCK
+    n_blocks = (length + P - 1) // P
 
-    def point(dvals, ss):
-        def ev(nd):
-            kind = nd[0]
-            if kind == "leaf":
-                return dvals[nd[1]]
-            if kind == "const":
-                return nd[1]
-            if kind == "index":
-                return dvals["__i__"]
-            if kind == "input":
-                return ss[nd[1]]
-            return _stream_eval(kind, nd[1], *[ev(a) for a in nd[2]])
-        out = ev(cnode)
-        # anchor to the plane shape AND dtype: under x64, np-scalar const
-        # nodes promote intermediates to f64, which would break the fori
-        # carry (f32 accumulators)
-        return (out + zero).astype(zero.dtype)
+    def read_local(r, j):
+        return data_ref[r, j]
 
-    def one_point(i, accs):
-        dvals = {r: data_ref[r, i] for r in rows}
-        dvals["__i__"] = i.astype(jnp.float32) if hasattr(i, "astype") \
-            else jnp.float32(i)
-        if want_grad:
-            val, pullp = jax.vjp(lambda *ss: point(dvals, ss), *s_vals)
-            gs = pullp(jnp.ones_like(val))
-            return ((accs[0] + val,)
-                    + tuple(a + g for a, g in zip(accs[1:], gs)))
-        return (accs[0] + point(dvals, s_vals),) + accs[1:]
+    def blocks_fn(one_block, accs):
+        def body(b, accs):
+            return one_block(b * P, b * P, accs)
+        return jax.lax.fori_loop(0, n_blocks, body, accs)
 
-    n_main = (length // unroll) * unroll
-    accs = (zero,) + (tuple(s * 0.0 for s in s_vals) if want_grad else ())
-
-    if n_main:
-        def body(j, accs):
-            for u in range(unroll):
-                accs = one_point(j * unroll + u, accs)
-            return accs
-        accs = jax.lax.fori_loop(0, n_main // unroll, body, accs)
-    for i in range(n_main, length):
-        accs = one_point(jnp.int32(i), accs)
+    accs = _blocked_accumulate(cnode, s_vals, rows, length, read_local,
+                               blocks_fn, plane_zero, want_grad)
     return accs[0], accs[1:]
 
 
@@ -563,11 +648,22 @@ class StagedLogp:
     Unpacks as the legacy 2-tuple ``plane_fn, res_consts = staged``.
     """
 
-    def __init__(self, plane_fn, res_consts, plane_vag, stream_data):
+    def __init__(self, plane_fn, res_consts, plane_vag, stream_data,
+                 stream_hbm=False):
         self.plane_fn = plane_fn
         self.res_consts = res_consts
         self.plane_vag = plane_vag
         self.stream_data = stream_data
+        # True: the table exceeds the SMEM budget and must stream from
+        # HBM through an SMEM scratch tile — the kernels bind it with
+        # memory_space=ANY plus (rows, STREAM_TILE) SMEM scratch + a DMA
+        # semaphore, and pass ("hbm", hbm_ref, scratch_ref, sem_ref) as
+        # data_ref (see _stream_loop_hbm)
+        self.stream_hbm = stream_hbm
+
+    @property
+    def stream_scratch_shape(self):
+        return (int(self.stream_data.shape[0]), STREAM_TILE)
 
     def __iter__(self):
         return iter((self.plane_fn, self.res_consts))
@@ -589,7 +685,8 @@ def stage_scalarized(logp: Callable, d: int,
     ``reduce_sum`` runs as an in-kernel streaming loop
     (:func:`_stream_loop`) with hand-assembled gradients. Data totalling
     more than ``max_stream_bytes`` (512 KB measured OK on v5e SMEM)
-    still raises.
+    streams from HBM in STREAM_TILE-point DMA tiles instead (round 5,
+    VERDICT r4 item 4) — the dataset cap becomes HBM-sized.
     """
     closed = jax.make_jaxpr(lambda x: logp(x))(jnp.zeros((d,), jnp.float32))
     eqns, const_env, invars, outvars = _inline_jaxpr(closed.jaxpr,
@@ -665,20 +762,40 @@ def stage_scalarized(logp: Callable, d: int,
         off += s
 
     # ---- stream data table: pad rows to a common length --------------
+    # Up to ``max_stream_bytes`` the table rides wholly in SMEM (512 KB
+    # measured OK on v5e). Larger datasets switch to HBM-TILED streaming
+    # (VERDICT r4 item 4): the table stays in HBM and the kernels DMA it
+    # through an SMEM scratch tile of STREAM_TILE points inside the data
+    # loop (_stream_loop_hbm) — the dataset cap becomes HBM-sized.
     stream_data = None
     stream_lengths = []
+    stream_hbm = False
     if stream_vars:
         lens = [int(np.prod(v.aval.shape)) for v in stream_vars]
         n_max = max(lens)
         total_bytes = 4 * len(lens) * n_max
-        if total_bytes > max_stream_bytes:
-            raise ValueError(
-                f"stream staging: {len(lens)} data rows x {n_max} points "
-                f"= {total_bytes // 1024} KB exceeds the "
-                f"{max_stream_bytes // 1024} KB SMEM data budget; "
-                "use the XLA path (use_pallas=False) or subsample")
+        stream_hbm = total_bytes > max_stream_bytes
+        if stream_hbm:
+            if 4 * len(lens) * STREAM_TILE > max_stream_bytes:
+                raise ValueError(
+                    f"stream staging: {len(lens)} data rows x "
+                    f"{STREAM_TILE}-point HBM tiles exceed the "
+                    f"{max_stream_bytes // 1024} KB SMEM scratch budget; "
+                    "use the XLA path (use_pallas=False)")
+            # pad to a whole number of DMA tiles; pad with each row's
+            # EDGE value (finite, in-domain) — padded points are masked
+            # out of the sums, but they still flow through the per-point
+            # DAG, and a 0.0 pad can NaN it (log/"/0"), which would then
+            # poison the masked vjp (0 * NaN)
+            n_max = ((n_max + STREAM_TILE - 1)
+                     // STREAM_TILE) * STREAM_TILE
+        else:
+            # SMEM mode: pad to a whole number of evaluation blocks
+            # (same edge-value + in-block masking contract)
+            n_max = ((n_max + STREAM_BLOCK - 1)
+                     // STREAM_BLOCK) * STREAM_BLOCK
         rows = [jnp.pad(jnp.ravel(known[v]).astype(jnp.float32),
-                        (0, n_max - ln))
+                        (0, n_max - ln), mode="edge")
                 for v, ln in zip(stream_vars, lens)]
         stream_data = jnp.stack(rows)
         stream_lengths = lens
@@ -757,7 +874,8 @@ def stage_scalarized(logp: Callable, d: int,
         grad = pull((jnp.ones_like(base), tuple(g_groups)))[0]
         return val, grad
 
-    return StagedLogp(plane_fn, res_consts, plane_vag, stream_data)
+    return StagedLogp(plane_fn, res_consts, plane_vag, stream_data,
+                      stream_hbm=stream_hbm)
 
 
 def _read_var(v, env) -> ScalarArray:

@@ -205,7 +205,8 @@ def sharded_hmc_chains_fused(key, logp, values0, n_steps: int, mesh: Mesh,
 def sharded_nuts_chains_fused(key, logp, values0, num_ticks: int, mesh: Mesh,
                               axis: str = "chains", eps: float = 0.1,
                               max_depth: int = 8, collect_idx=0,
-                              inv_mass_diag=None, use_pallas=None):
+                              inv_mass_diag=None, use_pallas=None,
+                              paired: bool = True):
     """The fused FSM-NUTS kernel (ops/nuts_fused.py) sharded over a mesh:
     same zero-collective chain-parallel structure as
     :func:`sharded_hmc_chains_fused` — each device runs the full tick loop
@@ -229,7 +230,8 @@ def sharded_nuts_chains_fused(key, logp, values0, num_ticks: int, mesh: Mesh,
         vout, hist, hcnt, cnt, stats = nuts_chains_fused(
             k, logp, vals, num_ticks=num_ticks, eps=eps,
             max_depth=max_depth, inv_mass_diag=inv_m,
-            collect_idx=collect_idx, use_pallas=use_pallas)
+            collect_idx=collect_idx, use_pallas=use_pallas,
+            paired=paired)
         return vout, hist, hcnt, cnt, (stats["mean_accept"],
                                        stats["mean_depth"],
                                        stats["num_divergent"])

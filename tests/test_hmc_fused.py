@@ -164,7 +164,12 @@ def test_scalarize_streams_data_dependent_residual():
 
     staged = stage_scalarized(logp, 2)
     assert staged.stream_data is not None
-    assert staged.stream_data.shape == (1, 5000)
+    # round 5: the table pads to a whole number of STREAM_BLOCK-point
+    # evaluation blocks (edge values, masked out of the sums)
+    from gen_tpu.ops.scalarize import STREAM_BLOCK
+    assert staged.stream_data.shape[0] == 1
+    assert staged.stream_data.shape[1] >= 5000
+    assert staged.stream_data.shape[1] % STREAM_BLOCK == 0
     # the unrolled residual stayed tiny — the dataset did NOT unroll
     assert staged.res_consts.shape[0] < 32
     res = [staged.res_consts[i]
@@ -557,3 +562,55 @@ def _run_interpret_streamed():
                                rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(coll_k), np.asarray(coll_r),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_hbm_tiled_streaming_matches_smem():
+    """Datasets past the SMEM budget stream from HBM in DMA tiles
+    (round 5, VERDICT r4 item 4): same kernel, same injected randomness
+    — the HBM-tiled run must match the SMEM-resident run (and the tables
+    pad to whole tiles with masked edge values)."""
+    import gen_tpu.ops.scalarize as S
+    import gen_tpu.ops.hmc_fused as H
+    from gen_tpu.ops.scalarize import STREAM_TILE, stage_scalarized
+
+    n = 6000
+    rng = np.random.default_rng(0)
+    xs_d = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    ys_d = jnp.asarray(0.7 * np.asarray(xs_d) - 0.4
+                       + rng.standard_t(4, n), jnp.float32)
+
+    def logp(th):
+        r = ys_d - (th[0] * xs_d + th[1])
+        return (-0.5 * jnp.sum(5.0 * jnp.log1p(r * r / 4.0))
+                - 0.5 * (th[0] ** 2 + th[1] ** 2) / 100.0)
+
+    CAP = 40 * 1024     # force HBM mode (table is 48 KB) with room for
+    st = stage_scalarized(logp, 2, max_stream_bytes=CAP)  # the scratch
+    assert st.stream_hbm
+    assert st.stream_data.shape[1] % STREAM_TILE == 0
+
+    vals0 = jnp.asarray(rng.standard_normal((64, 2)), jnp.float32) * 0.1
+    inj = (np.full((1,), 0.05, np.float32),
+           rng.standard_normal((1, 64, 2)).astype(np.float32),
+           rng.random((1, 64)).astype(np.float32))
+    v1, _, a1 = H.hmc_chains_fused(
+        jax.random.PRNGKey(0), logp, vals0, n_steps=1, L=2, eps=0.05,
+        injected_rng=inj, interpret=True)
+    orig = S.stage_scalarized
+
+    def forced(logp_, d, **kw):
+        kw["max_stream_bytes"] = CAP
+        return orig(logp_, d, **kw)
+
+    S.stage_scalarized = forced
+    H.hmc_chains_fused._clear_cache()
+    try:
+        v2, _, a2 = H.hmc_chains_fused(
+            jax.random.PRNGKey(0), logp, vals0, n_steps=1, L=2, eps=0.05,
+            injected_rng=inj, interpret=True)
+    finally:
+        S.stage_scalarized = orig
+        H.hmc_chains_fused._clear_cache()
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))

@@ -357,3 +357,164 @@ def test_collect_draws_matches_stitched_extraction():
     assert np.all(np.isfinite(got))
     np.testing.assert_allclose(got, ref[:m], rtol=1e-6, atol=1e-6)
     np.testing.assert_array_equal(np.asarray(counts) >= m, True)
+
+
+# ---- pair-scheduled kernel (paired=True) ---------------------------------
+
+def _injected_pair(key, pairs, n, d):
+    ks = jax.random.split(key, 8)
+    z = jax.random.normal(ks[0], (pairs, n, d))
+    us = [jnp.clip(jax.random.uniform(ks[i], (pairs, n)), 1e-6, 1.0 - 1e-6)
+          for i in range(1, 8)]
+    return (z, *us)
+
+
+def _reference_pair_injected(logp, values0, rng, eps, pairs, max_depth,
+                             inv_mass, collect_idx):
+    from gen_tpu.inference.nuts_fsm import nuts_fsm_paired
+    vag = jax.value_and_grad(logp)
+    n = values0.shape[0]
+    inj_chain = tuple(jnp.moveaxis(jnp.asarray(x), 0, 1) for x in rng)
+    res, (hist, hcnt) = jax.vmap(
+        lambda kk, t, *xs: nuts_fsm_paired(
+            kk, vag, t, eps, pairs, max_depth=max_depth,
+            inv_mass_diag=inv_mass, injected_rng=xs,
+            collect_idx=collect_idx, ckpt_bf16=True))(
+        jax.random.split(jax.random.PRNGKey(2), n), values0, *inj_chain)
+    return res, hist.T, hcnt.T
+
+
+def test_interpret_pair_kernel_matches_pair_twin_exactly():
+    """The pair-scheduled kernel (two leapfrogs per fori tick, subtree
+    starts aligned to pair boundaries) vs its XLA twin
+    ``nuts_fsm_paired`` on the same injected randomness: every count,
+    sample, history row, and stat must match pair for pair."""
+    with jax.enable_x64(False):
+        _run_interpret_pair()
+
+
+def _run_interpret_pair():
+    sds = jnp.array([1.0, 3.0, 0.5, 2.0])
+
+    def logp(x):
+        return (-0.5 * jnp.sum((x / sds) ** 2)
+                - 0.3 * x[0] * x[2] - 0.1 * x[1] * x[3])
+
+    n, d, pairs, max_depth = 128, 4, 40, 5
+    vals0 = jax.random.normal(KEY, (n, d)) * sds
+    inv_mass = sds ** 2
+    rng = _injected_pair(jax.random.PRNGKey(11), pairs, n, d)
+
+    vals_k, hist_k, hcnt_k, cnt_k, stats_k = nuts_chains_fused(
+        jax.random.PRNGKey(1), logp, vals0, num_ticks=2 * pairs, eps=0.45,
+        max_depth=max_depth, inv_mass_diag=inv_mass, collect_idx=2,
+        injected_rng=rng, interpret=True, paired=True)
+    res_r, hist_r, hcnt_r = _reference_pair_injected(
+        logp, vals0, rng, 0.45, pairs, max_depth, inv_mass, 2)
+
+    np.testing.assert_array_equal(np.asarray(cnt_k),
+                                  np.asarray(res_r.counts))
+    np.testing.assert_array_equal(np.asarray(hcnt_k), np.asarray(hcnt_r))
+    np.testing.assert_allclose(np.asarray(hist_k), np.asarray(hist_r),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(vals_k), np.asarray(res_r.theta),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(stats_k["mean_accept"]),
+                               np.asarray(res_r.mean_accept), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(stats_k["mean_depth"]),
+                               np.asarray(res_r.mean_depth), rtol=1e-5)
+    assert int(cnt_k.min()) > 0
+
+
+def test_pair_twin_moments_match_exact():
+    """Pair-SCHEDULE semantics (not just kernel-vs-twin): the pair twin's
+    completed draws must match exact anisotropic-Gaussian moments — the
+    multi-dim variance gate that catches stopping-rule asymmetries
+    (cf. the round-1 checkpoint-momentum bug, invisible to 1-D tests)."""
+    from gen_tpu.inference.nuts_fsm import nuts_fsm_paired
+    from gen_tpu.ops.nuts_fused import extract_completed_draws
+
+    sds = jnp.array([1.0, 3.0, 0.5])
+
+    def logp(x):
+        return -0.5 * jnp.sum((x / sds) ** 2)
+
+    vag = jax.value_and_grad(logp)
+    n, pairs = 1024, 300
+    vals0 = jax.random.normal(KEY, (n, 3)) * sds
+    keys = jax.random.split(jax.random.PRNGKey(1), n)
+    res, (hist, hcnt) = jax.jit(lambda ks, v: jax.vmap(
+        lambda kk, t: nuts_fsm_paired(
+            kk, vag, t, 0.5, pairs, max_depth=6,
+            inv_mass_diag=sds ** 2, collect_idx="all"))(ks, v))(
+        keys, vals0)
+    m = int(jnp.min(res.counts))
+    assert m > 40
+    draws = np.asarray(extract_completed_draws(
+        jnp.swapaxes(hist, 0, 1), jnp.swapaxes(hcnt, 0, 1), m))
+    dd = draws[m // 4:]
+    np.testing.assert_allclose(dd.var(axis=(0, 1)),
+                               np.asarray(sds) ** 2, rtol=0.06)
+    assert np.abs(dd.mean(axis=(0, 1)) / np.asarray(sds)).max() < 0.05
+
+
+def test_interpret_pair_frozen_coordinates():
+    """Frozen coordinates (inv_mass == 0) through the PAIR kernel: the
+    coordinate never moves and the kernel stays pair-exact vs the twin
+    with the same mask (the Gibbs-within-NUTS conditioning contract)."""
+    with jax.enable_x64(False):
+        _run_interpret_pair_frozen()
+
+
+def _run_interpret_pair_frozen():
+    sds = jnp.array([1.0, 3.0, 0.5, 2.0])
+
+    def logp(x):
+        return (-0.5 * jnp.sum((x / sds) ** 2)
+                - 0.3 * x[0] * x[2] - 0.1 * x[1] * x[2])
+
+    n, d, pairs, max_depth = 128, 4, 24, 5
+    vals0 = jax.random.normal(KEY, (n, d)) * sds
+    inv_mass = (sds ** 2).at[2].set(0.0)
+    rng = _injected_pair(jax.random.PRNGKey(3), pairs, n, d)
+
+    vals_k, hist_k, hcnt_k, cnt_k, _ = nuts_chains_fused(
+        jax.random.PRNGKey(1), logp, vals0, num_ticks=2 * pairs, eps=0.5,
+        max_depth=max_depth, inv_mass_diag=inv_mass, collect_idx=2,
+        injected_rng=rng, interpret=True, paired=True)
+    res_r, hist_r, hcnt_r = _reference_pair_injected(
+        logp, vals0, rng, 0.5, pairs, max_depth, inv_mass, 2)
+
+    np.testing.assert_allclose(np.asarray(vals_k[:, 2]),
+                               np.asarray(vals0[:, 2]), rtol=0, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(cnt_k),
+                                  np.asarray(res_r.counts))
+    np.testing.assert_array_equal(np.asarray(hcnt_k), np.asarray(hcnt_r))
+    np.testing.assert_allclose(np.asarray(vals_k), np.asarray(res_r.theta),
+                               rtol=1e-5, atol=1e-5)
+    assert int(cnt_k.min()) > 0
+
+
+def test_paired_chunked_driver_stitches():
+    """The chunked driver with paired=True: cumulative counts stitch
+    across chunk boundaries and extracted draws are finite/sane."""
+    from gen_tpu.ops.nuts_fused import (extract_completed_draws,
+                                        nuts_chains_fused_chunked)
+
+    sds = jnp.array([1.0, 2.0])
+
+    def logp(x):
+        return -0.5 * jnp.sum((x / sds) ** 2)
+
+    n, ticks = 64, 240
+    vals0 = jax.random.normal(KEY, (n, 2)) * sds
+    _, hist, hcnt, cnt, _ = nuts_chains_fused_chunked(
+        jax.random.PRNGKey(5), logp, vals0, num_ticks=ticks,
+        chunk_ticks=80, eps=0.7, max_depth=4, collect_idx=1,
+        use_pallas=False, paired=True)
+    m = int(jnp.min(cnt))
+    assert m > 10
+    np.testing.assert_array_equal(np.asarray(hcnt[-1]), np.asarray(cnt))
+    draws = np.asarray(extract_completed_draws(hist, hcnt, m))
+    assert np.all(np.isfinite(draws))
+    assert abs(draws[m // 4:].mean()) < 0.35

@@ -493,3 +493,53 @@ def test_engine_visibility_in_info():
     assert out3.info["engine"] == "chees"
     assert out3.info["engine_requested"] == "chees"
     assert "engine_reason" not in out3.info
+
+
+def test_partial_selection_with_structured_mass():
+    """Partial selections compose with mass='dense'/'lowrank' (round 5,
+    VERDICT r4 item 9): the metric is estimated on the free subset and is
+    the exact identity on the frozen coordinates (mass.partial_*), so
+    each chain still conditions on its OWN frozen values. Validation: a
+    correlated-Gaussian free block x (where a diagonal mass is a poor
+    metric) plus a frozen shift b; per-chain standardized residuals of
+    the conditional posterior x | b_i, ys must be N(0, 1), and b must
+    never move."""
+    d = 4
+    rng = np.random.default_rng(2)
+    Q, _ = np.linalg.qr(rng.standard_normal((d, d)))
+    lams = np.geomspace(1.0, 120.0, d)
+    A = jnp.asarray(np.sqrt(lams)[:, None] * Q.T, jnp.float32)
+    ys = jnp.asarray(np.asarray(A) @ rng.standard_normal(d)
+                     + rng.standard_normal(d), jnp.float32)
+    An = np.asarray(A, np.float64)
+    S = np.linalg.inv(np.eye(d) + An.T @ An)
+    sd_ex = np.sqrt(np.diag(S))
+
+    @gen
+    def model():
+        x = gt.normal(jnp.zeros(d), 1.0) @ "x"
+        b = gt.normal(0.0, 1.0) @ "b"
+        gt.normal(A @ x + b, 1.0) @ "ys"
+
+    obs = choicemap(ys=ys)
+    for engine, mass in (("hmc_fused", "dense"), ("hmc_fused", "lowrank"),
+                         ("nuts_fused", "dense")):
+        key = jax.random.PRNGKey(21)
+        n_chains = 160
+        out = sample_posterior(
+            key, model, (), obs, selection=select("x"),
+            num_chains=n_chains, num_warmup=300, num_samples=64,
+            engine=engine, mass=mass, mass_rank=2)
+        assert set(out.samples) == {"x"}, (engine, mass)
+        xs = np.asarray(out.samples["x"], np.float64)  # (draws, chains, d)
+        # per-chain frozen b from the engine's own init stream
+        k_init, _ = jax.random.split(key)
+        init_keys = jax.random.split(k_init, n_chains)
+        traces, _ = jax.vmap(
+            lambda k: model.generate(k, (), obs))(init_keys)
+        b = np.asarray(traces["b"], np.float64)          # (chains,)
+        m = (S @ (An.T @ (np.asarray(ys, np.float64)[:, None]
+                          - b[None, :]))).T              # (chains, d)
+        z = (xs - m[None, :, :]) / sd_ex[None, None, :]
+        assert abs(z.mean()) < 0.1, (engine, mass, z.mean())
+        assert abs(z.std() - 1.0) < 0.12, (engine, mass, z.std())
