@@ -47,7 +47,8 @@ from gen_tpu.ops.nuts_fused import extract_completed_draws as extract_draws
 def run_target(name, model, args, obs, sel, exact, *, n_chains, n_ticks,
                num_warmup, max_depth=8, mean_tol=0.05, sd_tol=0.06,
                target_accept=0.8, seed=0, use_pallas=None,
-               xla_compare_chains=None, paired=True):
+               xla_compare_chains=None, paired=True,
+               validate_chains=4096):
     from gen_tpu.inference.chees import chees_hmc_warmup_and_sample
     from gen_tpu.inference.target import FlatTarget
     from gen_tpu.ops.nuts_fused import (nuts_chains_fused,
@@ -122,15 +123,21 @@ def run_target(name, model, args, obs, sel, exact, *, n_chains, n_ticks,
     print(f"ESS(coord 0) = {ess/1e6:.2f}M -> {ess_s/1e6:.1f}M ESS/s "
           f"({leapfrogs_s/1e6:.0f}M leapfrog-grads/s)")
 
-    # validation: every coordinate, unbiased extracted draws
+    # validation: every coordinate, unbiased extracted draws. A CHAIN
+    # SUBSET suffices statistically (cross-chain SEs at 4096 chains are
+    # far inside the gates) and cuts the per-coordinate history fetch
+    # ~n_chains/4096-fold — at 131k chains x 6000 ticks the full-chain
+    # fetches alone were ~3 GB x d through the tunnel (round-5 fix).
+    vc = min(n_chains, validate_chains)
+    values_v = values[:vc]
     ok = True
     rhat_worst = 0.0
-    rhat_chains = min(n_chains, 2048)
+    rhat_chains = min(vc, 2048)
     for p in paths:
         lo, hi = offsets[paths.index(p)], offsets[paths.index(p) + 1]
         worst_m = worst_s = 0.0
         for c in range(lo, hi):
-            _, hist_c, hcnt_c, cnt_c, _ = run(c, values,
+            _, hist_c, hcnt_c, cnt_c, _ = run(c, values_v,
                                               jax.random.fold_in(k_run, c))
             m = int(jnp.min(cnt_c))
             if m < 8:
@@ -386,6 +393,7 @@ def run_schools_100(n_chains=32768, n_ticks=2000, num_warmup=400,
         ratio = ess_s / ess_x
         print(f"  XLA FSM @ {n_chains} chains: {el_x*1e3:.0f} ms, "
               f"{ess_x/1e6:.1f}M ESS/s -> fused/XLA = {ratio:.1f}x")
+        del hx          # device stream: free before the validation pass
 
     # full-coordinate validation (all 102): bounded-memory completed
     # draws from the XLA twin, moments + split-R-hat
@@ -397,7 +405,10 @@ def run_schools_100(n_chains=32768, n_ticks=2000, num_warmup=400,
             k_val, target.logp, values[:validate_chains],
             num_draws=validate_draws, eps=eps, max_depth=max_depth,
             inv_mass_diag=inv_mass, collect_idx=None, use_pallas=False,
-            chunk_ticks=2048)
+            # 1024-tick chunks: at d=256 the (chunk, chains, d) hist +
+            # the (draws, chains, d) buffer + the fold gather peak at
+            # ~8 GB with 2048-tick chunks — an HBM OOM on a 16 GB chip
+            chunk_ticks=1024)
         draws = np.asarray(draws, np.float64)   # (draws, chains, d)
         assert int(jnp.min(counts)) >= validate_draws, (
             "slowest chain under-delivered; raise max_ticks")

@@ -331,6 +331,147 @@ def structure_posterior_incremental(key, xs, ys, max_depth=1, n_chains=512,
     return {k: v / total for k, v in counts.items()}, float(acc)
 
 
+# -- the DIRECT (no-carry) engine: per-chain sites, full recompute ------------
+# Round-5 resolution of the round-4 "0.8x on TPU" finding (VERDICT r4
+# item 6). The measured inversion said: on v5e, streaming the carried
+# (N, B, n, n) covariance planes through HBM every sweep LOSES to cheap
+# VPU recompute. Taken to its conclusion, the TPU-optimal engine carries
+# NOTHING but the parameters: each chain picks its own replace site r
+# from the same fixed distribution (per-chain sites — better mixing than
+# the shared-r switch, and no lax.switch at all), masks a prior
+# resample of subtree(r) into its parameters, and recomputes the ROOT
+# covariance with one branchless bottom-up pass (the only plane that the
+# likelihood needs; intermediate planes are consumed immediately and
+# never touch HBM). Same invariant distribution as the incremental
+# engine: the pick distribution is state-independent, so each component
+# is plain prior-regenerate MH over a fixed selection and the sweep is a
+# fixed mixture of valid kernels (same argument as the switch engine).
+# The incremental engine remains the CPU winner (6.0x at depth 3) and
+# the reference-mechanism port; this one is the TPU production path.
+
+def _slot_prior_logits(max_depth: int):
+    N = n_slots(max_depth)
+    depths = np.array([slot_depth(c) for c in range(1, N + 1)])
+    probs = np.where(depths[:, None] < max_depth,
+                     np.asarray(NODE_DIST)[None, :],
+                     np.asarray(LEAF_DIST)[None, :])
+    return jnp.log(jnp.asarray(probs))            # (N, n_types)
+
+
+def root_cov(types, p0, p1, xs, max_depth: int):
+    """(B, n, n) ROOT covariance by one bottom-up pass; intermediate slot
+    planes are locals, never carried."""
+    N = n_slots(max_depth)
+    covs = [None] * (N + 1)
+    for c in range(N, 0, -1):
+        if 2 * c + 1 <= N:
+            covs[c] = jax.vmap(slot_cov, in_axes=(0, 0, 0, None, 0, 0))(
+                types[:, c - 1], p0[:, c - 1], p1[:, c - 1], xs,
+                covs[2 * c], covs[2 * c + 1])
+            covs[2 * c] = covs[2 * c + 1] = None
+        else:
+            covs[c] = jax.vmap(slot_cov, in_axes=(0, 0, 0, None))(
+                types[:, c - 1], p0[:, c - 1], p1[:, c - 1], xs)
+    return covs[1]
+
+
+def make_direct_sweep(max_depth: int, xs, ys, root_mass: float = 0.125):
+    N = n_slots(max_depth)
+    member = np.zeros((N, N), bool)
+    for r in range(1, N + 1):
+        member[r - 1, np.asarray(subtree_slots(r, max_depth)) - 1] = True
+    member = jnp.asarray(member)
+    logp_pick = jnp.log(jnp.asarray(pick_probs(max_depth, root_mass)))
+    prior_logits = _slot_prior_logits(max_depth)
+
+    def sweep(key, state):
+        types, p0, p1 = state["types"], state["p0"], state["p1"]
+        noise, loglik = state["noise"], state["loglik"]
+        B = types.shape[0]
+        k_r, k_t, k_p0, k_p1, k_acc, k_nz = jax.random.split(key, 6)
+
+        r_idx = jax.random.categorical(k_r, logp_pick, shape=(B,))
+        mask = member[r_idx]                           # (B, N)
+        t_prop = jax.random.categorical(
+            k_t, prior_logits[None], axis=-1,
+            shape=(B, N)).astype(jnp.int32)
+        new_types = jnp.where(mask, t_prop, types)
+        new_p0 = jnp.where(mask, jax.random.uniform(k_p0, (B, N)), p0)
+        new_p1 = jnp.where(mask, jax.random.uniform(k_p1, (B, N)), p1)
+
+        cov = root_cov(new_types, new_p0, new_p1, xs, max_depth)
+        new_loglik = jax.vmap(lambda c, nz: mvn_loglik(ys, c, nz))(
+            cov, noise)
+        accept = jnp.log(jax.random.uniform(k_acc, (B,))) < (
+            new_loglik - loglik)
+        am = accept[:, None]
+        state = dict(
+            types=jnp.where(am, new_types, types),
+            p0=jnp.where(am, new_p0, p0),
+            p1=jnp.where(am, new_p1, p1),
+            noise=noise,
+            loglik=jnp.where(accept, new_loglik, loglik),
+        )
+
+        # noise move (needs the CURRENT root cov — recompute once)
+        cov_cur = root_cov(state["types"], state["p0"], state["p1"], xs,
+                           max_depth)
+        kz, ka = jax.random.split(k_nz)
+        new_noise = jax.random.gamma(kz, 1.0, (B,))
+        nz_loglik = jax.vmap(lambda c, nz: mvn_loglik(ys, c, nz))(
+            cov_cur, new_noise)
+        acc2 = jnp.log(jax.random.uniform(ka, (B,))) < (
+            nz_loglik - state["loglik"])
+        state = dict(state,
+                     noise=jnp.where(acc2, new_noise, state["noise"]),
+                     loglik=jnp.where(acc2, nz_loglik, state["loglik"]))
+        return state, accept
+
+    return sweep
+
+
+def init_state_direct(key, xs, ys, max_depth: int, n_chains: int):
+    """Prior init WITHOUT carried covariance planes."""
+    st = init_state(key, xs, ys, max_depth, n_chains)
+    return {k: v for k, v in st.items() if k != "covs"}
+
+
+def make_direct_runner(max_depth: int, xs, ys, root_mass: float = 0.125):
+    sweep = make_direct_sweep(max_depth, xs, ys, root_mass)
+    from gp_structure_arena import active_mask
+
+    @partial(jax.jit, static_argnums=(2, 3))
+    def run(key, state, n_sweeps: int, collect: bool):
+        def body(st, k):
+            st, acc = sweep(k, st)
+            out = None
+            if collect:
+                types = st["types"]
+                act = jax.vmap(lambda t: active_mask(t, max_depth))(types)
+                out = jnp.where(act, types + 1, 0).astype(jnp.int8)
+            return st, (out, jnp.mean(acc))
+
+        state, (skels, accs) = jax.lax.scan(
+            body, state, jax.random.split(key, n_sweeps))
+        return state, skels, jnp.mean(accs)
+
+    return run
+
+
+def structure_posterior_direct(key, xs, ys, max_depth=1, n_chains=512,
+                               n_burn=400, n_collect=200,
+                               root_mass=0.125):
+    k_init, k_burn, k_run = jax.random.split(key, 3)
+    state = init_state_direct(k_init, xs, ys, max_depth, n_chains)
+    run = make_direct_runner(max_depth, xs, ys, root_mass)
+    state, _, _ = run(k_burn, state, n_burn, False)
+    state, skels, acc = run(k_run, state, n_collect, True)
+    flat = np.asarray(skels).reshape(-1, skels.shape[-1])
+    counts = Counter(map(tuple, flat.tolist()))
+    total = sum(counts.values())
+    return {k: v / total for k, v in counts.items()}, float(acc)
+
+
 # -- driver -------------------------------------------------------------------
 
 def airline_demo(seed=0, max_depth=4, n_chains=256, n_burn=800,

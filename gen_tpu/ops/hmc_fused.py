@@ -482,6 +482,15 @@ def state_plane_bytes(kernel: str, d: int, tile: int,
     # large-history chunks by exactly that overhead.
     if kernel == "hmc":
         return 12 * d * tile * 4
+    if kernel == "nuts_paired":
+        # round-5 scratch-state pair kernel: 16 f32 + (md-1) int32
+        # scratch planes + the two-leapfrog tick body's larger live
+        # temporary set. Anchored on REAL hardware aborts (the first
+        # post-cap-raise ones): d=512 md8 compiles (~22 s), d=576+
+        # aborts; d=768 reported 143.21M used of the 128M physical
+        # VMEM. Model (49 + md) planes: est(512, md8) = 114 MB OK,
+        # est(576, md8) = 128.3 MB reject.
+        return (49 + max_depth) * d * tile * 4 + 2200 * tile
     return (21 + max_depth) * d * tile * 4 + 2200 * tile
 
 

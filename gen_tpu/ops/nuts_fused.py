@@ -61,13 +61,13 @@ def extract_completed_draws(hist, hist_cnt, m: int):
 
 
 def _nuts_chunk_ticks(d, tile, max_depth, per_tick, num_ticks,
-                      vmem_budget_bytes):
+                      vmem_budget_bytes, kernel="nuts"):
     """Largest history-chunk tick count that fits next to the live kernel
     state in the scoped-VMEM budget; raises the actionable envelope error
     UP FRONT when even one tick cannot fit (ADVICE r3 — previously a
     64-tick floor pushed the failure into the first in-loop kernel call)."""
     from .hmc_fused import state_plane_bytes
-    state_b = state_plane_bytes("nuts", d, tile, max_depth)
+    state_b = state_plane_bytes(kernel, d, tile, max_depth)
     hist_budget = (vmem_budget_bytes - state_b) // 2
     if hist_budget < per_tick:
         raise ValueError(
@@ -109,9 +109,11 @@ def nuts_chains_fused_chunked(key, logp, values0, num_ticks: int,
         # collect_idx=None; small chunks are valid (just more compile/
         # launch overhead), and the truly-impossible case errors here
         # with advice instead of deep inside the chunk loop.
-        chunk_ticks = _nuts_chunk_ticks(d, tile, kw.get("max_depth", 8),
-                                        per_tick, num_ticks,
-                                        vmem_budget_bytes)
+        chunk_ticks = _nuts_chunk_ticks(
+            d, tile, kw.get("max_depth", 8), per_tick, num_ticks,
+            (124 << 20) - (4 << 20) if kw.get("paired")
+            else vmem_budget_bytes,
+            kernel="nuts_paired" if kw.get("paired") else "nuts")
     hists, hcnts = [], []
     cnt_total = jnp.zeros((n,), jnp.int32)
     acc_w = jnp.zeros((n,), jnp.float32)
@@ -170,8 +172,11 @@ def nuts_collect_draws(key, logp, values0, num_draws: int, eps: float,
         per_tick = (d + 1 if ci is None else 2) * tile * 4
         if kw.get("paired"):
             per_tick = (per_tick + 1) // 2   # one history row per PAIR
-        chunk_ticks = _nuts_chunk_ticks(d, tile, kw.get("max_depth", 8),
-                                        per_tick, 4096, VMEM_LIMIT - (4 << 20))
+        chunk_ticks = _nuts_chunk_ticks(
+            d, tile, kw.get("max_depth", 8), per_tick, 4096,
+            (124 << 20) - (4 << 20) if kw.get("paired")
+            else VMEM_LIMIT - (4 << 20),
+            kernel="nuts_paired" if kw.get("paired") else "nuts")
     if max_ticks is None:
         max_ticks = 64 * num_draws
     targets = jnp.arange(1, num_draws + 1)
@@ -559,6 +564,17 @@ def _kernel_pair(num_pairs, max_depth, eps, div_threshold, collect_idx,
     if stream_hbm:
         sem_ref = refs.pop()
         scratch_ref = refs.pop()
+    # SCRATCH-RESIDENT d-plane state (round 5, VERDICT r4 item 3): the
+    # 16 f32 + (max_depth-1) int32 d-planes live in VMEM scratch refs
+    # instead of the fori carry. Measured (synthetic 12-plane probe,
+    # v5e): Mosaic compile of a many-d-plane LOOP CARRY scales
+    # superlinearly in d (d=96: ~14 s, d=192: ~52 s) while the same
+    # state as scratch refs compiles in ~1 s — and the flattened
+    # (d*8, tc) layout hypothesis recorded in round 4 measured NO
+    # improvement (rank-2 == rank-3 carries). Only the scalar planes
+    # ride in the carry.
+    CK_ref = refs.pop()
+    S_ref = refs.pop()
     v_ref, seed_ref, res_ref, mass_ref = refs[:4]
     refs = refs[4:]
     data_ref = refs.pop(0) if has_stream else None
@@ -619,38 +635,49 @@ def _kernel_pair(num_pairs, max_depth, eps, div_threshold, collect_idx,
     def wd(c, a, b):
         return jnp.where(c[None], a, b)
 
-    # same carried layout as _kernel (cur_logp/cur_grad subsumed by the
-    # candidate planes — identical argument)
+    # scratch-plane layout (S_ref rows; cur_logp/cur_grad subsumed by the
+    # candidate planes — identical argument as _kernel)
+    CUR, LT, LR, LG, RT, RR, RG, RHO = 0, 1, 2, 3, 4, 5, 6, 7
+    CT, CG, PTV, PR, PG, RS, CS, CSG = 8, 9, 10, 11, 12, 13, 14, 15
+    for idx, val in ((CUR, v0), (LT, v0), (LR, zd), (LG, g0), (RT, v0),
+                     (RR, zd), (RG, g0), (RHO, zd), (CT, v0), (CG, g0),
+                     (PTV, v0), (PR, zd), (PG, g0), (RS, zd), (CS, v0),
+                     (CSG, g0)):
+        S_ref[idx] = val
+    for k in range(max(max_depth - 1, 0)):
+        CK_ref[k] = izd
+
+    # fori carry: SCALAR planes only (the d-planes live in S_ref/CK_ref)
     state = (
-        v0,                                # 0    cur theta
-        i0,                                # 1    count
-        f0,                                # 2    energy0
-        v0, zd, g0,                        # 3-5  left theta/r/grad
-        v0, zd, g0,                        # 6-8  right theta/r/grad
-        zd,                                # 9    rho_tree
-        v0, lp0, g0,                       # 10-12 cand theta/logp/grad
-        f0,                                # 13   logw_tree
-        i0,                                # 14   depth
-        f0,                                # 15   alpha_sum
-        i0,                                # 16   nlf
-        f0 + eps,                          # 17   dir_eps
-        i0,                                # 18   sub_n
-        f0 + 1.0,                          # 19   num_leaves (f32 exp2)
-        v0, zd, g0,                        # 20-22 pt theta/r/grad
-        zd,                                # 23   rho_sub
-        v0, lp0, g0,                       # 24-26 cand_sub theta/logp/grad
-        ninf,                              # 27   logw_sub
-        tuple(izd for _ in range(max(max_depth - 1, 0))),   # 28 ckpts
-        f0, f0, i0,                        # 29-31 accept_sum/depth_sum/div
-        i0 + 1,                            # 32   fresh
+        i0,                                # 0  count
+        f0,                                # 1  energy0
+        lp0,                               # 2  cand logp
+        f0,                                # 3  logw_tree
+        i0,                                # 4  depth
+        f0,                                # 5  alpha_sum
+        i0,                                # 6  nlf
+        f0 + eps,                          # 7  dir_eps
+        i0,                                # 8  sub_n
+        f0 + 1.0,                          # 9  num_leaves (f32 exp2)
+        lp0,                               # 10 cand_sub logp
+        ninf,                              # 11 logw_sub
+        f0, f0, i0,                        # 12-14 accept_sum/depth_sum/div
+        i0 + 1,                            # 15 fresh
     )
 
     def pair(p, s):
-        (cur_t, count, energy0, lt, lr, lg, rt, rr, rg,
-         rho_t, ct, clp, cg, lwt, depth, asum, nlf, de, sn, nl,
-         ptv, pr, pg, rs, cs, cslp, csg, lws, ck,
-         acc_sum, depth_sum, div, fresh_i) = s
+        (count, energy0, clp, lwt, depth, asum, nlf, de, sn, nl,
+         cslp, lws, acc_sum, depth_sum, div, fresh_i) = s
         fresh = fresh_i != 0
+        cur_t = S_ref[CUR]
+        lt, lr, lg = S_ref[LT], S_ref[LR], S_ref[LG]
+        rt, rr, rg = S_ref[RT], S_ref[RR], S_ref[RG]
+        rho_t = S_ref[RHO]
+        ct, cg = S_ref[CT], S_ref[CG]
+        ptv, pr, pg = S_ref[PTV], S_ref[PR], S_ref[PG]
+        rs = S_ref[RS]
+        cs, csg = S_ref[CS], S_ref[CSG]
+        ck = [CK_ref[k] for k in range(max(max_depth - 1, 0))]
 
         if injected:
             z_t = z_ref[p]
@@ -853,20 +880,27 @@ def _kernel_pair(num_pairs, max_depth, eps, div_threshold, collect_idx,
             out_ref[pl.ds(p, 1)] = cur_t[collect_idx][None]
         outc_ref[pl.ds(p, 1)] = count[None]
 
-        return (cur_t, count, energy0, lt, lr, lg, rt, rr,
-                rg, rho_t, ct, clp, cg, lwt, depth_next, asum, nlf, de,
-                sn, nl,
-                ptv, pr, pg, rs, cs, cslp, csg, lws, tuple(ck),
+        # write the d-plane state back to scratch
+        for idx, val in ((CUR, cur_t), (LT, lt), (LR, lr), (LG, lg),
+                         (RT, rt), (RR, rr), (RG, rg), (RHO, rho_t),
+                         (CT, ct), (CG, cg), (PTV, ptv), (PR, pr),
+                         (PG, pg), (RS, rs), (CS, cs), (CSG, csg)):
+            S_ref[idx] = val
+        for k in range(max(max_depth - 1, 0)):
+            CK_ref[k] = ck[k]
+
+        return (count, energy0, clp, lwt, depth_next, asum, nlf, de,
+                sn, nl, cslp, lws,
                 acc_sum, depth_sum, div, fresh_next)
 
     s = jax.lax.fori_loop(0, num_pairs, pair, state)
-    vout_ref[...] = s[0]
-    cnt_ref[...] = s[1]
-    stat_ref[0] = s[29]
-    stat_ref[1] = s[30]
-    stat_ref[2] = s[31].astype(jnp.float32)
-    stat_ref[3] = s[15]
-    stat_ref[4] = s[16].astype(jnp.float32)
+    vout_ref[...] = S_ref[CUR]
+    cnt_ref[...] = s[0]
+    stat_ref[0] = s[12]
+    stat_ref[1] = s[13]
+    stat_ref[2] = s[14].astype(jnp.float32)
+    stat_ref[3] = s[5]
+    stat_ref[4] = s[6].astype(jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -952,13 +986,17 @@ def nuts_chains_fused(key, logp: Callable, values0, num_ticks: int,
         return (res.theta, jnp.moveaxis(hist, 0, 1), hist_cnt.T,
                 res.counts, stats)
 
-    from .hmc_fused import check_vmem_envelope
-    check_vmem_envelope("nuts", d, tile, max_depth=max_depth,
+    from .hmc_fused import VMEM_LIMIT as _VL, check_vmem_envelope
+    check_vmem_envelope("nuts_paired" if paired else "nuts", d, tile,
+                        max_depth=max_depth,
                         # +1: the completed-count stream rides next to the
                         # sample history
                         hist_planes=(d if collect_idx is None else 1) + 1,
-                        # paired mode emits one history row per PAIR
-                        num_ticks=num_pairs if paired else num_ticks)
+                        # paired mode emits one history row per PAIR; its
+                        # scratch state is bounded by the 128M PHYSICAL
+                        # VMEM (the real d=576 abort), not the scoped cap
+                        num_ticks=num_pairs if paired else num_ticks,
+                        budget_bytes=(124 << 20) if paired else _VL)
 
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -1037,6 +1075,14 @@ def nuts_chains_fused(key, logp: Callable, values0, num_ticks: int,
                                  memory_space=pltpu.VMEM)
 
     body = _kernel_pair if paired else _kernel
+    if paired:
+        # scratch-resident d-plane state (see _kernel_pair): 16 f32 +
+        # (max_depth-1) int32 checkpoint planes, OUT of the fori carry —
+        # collapses the carry-driven Mosaic compile blowup
+        scratch_shapes = [
+            pltpu.VMEM((16, d, SUB, tc), jnp.float32),
+            pltpu.VMEM((max(max_depth - 1, 1), d, SUB, tc), jnp.int32),
+        ] + scratch_shapes
     out, outc, vout, cnt, stat = pl.pallas_call(
         functools.partial(body, steps, int(max_depth), float(eps),
                           float(divergence_threshold),

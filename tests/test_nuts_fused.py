@@ -518,3 +518,49 @@ def test_paired_chunked_driver_stitches():
     draws = np.asarray(extract_completed_draws(hist, hcnt, m))
     assert np.all(np.isfinite(draws))
     assert abs(draws[m // 4:].mean()) < 0.35
+
+
+def test_interpret_pair_divergence_paths_exact():
+    """The pair kernel's DIVERGENCE handling (slot-1 divergences end the
+    trajectory via the mini-merge and idle slot 2; slot-2 via the full
+    merge) vs the twin, with ~200 real divergences exercised (eps large
+    enough + a low divergence threshold). At chaotic settings (eps 1.4,
+    thr 2.0) ulp-level logp differences between the staged and direct
+    paths amplify into decision flips in BOTH the paired and unpaired
+    engines (measured: 51/128 count mismatches UNPAIRED) — this config
+    stays below that regime and must match exactly."""
+    with jax.enable_x64(False):
+        sds = jnp.array([1.0, 3.0, 0.5, 2.0])
+
+        def logp(x):
+            return (-0.5 * jnp.sum((x / sds) ** 2) - 0.3 * x[0] * x[2])
+
+        n, d, pairs, md = 128, 4, 40, 5
+        vals0 = jax.random.normal(KEY, (n, d)) * sds
+        rng = _injected_pair(jax.random.PRNGKey(7), pairs, n, d)
+        vk, hk, hck, ck_, sk = nuts_chains_fused(
+            jax.random.PRNGKey(1), logp, vals0, num_ticks=2 * pairs,
+            eps=0.9, max_depth=md, collect_idx=2,
+            divergence_threshold=4.0, injected_rng=rng, interpret=True,
+            paired=True)
+        from gen_tpu.inference.nuts_fsm import nuts_fsm_paired
+        vag = jax.value_and_grad(logp)
+        injc = tuple(jnp.moveaxis(jnp.asarray(x), 0, 1) for x in rng)
+        res_r, (hist_r, hcnt_r) = jax.vmap(
+            lambda kk, t, *xs: nuts_fsm_paired(
+                kk, vag, t, 0.9, pairs, max_depth=md,
+                divergence_threshold=4.0, injected_rng=xs,
+                collect_idx=2, ckpt_bf16=True))(
+            jax.random.split(jax.random.PRNGKey(2), n), vals0, *injc)
+        ndiv = int(np.asarray(sk["num_divergent"]).sum())
+        assert ndiv > 50, ndiv
+        np.testing.assert_array_equal(np.asarray(ck_),
+                                      np.asarray(res_r.counts))
+        np.testing.assert_array_equal(np.asarray(hck),
+                                      np.asarray(hcnt_r.T))
+        np.testing.assert_allclose(np.asarray(vk),
+                                   np.asarray(res_r.theta),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_array_equal(
+            np.asarray(sk["num_divergent"]),
+            np.asarray(res_r.num_divergent))
