@@ -81,28 +81,45 @@ def quadrature_reference(xs, ys, n_grid=48, span=7.0):
     i_ln = paths.index(("log_noise",))
     i_sl = paths.index(("slope",))
 
-    def logpost(th):
+    # the data sum is computed as PER-SEGMENT partials on device and
+    # accumulated in f64 on host: a single f32 sum over n = 1M terms
+    # (|sum| ~ 1e6) carries O(0.1-1) of rounding noise — enough to
+    # corrupt the REFERENCE moments at the gate tolerances (the same
+    # cancellation that forced Kahan accumulation into the kernels'
+    # stream loops)
+    n_data = int(ys.shape[0])
+    n_seg = max(1, n_data // 65536)
+    seg = (n_data + n_seg - 1) // n_seg
+    pad_d = n_seg * seg - n_data
+    xs_p = jnp.pad(xs, (0, pad_d)).reshape(n_seg, seg)
+    ys_p = jnp.pad(ys, (0, pad_d)).reshape(n_seg, seg)
+    wmask = jnp.pad(jnp.ones((n_data,), jnp.float32),
+                    (0, pad_d)).reshape(n_seg, seg)
+
+    def logpost_partials(th):
         sl, it, ln = th[i_sl], th[i_int], th[i_ln]
         sig = jnp.exp(ln)
-        r = (ys - (sl * xs + it)) / sig
-        n = ys.shape[0]
-        # student-t(4) up to th-independent constants
-        lik = jnp.sum(-2.5 * jnp.log1p(r * r / 4.0)) - n * ln
-        pri = (-sl ** 2 / 8.0 - it ** 2 / 8.0 - ln ** 2 / 2.0)
-        return lik + pri
+        r = (ys_p - (sl * xs_p + it)) / sig
+        # student-t(4) up to th-independent constants; (n_seg,) partials
+        return jnp.sum(wmask * -2.5 * jnp.log1p(r * r / 4.0), axis=1)
 
-    chunk = 512
+    chunk = 256
 
     @jax.jit
-    def grid_logpost(G):
-        return jax.lax.map(lambda gg: jax.vmap(logpost)(gg),
-                           G.reshape(-1, chunk, 3)).reshape(-1)
+    def grid_partials(G):
+        return jax.lax.map(lambda gg: jax.vmap(logpost_partials)(gg),
+                           G.reshape(-1, chunk, 3))     # (m, chunk, seg)
 
     n_pts = G.shape[0]
     pad = (-n_pts) % chunk
     Gp = jnp.concatenate([G, jnp.broadcast_to(G[:1], (pad, 3))]) \
         if pad else G
-    lp = np.asarray(grid_logpost(Gp), np.float64)[:n_pts]
+    parts = np.asarray(grid_partials(Gp),
+                       np.float64).reshape(-1, n_seg)[:n_pts]
+    Gn64 = np.asarray(G, np.float64)
+    pri = (-Gn64[:, i_sl] ** 2 / 8.0 - Gn64[:, i_int] ** 2 / 8.0
+           - Gn64[:, i_ln] ** 2 / 2.0)
+    lp = parts.sum(axis=1) - n_data * Gn64[:, i_ln] + pri
     w = np.exp(lp - lp.max())
     w /= w.sum()
     Gn = np.asarray(G, np.float64)
@@ -116,7 +133,8 @@ def quadrature_reference(xs, ys, n_grid=48, span=7.0):
 
 
 def run_config(n_data, n_chains, n_ticks, num_warmup, *, small=False,
-               gates=True, name="robust_t_stream", seed=0):
+               gates=True, name="robust_t_stream", seed=0,
+               warmup_chains=None, xla_compare=True):
     import bench as B
     from gen_tpu.inference.chees import chees_hmc_warmup_and_sample
     from gen_tpu.inference.sample import _auto_engine
@@ -126,7 +144,11 @@ def run_config(n_data, n_chains, n_ticks, num_warmup, *, small=False,
     from gen_tpu.ops.scalarize import stage_scalarized
     from gen_tpu.diagnostics import summarize
 
-    use_pallas = False if small else None
+    # pin the KERNEL for the fused rows: since round 5 use_pallas=None
+    # auto-dispatches stream models to the XLA twin when its batching
+    # fits (the measured 2x crossover) — this bench exists to measure
+    # the kernel itself against that twin
+    use_pallas = False if small else True
     xs, ys = make_data(seed, n_data)
     model = make_model(xs)
     obs = choicemap(ys=ys)
@@ -148,9 +170,15 @@ def run_config(n_data, n_chains, n_ticks, num_warmup, *, small=False,
           f"({n_rows} rows, {4 * n_rows} bytes/point, table "
           f"{staged.stream_data.size * 4 / 2 ** 20:.1f} MB)")
 
+    # the XLA warmup materializes (chains x points) likelihood
+    # intermediates — at n = 1M that must run on a chain SUBSET (the
+    # shared eps/mass need only a population, not the full count; the
+    # full-count warmup crashed the TPU worker at 1024 x 1M)
+    wc = min(n_chains, warmup_chains or n_chains)
     init_keys = jax.random.split(k_init, n_chains)
     traces, _ = jax.jit(jax.vmap(
-        lambda k: model.generate(k, (), obs)))(init_keys)
+        lambda k: model.generate(k, (), obs)))(
+        init_keys[:wc])
     one = jax.tree_util.tree_map(lambda x: x[0], traces)
     target = FlatTarget(one, sel)
     paths = [p for p, _ in one.get_choices().filter(sel).leaf_items()]
@@ -162,7 +190,11 @@ def run_config(n_data, n_chains, n_ticks, num_warmup, *, small=False,
             num_samples=1))(traces, k_warm)
     eps = float(winfo["step_size"])
     inv_mass = winfo["inv_mass"]
-    print(f"warmup {time.time()-t_w:.1f}s: eps={eps:.4f}")
+    if wc < n_chains:
+        # tile the warm subset out to the full chain count
+        reps = (n_chains + wc - 1) // wc
+        warm_flat = jnp.tile(warm_flat, (reps, 1))[:n_chains]
+    print(f"warmup {time.time()-t_w:.1f}s ({wc} chains): eps={eps:.4f}")
 
     def run(c, values, k, up):
         return nuts_chains_fused_chunked(
@@ -194,7 +226,7 @@ def run_config(n_data, n_chains, n_ticks, num_warmup, *, small=False,
     del hist, hcnt
 
     ratio = None
-    if not small:
+    if not small and xla_compare:
         _, hx, _, _, _ = run(0, values, k_run, False)
         float(jnp.sum(hx[-1]))
         t0 = time.time()
@@ -252,8 +284,12 @@ def main(small=False, big=False, n_chains=None, n_ticks=None, gates=True):
     if big:
         # n = 1M: the table (2 rows x 1M x 4B = 8 MB) streams from HBM
         ok &= run_config(
-            1_000_000, 1024, 160, 60, small=small, gates=gates,
-            name="robust_t_stream_1M")
+            1_000_000, 1024, 800, 250, small=small, gates=gates,
+            name="robust_t_stream_1M", warmup_chains=128,
+            # the XLA path's (chains x points) batching is exactly what
+            # does NOT scale to n = 1M (it crashed the TPU worker) — the
+            # HBM stream exists for this regime; no XLA twin run
+            xla_compare=False)
     return 0 if ok else 1
 
 

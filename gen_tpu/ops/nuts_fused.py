@@ -944,16 +944,37 @@ def nuts_chains_fused(key, logp: Callable, values0, num_ticks: int,
     ``injected_rng`` takes the 8-stream pair layout ``(z (pairs, n, d),
     u_dir0, u_take1, u_bias1, u_dir1, u_take2, u_bias2, u_dir2 each
     (pairs, n))``."""
+    values0 = jnp.asarray(values0, jnp.float32)
+    n, d = values0.shape
     if use_pallas is None:
         from .resample import on_tpu
         use_pallas = on_tpu()
+        if use_pallas:
+            # measured crossover (round 5, v5e, robust-t n=10k @ 8192
+            # chains): for STREAMED likelihoods the in-kernel point loop
+            # runs ~15.7 ns/point/1024-chains while the XLA twin's fully
+            # batched (chains x points) evaluation runs ~8.5 — the
+            # kernel's edge (VMEM-resident bookkeeping) is swamped once
+            # the data loop dominates the tick. Auto-dispatch therefore
+            # prefers the XLA path for stream models WHEN its batched
+            # intermediates fit comfortably in HBM; past that (the n=1M
+            # regime, which crashed the TPU worker under XLA batching)
+            # the HBM-streaming kernel is the only runner.
+            try:
+                from .scalarize import stage_scalarized
+                st_probe = stage_scalarized(logp, d)
+                if st_probe.stream_data is not None:
+                    pts = int(st_probe.stream_data.shape[1])
+                    xla_bytes = n * pts * 16
+                    if pts >= 4096 and xla_bytes < (4 << 30):
+                        use_pallas = False
+            except Exception:
+                pass
     if interpret:
         use_pallas = True
     if injected_rng is not None and not use_pallas:
         raise ValueError("injected_rng requires the Pallas path "
                          "(use_pallas=True or interpret=True)")
-    values0 = jnp.asarray(values0, jnp.float32)
-    n, d = values0.shape
     inv_mass = (jnp.ones((d,), jnp.float32) if inv_mass_diag is None
                 else jnp.asarray(inv_mass_diag, jnp.float32))
     num_pairs = (num_ticks + 1) // 2

@@ -460,14 +460,23 @@ def _block_contrib(cnode, rows, read_local, base_local, base_global, ss,
     set of (P, *plane) ops and summed over the block axis; points at or
     past ``length`` (edge-padded) contribute exactly zero."""
     P = STREAM_BLOCK
+    # Mosaic supports scalar -> plane broadcast but NOT (P, 1, 1) ->
+    # (P, 8, tc) ("broadcast in both sublanes and lanes"), so each data
+    # scalar is broadcast to a full plane first and the block is a stack
+    # of planes. The extra P adds per row are VPU noise next to the DAG.
     dvals = {}
     for r in rows:
-        dvals[r] = jnp.stack([jnp.reshape(read_local(r, base_local + u),
-                                          (1, 1)) for u in range(P)])
-    fio = jax.lax.broadcasted_iota(jnp.float32, (P, 1, 1), 0)
-    iio = jax.lax.broadcasted_iota(jnp.int32, (P, 1, 1), 0)
-    dvals["__i__"] = base_global.astype(jnp.float32) + fio
-    valid = (base_global + iio) < length
+        dvals[r] = jnp.stack([read_local(r, base_local + u) + zero
+                              for u in range(P)])
+    fb = base_global.astype(jnp.float32)
+    dvals["__i__"] = jnp.stack([fb + jnp.float32(u) + zero
+                                for u in range(P)])
+    # multiplicative 0/1 mask as a full (P, *plane) stack; pad values are
+    # EDGE data (finite), so mask-by-multiply is NaN-safe and its vjp
+    # zeroes pad cotangents exactly
+    valid = jnp.stack([
+        jnp.where(base_global + u < length, 1.0, 0.0).astype(zero.dtype)
+        + zero for u in range(P)])
 
     def ev(nd):
         kind = nd[0]
@@ -482,30 +491,46 @@ def _block_contrib(cnode, rows, read_local, base_local, base_global, ss,
         return _stream_eval(kind, nd[1], *[ev(a) for a in nd[2]])
 
     out = (ev(cnode) + zero).astype(zero.dtype)     # (P, *plane)
-    out = jnp.where(valid, out, jnp.zeros_like(out))
-    return jnp.sum(out, axis=0)
+    return jnp.sum(out * valid, axis=0)
 
 
 def _blocked_accumulate(cnode, s_vals, rows, length, read_local,
                         blocks_fn, plane_zero, want_grad):
-    """Shared accumulator driver for the SMEM and HBM stream loops."""
+    """Shared accumulator driver for the SMEM and HBM stream loops.
+
+    The VALUE accumulator is KAHAN-COMPENSATED (round 5): a plain
+    sequential f32 sum over n/16 block contributions carries
+    ~sqrt(n_blocks) * eps * |partial sums| of absolute noise — at n = 1M
+    with |logp| ~ 1e6 that is O(10), which drowns the O(1) MH energy
+    differences entirely (measured: acceptance collapsed to ~0.2 on the
+    n = 1M robust-t run however well eps was adapted). Compensation cuts
+    it to ~eps * |sum| ~ 0.1. Gradient accumulators stay plain: their
+    consumers only need relative accuracy."""
     zero = plane_zero
 
     def one_block(base_global, base_local, accs):
+        comp = accs[0]
+        acc = accs[1]
         if want_grad:
             val, pullp = jax.vjp(
                 lambda *ss: _block_contrib(cnode, rows, read_local,
                                            base_local, base_global, ss,
                                            length, zero), *s_vals)
             gs = pullp(jnp.ones_like(val))
-            return ((accs[0] + val,)
-                    + tuple(a + g for a, g in zip(accs[1:], gs)))
-        return (accs[0] + _block_contrib(cnode, rows, read_local,
-                                         base_local, base_global, s_vals,
-                                         length, zero),) + accs[1:]
+        else:
+            val = _block_contrib(cnode, rows, read_local, base_local,
+                                 base_global, s_vals, length, zero)
+            gs = ()
+        y = val - comp
+        t = acc + y
+        comp = (t - acc) - y
+        return ((comp, t)
+                + tuple(a + g for a, g in zip(accs[2:], gs)))
 
-    accs = (zero,) + (tuple(s * 0.0 for s in s_vals) if want_grad else ())
-    return blocks_fn(one_block, accs)
+    accs = (zero, zero) + (tuple(s * 0.0 for s in s_vals)
+                           if want_grad else ())
+    accs = blocks_fn(one_block, accs)
+    return (accs[1],) + accs[2:]
 
 
 def _stream_loop_hbm(cnode, s_vals, rows, length, hs, plane_zero,

@@ -167,8 +167,9 @@ def test_sharded_nuts_chains_fused_matches_shapes():
         jax.random.PRNGKey(1), logp, vals0, num_ticks=64, mesh=mesh,
         eps=0.5, max_depth=5)
     assert v.shape == (32, 2)
-    assert hist.shape == (64, 32)
-    assert hcnt.shape == (64, 32)
+    # paired=True default (round 5): one history row per PAIR of slots
+    assert hist.shape == (32, 32)
+    assert hcnt.shape == (32, 32)
     assert int(jnp.min(cnt)) > 0
     np.testing.assert_array_equal(np.asarray(hcnt[-1]), np.asarray(cnt))
     assert float(jnp.mean(stats["mean_accept"])) > 0.5
