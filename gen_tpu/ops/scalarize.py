@@ -504,13 +504,18 @@ def _blocked_accumulate(cnode, s_vals, rows, length, read_local,
     with |logp| ~ 1e6 that is O(10), which drowns the O(1) MH energy
     differences entirely (measured: acceptance collapsed to ~0.2 on the
     n = 1M robust-t run however well eps was adapted). Compensation cuts
-    it to ~eps * |sum| ~ 0.1. Gradient accumulators stay plain: their
-    consumers only need relative accuracy."""
+    it to ~eps * |sum|. The GRADIENT accumulators are compensated too:
+    near the posterior mode the gradient is a cancellation of
+    |sum|-magnitude contributions, and its rounding noise biases the
+    leapfrog drift."""
     zero = plane_zero
 
+    def _kadd(acc, comp, val):
+        y = val - comp
+        t = acc + y
+        return t, (t - acc) - y
+
     def one_block(base_global, base_local, accs):
-        comp = accs[0]
-        acc = accs[1]
         if want_grad:
             val, pullp = jax.vjp(
                 lambda *ss: _block_contrib(cnode, rows, read_local,
@@ -521,16 +526,19 @@ def _blocked_accumulate(cnode, s_vals, rows, length, read_local,
             val = _block_contrib(cnode, rows, read_local, base_local,
                                  base_global, s_vals, length, zero)
             gs = ()
-        y = val - comp
-        t = acc + y
-        comp = (t - acc) - y
-        return ((comp, t)
-                + tuple(a + g for a, g in zip(accs[2:], gs)))
+        out = []
+        for i, v in enumerate((val,) + tuple(gs)):
+            a, c = _kadd(accs[2 * i], accs[2 * i + 1], v)
+            out += [a, c]
+        return tuple(out)
 
-    accs = (zero, zero) + (tuple(s * 0.0 for s in s_vals)
-                           if want_grad else ())
-    accs = blocks_fn(one_block, accs)
-    return (accs[1],) + accs[2:]
+    n_acc = 1 + (len(s_vals) if want_grad else 0)
+    zeros = [zero, zero]
+    if want_grad:
+        for sv in s_vals:
+            zeros += [sv * 0.0, sv * 0.0]
+    accs = blocks_fn(one_block, tuple(zeros))
+    return accs[0], tuple(accs[2 * i] for i in range(1, n_acc))
 
 
 def _stream_loop_hbm(cnode, s_vals, rows, length, hs, plane_zero,
@@ -567,9 +575,8 @@ def _stream_loop_hbm(cnode, s_vals, rows, length, hs, plane_zero,
 
         return jax.lax.fori_loop(0, used_tiles, tile_body, accs)
 
-    accs = _blocked_accumulate(cnode, s_vals, rows, length, read_local,
+    return _blocked_accumulate(cnode, s_vals, rows, length, read_local,
                                blocks_fn, plane_zero, want_grad)
-    return accs[0], accs[1:]
 
 
 def _stream_loop(cnode, s_vals, rows, length, data_ref, plane_zero,
@@ -606,9 +613,8 @@ def _stream_loop(cnode, s_vals, rows, length, data_ref, plane_zero,
             return one_block(b * P, b * P, accs)
         return jax.lax.fori_loop(0, n_blocks, body, accs)
 
-    accs = _blocked_accumulate(cnode, s_vals, rows, length, read_local,
+    return _blocked_accumulate(cnode, s_vals, rows, length, read_local,
                                blocks_fn, plane_zero, want_grad)
-    return accs[0], accs[1:]
 
 
 def _inline_jaxpr(jaxpr, consts) -> Tuple[list, dict, list, list]:
