@@ -27,7 +27,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
     __file__))))
 
 
-def main(n_chains=2048, n_sweeps=200, seed=0):
+def main(n_chains=2048, n_sweeps=200, seed=0, depths=(3, 5)):
     import gp_structure as eager
     import gp_structure_arena as arena
     import gp_structure_incremental as gi
@@ -37,7 +37,7 @@ def main(n_chains=2048, n_sweeps=200, seed=0):
     key = jax.random.PRNGKey(seed)
     rows = []
 
-    for depth in (3, 5):
+    for depth in depths:
         print(f"\n=== depth {depth} ({gi.n_slots(depth)} slots, "
               f"{n_chains} chains, {n_sweeps} sweeps) ===")
         # incremental (carried planes)

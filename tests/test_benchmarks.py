@@ -197,3 +197,9 @@ def test_roofline_op_counter_smoke():
     # bf16-checkpoint bit arithmetic outnumber the arithmetic flops
     assert tick["flops"] > 500 and tick["pred"] > tick["flops"] / 2
     assert not other_n
+
+
+def test_bench_gp_direct_small():
+    import bench_gp_direct
+    rows = bench_gp_direct.main(n_chains=16, n_sweeps=4, depths=(2,))
+    assert len(rows) == 1
