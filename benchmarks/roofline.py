@@ -278,27 +278,36 @@ def count_hmc(logp, d, L=10, tile=1024):
     return leap_c, step_extra, init, other
 
 
-def count_nuts(logp, d, max_depth=8, tile=1024):
-    """Per-tick op counts PER CHAIN for the fused FSM-NUTS kernel."""
+def count_nuts(logp, d, max_depth=8, tile=1024, paired=False):
+    """Per-tick op counts PER CHAIN for the fused FSM-NUTS kernel.
+    ``paired=True`` counts the round-5 pair-scheduled kernel and reports
+    PER-LEAPFROG-SLOT numbers (the pair tick is divided by 2), so the
+    unpaired/paired rows are directly comparable."""
     import jax
     import jax.numpy as jnp
     from gen_tpu.ops.nuts_fused import nuts_chains_fused
     ticks = 2
     rng = np.random.default_rng(0)
+    n_u = 7 if paired else 4
     inj = (rng.standard_normal((ticks, tile, d)).astype(np.float32),
-           rng.random((ticks, tile)).astype(np.float32),
-           rng.random((ticks, tile)).astype(np.float32),
-           rng.random((ticks, tile)).astype(np.float32),
-           rng.random((ticks, tile)).astype(np.float32))
+           *[rng.random((ticks, tile)).astype(np.float32)
+             for _ in range(n_u)])
     vals = jnp.zeros((tile, d), jnp.float32)
     jaxpr = jax.make_jaxpr(lambda v: nuts_chains_fused(
-        jax.random.PRNGKey(0), logp, v, num_ticks=ticks, eps=0.1,
-        max_depth=max_depth, injected_rng=inj, interpret=True))(vals)
+        jax.random.PRNGKey(0), logp, v,
+        num_ticks=2 * ticks if paired else ticks, eps=0.1,
+        max_depth=max_depth, injected_rng=inj, interpret=True,
+        paired=paired))(vals)
     eqn = _find_pallas_eqns(jaxpr.jaxpr)[0]
     kj = eqn.params["jaxpr"]
     body, trip = _loops(kj)[0]
     assert trip == ticks, (trip, ticks)
     tick = count_jaxpr(body)
+    if paired:
+        # one pair tick = two leapfrog slots
+        tick = {k: (v / 2 if not isinstance(v, dict)
+                    else {kk: vv / 2 for kk, vv in v.items()})
+                for k, v in tick.items()}
     total = count_jaxpr(kj)
     per = lambda c: {k: c[k] / tile for k in ("flops", "transc", "pred",
                                               "vpu_ops")}
@@ -319,6 +328,9 @@ def run_count():
     tick, initn, othern = count_nuts(logp8, d8, max_depth=8)
     out["nuts_schools8_d10"] = dict(per_tick=tick, init=initn,
                                     uncounted=othern)
+    tickp, initp, otherp = count_nuts(logp8, d8, max_depth=8, paired=True)
+    out["nuts_schools8_d10_paired"] = dict(per_leapfrog_slot=tickp,
+                                           init=initp, uncounted=otherp)
     logp100, d100 = _schools_logp(100)
     tick1, init1, other1 = count_nuts(logp100, d100, max_depth=8)
     out["nuts_schools100_d102"] = dict(per_tick=tick1, init=init1,
