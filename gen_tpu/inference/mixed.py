@@ -311,3 +311,141 @@ def mixed_warmup_and_sample(key, trace, cont_sel: Selection,
                 mean_accept=jnp.mean(accepts),
                 total_leapfrogs=jnp.sum(leapfrogs))
     return cont_samples, disc_samples, trace, info
+
+
+# -- fused mixed driver (round-5 stretch of VERDICT r4 item 1) ---------------
+# The XLA alternating driver above is fully generic; THIS path runs the
+# continuous block in the fused pair-scheduled Pallas NUTS kernel, with
+# each chain's CURRENT discrete values riding in the kernel state as
+# frozen coordinates (inverse mass 0 — the round-3 Gibbs-within-NUTS
+# conditioning mechanism, validated vs exact enumeration in
+# tests/test_nuts_fused.py). Between kernel chunks the discrete block is
+# refreshed by the exact enumerative Gibbs sweep (vmapped over chains on
+# rebuilt traces). Requires the EXTENDED flat universe's assess-logp to
+# stage through ops.scalarize with the discrete values as (cast) float
+# coordinates — bernoulli indicators via where()/xlogy stage; categorical
+# probs[z] gathers do not (those models use the XLA driver).
+
+def extended_layout(one_trace, observations):
+    """(selection over ALL unobserved addresses, free_mask (d,) with 0 on
+    discrete coords, cont_idx, disc flag) for the extended flat universe."""
+    import math
+    from ..selection import select
+    obs_addrs = set(observations.addresses())
+    paths = [p for p, _ in one_trace.get_choices().leaf_items()
+             if p not in obs_addrs]
+    if not paths:
+        raise ValueError("no unobserved addresses")
+    sel = select(*paths)
+    items = list(one_trace.get_choices().filter(sel).leaf_items())
+    mask_parts = []
+    for path, v in items:
+        size = max(1, math.prod(jnp.shape(v)))
+        cont = jnp.issubdtype(jnp.asarray(v).dtype, jnp.inexact)
+        mask_parts.append(jnp.full((size,), 1.0 if cont else 0.0,
+                                   jnp.float32))
+    mask = jnp.concatenate(mask_parts)
+    return sel, mask
+
+
+def mixed_fused_sample(key, traces, one_trace, sites, *, num_warmup=400,
+                       num_samples=1000, max_depth=8, target_accept=0.8,
+                       observations=None, num_outer=None,
+                       warmup_gibbs_segments=3, chunk_ticks=16):
+    """Alternating (fused pair-NUTS ∘ exact Gibbs) over the extended flat
+    universe. Returns ``(draws (m, chains, d_ext), layout_sel, free_mask,
+    info)`` — the extracted completed-trajectory draws INCLUDE the frozen
+    discrete coordinates (each chunk's rows carry that chunk's per-chain
+    discrete values), so discrete marginals fall out of the same array.
+    """
+    from .chees import chees_hmc_warmup_and_sample
+    from .target import FlatTarget
+    from ..ops.nuts_fused import (extract_completed_draws,
+                                  nuts_chains_fused_chunked)
+
+    sel_ext, free_mask = extended_layout(one_trace, observations)
+    target = FlatTarget(one_trace, sel_ext)
+    n_chains = jax.tree_util.tree_leaves(traces)[0].shape[0]
+
+    @jax.jit
+    def gibbs_refresh(k, flat):
+        def one(kk, f):
+            tr = target.rebuild(f)
+            tr = gibbs_sweep(kk, tr, sites)
+            return tr.get_choices().filter(sel_ext).to_array()
+        ks = jax.random.split(k, n_chains)
+        return jax.vmap(one)(ks, flat)
+
+    @jax.jit
+    def rebuild_all(flat):
+        return jax.vmap(target.rebuild)(flat)
+
+    # warmup: ChEES segments (discretes frozen per chain) interleaved
+    # with Gibbs refreshes, so the adaptation sees discrete mixing
+    k_w, k_s = jax.random.split(key)
+    cur_traces = traces
+    seg = max(50, num_warmup // warmup_gibbs_segments)
+    winfo = None
+    for i in range(warmup_gibbs_segments):
+        k_w, k_c, k_g = jax.random.split(k_w, 3)
+        _, warm_flat, winfo = jax.jit(
+            lambda trs, k: chees_hmc_warmup_and_sample(
+                k, trs, sel_ext, num_warmup=seg, num_samples=1,
+                target_accept=target_accept,
+                free_mask=free_mask))(cur_traces, k_c)
+        warm_flat = gibbs_refresh(k_g, warm_flat)
+        if i < warmup_gibbs_segments - 1:
+            cur_traces = rebuild_all(warm_flat)
+    eps = float(winfo["step_size"])
+
+    # sampling: fused pair-NUTS chunks with Gibbs refreshes between.
+    # ALTERNATION FREQUENCY MATTERS: for strongly coupled (continuous,
+    # discrete) blocks — the GMM's (means, assignments) — the joint chain
+    # mixes at the rate of the SLOWER alternation, so the discrete
+    # refresh runs every ~chunk_ticks leapfrog slots (~2-5 trajectories),
+    # not a handful of times per run (measured: 8 refreshes left the GMM
+    # stuck near the symmetric collapsed configuration; per-16-tick
+    # refreshes match exact enumeration).
+    ticks_total = 8 * num_samples
+    if num_outer is None:
+        num_outer = max(4, ticks_total // chunk_ticks)
+    chunk = max(8, ticks_total // num_outer)
+    flat = warm_flat
+    # fused alternating BURN phase: the ChEES warmup alternates with
+    # Gibbs only at its few segment boundaries, so chains enter sampling
+    # still drifting in the joint (continuous, discrete) space — half a
+    # sampling budget of uncollected per-chunk alternation finishes the
+    # job at full kernel speed (measured on the GMM: without it the
+    # cross-chain variance ran ~50% high)
+    n_burn_outer = max(2, (ticks_total // 2) // chunk)
+    for j in range(n_burn_outer):
+        k_s, k_n, k_g = jax.random.split(k_s, 3)
+        flat, hist, hcnt, cnt, _stats = nuts_chains_fused_chunked(
+            k_n, target.logp, flat, num_ticks=chunk, eps=eps,
+            max_depth=max_depth, inv_mass_diag=winfo["inv_mass"],
+            collect_idx=0, paired=True)
+        del hist, hcnt
+        flat = gibbs_refresh(k_g, flat)
+    draws_chunks = []
+    counts_total = 0
+    for j in range(num_outer):
+        k_s, k_n, k_g = jax.random.split(k_s, 3)
+        flat, hist, hcnt, cnt, stats = nuts_chains_fused_chunked(
+            k_n, target.logp, flat, num_ticks=chunk, eps=eps,
+            max_depth=max_depth, inv_mass_diag=winfo["inv_mass"],
+            collect_idx=None, paired=True)
+        m = int(jnp.min(cnt))
+        if m >= 1:
+            draws_chunks.append(extract_completed_draws(hist, hcnt, m))
+            counts_total += m
+        del hist, hcnt
+        flat = gibbs_refresh(k_g, flat)
+    if counts_total < 2:
+        raise ValueError(
+            "fused mixed driver completed too few trajectories; raise "
+            "num_samples (the tick budget is 8*num_samples)")
+    draws = jnp.concatenate(draws_chunks, axis=0)
+    info = dict(step_size=eps, inv_mass=winfo["inv_mass"],
+                mean_depth=stats["mean_depth"],
+                num_divergent=stats["num_divergent"])
+    return draws, sel_ext, free_mask, info

@@ -229,6 +229,95 @@ def _dense_rewarmup(logp_w, ys0, key, num_warmup, target_accept,
         free_mask=free_mask)
 
 
+def _probe_fused_mixed(one_trace, observations):
+    """None when the EXTENDED (continuous + frozen discrete) universe's
+    assess-logp stages through ops.scalarize; otherwise the refusal
+    reason (e.g. categorical probs[z] gathers — those models use the XLA
+    alternating driver)."""
+    from ..ops.scalarize import stage_scalarized
+    from .mixed import extended_layout
+    from .target import FlatTarget
+    try:
+        sel_ext, _ = extended_layout(one_trace, observations)
+        target = FlatTarget(one_trace, sel_ext)
+        d = int(one_trace.get_choices().filter(sel_ext)
+                .to_array().shape[0])
+        staged = stage_scalarized(target.logp, d)
+        res = [staged.res_consts[i]
+               for i in range(int(staged.res_consts.shape[0]))]
+        staged.plane_vag(jnp.zeros((d, 8, 8), jnp.float32), res,
+                         staged.stream_data)
+    except Exception as e:
+        return f"{type(e).__name__}: {str(e).splitlines()[0]}"
+    return None
+
+
+def _sample_mixed_fused(observations, traces, one_trace, sites, k_run, *,
+                        num_chains, num_warmup, num_samples, max_depth,
+                        target_accept, requested_engine, summarize):
+    """Mixed models through the fused kernel (see mixed.mixed_fused_sample).
+    Samples include BOTH blocks: the extracted draws carry the frozen
+    discrete coordinates of the chunk they were drawn in."""
+    from .mixed import mixed_fused_sample, model_evals_per_sweep
+    draws, sel_ext, free_mask, info = mixed_fused_sample(
+        k_run, traces, one_trace, sites, num_warmup=num_warmup,
+        num_samples=num_samples, max_depth=max_depth,
+        target_accept=target_accept, observations=observations)
+    # unflatten (m, chains, d_ext) by the extended layout
+    values_chm = one_trace.get_choices().filter(sel_ext)
+    layout = [(path, jnp.shape(jnp.asarray(v)), jnp.asarray(v).dtype)
+              for path, v in values_chm.leaf_items()]
+    import numpy as _np
+    per_path = {}
+    offset = 0
+    for path, shape, dtype in layout:
+        size = 1
+        for s in shape:
+            size *= s
+        block = draws[:, :, offset:offset + size].astype(dtype)
+        per_path[path] = block.reshape(draws.shape[0], draws.shape[1],
+                                       *shape)
+        offset += size
+    # regroup vector-combinator element leaves (one int key) into dense
+    # (draws, chains, n_elements, ...) entries keyed by the int-stripped
+    # path — the same convention the XLA mixed driver returns
+    grouped, order = {}, []
+    for path, arr in per_path.items():
+        ints = [i for i, kk in enumerate(path)
+                if isinstance(kk, (int, _np.integer))
+                and not isinstance(kk, bool)]
+        if len(ints) == 1:
+            stripped = path[:ints[0]] + path[ints[0] + 1:]
+            if stripped not in grouped:
+                order.append(stripped)
+                grouped[stripped] = {}
+            grouped[stripped][path[ints[0]]] = arr
+        else:
+            order.append(path)
+            grouped[path] = arr
+    samples = {}
+    for path in order:
+        v = grouped[path]
+        key_out = path if len(path) > 1 else path[0]
+        if isinstance(v, dict):
+            samples[key_out] = jnp.stack(
+                [v[i] for i in sorted(v)], axis=2)
+        else:
+            samples[key_out] = v
+    info = dict(info, engine="gibbs_nuts_fused",
+                engine_requested=requested_engine,
+                discrete_sites=[s.path for s in sites],
+                discrete_evals_per_sweep=model_evals_per_sweep(sites))
+    summary = None
+    if summarize:
+        from ..diagnostics import summarize as _summarize
+        summary = {}
+        for k, v in samples.items():
+            summary[k] = _summarize(
+                {"x": jnp.asarray(v, jnp.float32)})["x"]
+    return PosteriorSamples(samples, summary, info, None)
+
+
 def _sample_mixed(model, args, observations, traces, one_trace, k_run, *,
                   num_chains, num_warmup, num_samples, max_depth,
                   target_accept, adapt_mass, discrete_supports,
@@ -251,6 +340,22 @@ def _sample_mixed(model, args, observations, traces, one_trace, k_run, *,
     cont_sel = select(*cont_paths)
     sites = discover_discrete_sites(one_trace, observations, model, args,
                                     discrete_supports)
+
+    # FUSED mixed path (round 5): when the EXTENDED flat universe's
+    # assess-logp stages through ops.scalarize with the discrete values
+    # as frozen float coordinates, the continuous block runs in the
+    # fused pair-scheduled Pallas NUTS kernel (per-chain discretes
+    # riding in kernel state, refreshed by exact Gibbs between chunks).
+    if requested_engine in ("auto", "mixed") and num_chains >= 2:
+        probe_reason = _probe_fused_mixed(one_trace, observations)
+        if probe_reason is None:
+            return _sample_mixed_fused(
+                observations, traces, one_trace, sites, k_run,
+                num_chains=num_chains, num_warmup=num_warmup,
+                num_samples=num_samples, max_depth=max_depth,
+                target_accept=target_accept,
+                requested_engine=requested_engine, summarize=summarize)
+
     values_chm = one_trace.get_choices().filter(cont_sel)
     layout = [(path, jnp.shape(jnp.asarray(v)))
               for path, v in values_chm.leaf_items()]
