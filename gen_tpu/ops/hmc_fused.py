@@ -213,7 +213,9 @@ def auto_tile_hmc(n: int, d: int) -> int:
     per call and quadruples the per-step history VMEM, so mid-size chain
     counts like n=6000 would REGRESS under the blanket rule — promote
     only when n is a multiple of 4096 or large enough (>= 16 tiles) that
-    the dead-chain fraction is < ~6%."""
+    the dead-chain fraction is < ~6%. The band itself is now measured at
+    BOTH ends (ADVICE r4's other ask): d=3 1.58x and d=12 1.24x for
+    4096 over 1024 (524k chains, 50 steps, median-of-3, round 5)."""
     if d <= 16 and n >= 4096 and (n % 4096 == 0 or n >= 16 * 4096):
         return 4096
     return _DEF_TILE
