@@ -261,6 +261,7 @@ def run_config(n_data, n_chains, n_ticks, num_warmup, *, small=False,
             ds = abs(dr.std() / s_ex - 1.0)
             rh = float(np.max(np.asarray(summarize(
                 {"c": jnp.asarray(dr[:, :2048])})["c"]["rhat"])))
+            rh = rh if np.isfinite(rh) else float("inf")
             rhat_worst = max(rhat_worst, rh)
             good = dm < mean_tol and ds < sd_tol and rh < 1.02
             ok &= bool(good)

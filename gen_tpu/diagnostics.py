@@ -53,8 +53,23 @@ def _rank_normalize(x):
     srt = jnp.sort(flat)
     lo = jnp.searchsorted(srt, flat, side="left")
     hi = jnp.searchsorted(srt, flat, side="right")
-    ranks = (lo + hi + 1) / 2.0          # 1-based average rank
-    z = ndtri((ranks - 0.375) / (s + 0.25))
+    # TAIL-SAFE normal scores (round-5 fix): the naive
+    # ndtri((rank - 0.375) / (s + 0.25)) computes p by dividing two
+    # nearly equal f32 numbers for top ranks — at pooled sizes past
+    # ~2^23 (e.g. 6000 draws x 2048 chains) both round to the SAME f32
+    # and p == 1.0 exactly, so ndtri returns inf and every downstream
+    # statistic is NaN (which a max-against-0 gate then silently
+    # passes). Use the symmetric form: the upper half goes through
+    # 1 - p with the small numerator (s - rank + 0.625) built from
+    # EXACT integer arithmetic, precise exactly where precision
+    # matters.
+    m2 = lo + hi + 1                     # 2 * rank (exact int)
+    num_lo = m2.astype(jnp.float32) / 2.0 - 0.375
+    num_hi = (2 * s - m2).astype(jnp.float32) / 2.0 + 0.625
+    den = jnp.float32(s + 0.25)
+    z = jnp.where(m2 <= s + 1,
+                  ndtri(num_lo / den),
+                  -ndtri(num_hi / den))
     return z.reshape(shape).astype(jnp.result_type(x, jnp.float32))
 
 

@@ -86,3 +86,18 @@ def test_diagnostics_jit():
     a = float(jax.jit(rhat)(x))
     b = float(rhat(x))
     np.testing.assert_allclose(a, b, rtol=1e-6)
+
+
+def test_rhat_large_pooled_size_no_overflow():
+    """Regression (round 5): the naive rank->normal-score division
+    computed p == 1.0 exactly in f32 once the pooled size passed ~2^23
+    (ndtri(1) = inf -> every statistic NaN — and a max-against-0 gate
+    SILENTLY passed the NaN). The tail-safe symmetric form must stay
+    finite and ~1 on iid draws at 6000 x 2048."""
+    rng = np.random.default_rng(0)
+    dr = jnp.asarray(rng.standard_normal((6000, 2048)), jnp.float32)
+    r = float(rhat(dr))
+    assert np.isfinite(r), r
+    assert abs(r - 1.0) < 0.01, r
+    e = float(ess_bulk(dr))
+    assert np.isfinite(e) and e > 1e6, e
