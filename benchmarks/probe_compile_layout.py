@@ -8,9 +8,16 @@ and compile time should collapse, with reshapes back to rank-3 needed
 only at the per-chain d-reductions.
 
 This probe compiles two synthetic kernels with identical arithmetic —
-~36 elementwise ops + 2 d-reductions per fori iteration, N_ITmissing
+~36 elementwise ops + 2 d-reductions per fori iteration, N_ITER
 iterations — in both layouts, at several d, on the real TPU, and prints
 the compile wall-clock of each. Run: python benchmarks/probe_compile_layout.py
+
+OUTCOME (round 5, measured): REFUTED — rank-2 and rank-3 elementwise
+bodies compile identically (interleaved A/B, three reps, d=96/192).
+The real compile driver is the fori LOOP CARRY of many d-planes
+(a 12-plane carry: d=96 ~14 s, d=192 ~52 s; the same state as VMEM
+scratch refs: ~1 s), which is what the _kernel_pair scratch-state
+conversion exploits. Kept as the record of the experiment.
 """
 import functools
 import sys
